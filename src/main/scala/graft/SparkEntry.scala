@@ -1,13 +1,555 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.{geo, text, vectors}
+import graft.ops._
+
+/** Driver contract: one `queries` entry per operator in SURVEY.md §2,
+  * and for each a DuckDB-equivalent `oracleSql` where the operator is
+  * ANSI-SQL-expressible. Column names/types and rounding are aligned
+  * on both sides (doubles rounded, timestamps surfaced as epoch ms).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Epoch milliseconds of a (possibly NTZ) timestamp column, with the
+    * session in UTC — matches DuckDB's epoch_ms on naive timestamps.
+    */
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Flagship: the reference's full enrichment pipeline shape on the
+    * events table — time derivations + flag, frequency rank join,
+    * group-flag propagation (reference `src/pipeline/main.py` steps
+    * 5-10), on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val derived = Enrich.deriveTime(t.events, col("ts"), col("event_type"), "error")
+    val ranked = Enrich.withFrequencyRank(derived, "event_type", "type_rank")
+    Enrich.propagateFlag(
+      ranked.withColumn("minute_bucket", date_trunc("minute", col("ts"))),
+      Seq("minute_bucket", "user_id"), "flag")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- core relational / reference-derived -----
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_time_derive" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      Enrich.deriveTime(e, col("ts"), col("event_type"), "error")
+        .select(col("event_id"), col("day_of_week"), col("time_of_day"), col("flag"))
+        .orderBy("event_id")
+    }),
+
+    "q3_freq_rank" -> ((s, dir) => {
+      Enrich.frequencyRank(Tables(s, dir).events, "event_type")
+        .select(col("event_type"), col("cnt"), col("rank"))
+        .orderBy("rank", "event_type")
+    }),
+
+    "q4_dim_enrich" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+        .orderBy("c_custkey")
+    }),
+
+    "q5_composite_enrich" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+        .agg(round(avg("value"), 4).as("hourly_avg"))
+      e.withColumn("hb", date_trunc("hour", col("ts")))
+        .join(hourly, Seq("hb", "event_type"))
+        .select(col("event_id"), epochMs(col("hb")).as("hour_ms"), col("hourly_avg"))
+        .orderBy("event_id")
+    }),
+
+    "q6_flag_propagate" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .withColumn("flag", when(col("event_type") === "error", 1).otherwise(0))
+        .withColumn("mb", date_trunc("minute", col("ts")))
+      Enrich.propagateFlag(e, Seq("mb", "user_id"), "flag")
+        .select(col("event_id"), col("flag"), col("flag_propagated"))
+        .orderBy("event_id")
+    }),
+
+    "q7_incremental" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("od", col("o_orderdate").cast("date"))
+      Enrich.incrementalAfterWatermark(o, "o_orderdate", 90)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("od").cast("string").as("order_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q8_side_of_town" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+        .withColumn("lat", lit(geo.TownCenterLat) + (col("c_custkey") % 21 - lit(10)).cast("double") * lit(0.01))
+        .withColumn("lon", lit(geo.TownCenterLon) + (floor(col("c_custkey") / 21.0).cast("bigint") % 21 - lit(10)).cast("double") * lit(0.01))
+      Enrich.withSideOfTown(c, col("lat"), col("lon"))
+        .select(col("c_custkey"), round(col("lat"), 4).as("lat"),
+          round(col("lon"), 4).as("lon"), col("side_of_town"))
+        .orderBy("c_custkey")
+    }),
+
+    "q9_null_health" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      e.agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        sum(when(trim(col("props")) === "", 1L).otherwise(0L)).as("blank_props"))
+    }),
+
+    "q10_dedup_keyed" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"))
+      e.groupBy("user_id", "event_type")
+        .agg(min(struct(col("ts_ms"), col("event_id"))).as("first"))
+        .select(col("user_id"), col("event_type"),
+          col("first.event_id").as("first_event_id"),
+          col("first.ts_ms").as("first_ts_ms"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q11_hourly_rollup" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      e.groupBy(epochMs(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_value"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_ms", "event_type")
+    }),
+
+    "q12_sessionize" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"))
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val sessions = e
+        .withColumn("prev_ms", lag("ts_ms", 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    "q13_topk_per_group" -> ((s, dir) => {
+      val p = Tables(s, dir).part
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+      p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_name"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_brand", "rn")
+    }),
+
+    "q14_revenue_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q15_market_share" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("region", "yr")
+    }),
+
+    "q16_asof_lastview" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), epochMs(col("ts")).as("ts_ms"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_view_ms",
+          max(when(col("event_type") === "view", col("ts_ms"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_ms"), col("last_view_ms"))
+        .orderBy("event_id")
+    }),
+
+    // ----- deduplication -----
+    "d1_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("fingerprint")
+    }),
+
+    "d2_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashPairs(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
+    "d3_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", col("source"))
+        .orderBy("id1", "id2")
+    }),
+
+    "d5_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+          "embedding", "vec_id", "label", 0.3)
+        .orderBy("id1", "id2")
+    }),
+
+    // ----- similarity search -----
+    "s1_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ----- text analysis -----
+    "t1_lang_profile" -> ((s, dir) => {
+      TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")
+        .orderBy("lang")
+    }),
+
+    "t2_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScores(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t3_token_topk" -> ((s, dir) => {
+      TextAnalysis.tokenTopK(Tables(s, dir).documents, "text", 20)
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t5_lang_id" -> ((s, dir) => {
+      TextAnalysis.languageId(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ----- multimodal -----
+    "m1_binary_meta" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.binaryMeta(docs, "payload", "doc_id").orderBy("doc_id")
+    }),
+
+    "m2_binary_features" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.extractFeatures(docs, "payload", "doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("mean_byte"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle SQL — same table names, same column names, same
+  // rounding. Omitted for hash/LSH ops (d2, d3, s2, m2): rows-only.
+  // ---------------------------------------------------------------
+
+  /** Shared SQL fragment: normalized text (must mirror text.normalize). */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def toksSql(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_time_derive" ->
+      """SELECT event_id, CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
+         CAST(hour(ts) AS INTEGER) AS time_of_day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS flag
+         FROM events ORDER BY event_id""",
+
+    "q3_freq_rank" ->
+      """SELECT event_type, count(*) AS cnt,
+         CAST(rank() OVER (ORDER BY count(*) DESC) AS INTEGER) AS rank
+         FROM events GROUP BY event_type ORDER BY rank, event_type""",
+
+    "q4_dim_enrich" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name AS nation, r_name AS region
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+
+    "q5_composite_enrich" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hb, event_type,
+                  round(avg(value), 4) AS hourly_avg
+           FROM events GROUP BY 1, 2)
+         SELECT e.event_id, epoch_ms(h.hb) AS hour_ms, h.hourly_avg
+         FROM events e
+         JOIN hourly h ON date_trunc('hour', e.ts) = h.hb AND e.event_type = h.event_type
+         ORDER BY e.event_id""",
+
+    "q6_flag_propagate" ->
+      """SELECT event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS flag,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY date_trunc('minute', ts), user_id) AS flag_propagated
+         FROM events ORDER BY event_id""",
+
+    "q7_incremental" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >
+           (SELECT CAST(max(CAST(o_orderdate AS DATE)) - INTERVAL 90 DAY AS DATE) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q8_side_of_town" ->
+      """WITH pts AS (
+           SELECT c_custkey,
+             35.2226 + CAST(c_custkey % 21 - 10 AS DOUBLE) * 0.01 AS lat,
+             -97.4395 + CAST(CAST(floor(c_custkey / 21.0) AS BIGINT) % 21 - 10 AS DOUBLE) * 0.01 AS lon
+           FROM customer),
+         brg AS (
+           SELECT c_custkey, lat, lon,
+             fmod(degrees(atan2(
+               cos(radians(lat)) * sin(radians(lon) - radians(-97.4395)),
+               cos(radians(35.2226)) * sin(radians(lat))
+                 - sin(radians(35.2226)) * cos(radians(lat)) * cos(radians(lon) - radians(-97.4395))
+             )) + 360.0, 360.0) AS bearing
+           FROM pts)
+         SELECT c_custkey, round(lat, 4) AS lat, round(lon, 4) AS lon,
+           ['N','NE','E','SE','S','SW','W','NW'][CAST(floor(fmod(bearing + 22.5, 360.0) / 45.0) AS INTEGER) + 1] AS side_of_town
+         FROM brg ORDER BY c_custkey""",
+
+    "q9_null_health" ->
+      """SELECT count(*) AS total_rows,
+         CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_value,
+         CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_props,
+         CAST(coalesce(sum(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS blank_props
+         FROM events""",
+
+    "q10_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, ts_ms AS first_ts_ms
+         FROM (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_ms(ts), event_id) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q11_hourly_rollup" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+         count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+
+    "q12_sessionize" ->
+      """WITH ord AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM ord),
+         sess AS (
+           SELECT user_id, event_id, ts_ms,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM flagged)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q13_topk_per_group" ->
+      """SELECT p_brand, CAST(rn AS INTEGER) AS rn, p_partkey, p_name, round(p_retailprice, 2) AS price
+         FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q14_revenue_topk" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q15_market_share" ->
+      """SELECT r_name AS region, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, year(o_orderdate)
+         ORDER BY region, yr""",
+
+    "q16_asof_lastview" ->
+      """WITH ve AS (
+           SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type IN ('view', 'purchase'))
+         SELECT event_id, ts_ms, last_view_ms FROM (
+           SELECT event_id, event_type, ts_ms,
+             max(CASE WHEN event_type = 'view' THEN ts_ms END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ms
+           FROM ve)
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "d1_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint, count(*) AS n_dups,
+          min(doc_id) AS canonical_id
+          FROM documents GROUP BY 1 ORDER BY fingerprint""",
+
+    "d4_ngram_jaccard" ->
+      s"""WITH prep AS (
+            SELECT doc_id, source AS block,
+              list_distinct(list_transform(range(1, len(${toksSql(normSql)}) - 1),
+                i -> concat_ws(' ', ${toksSql(normSql)}[i], ${toksSql(normSql)}[i+1], ${toksSql(normSql)}[i+2]))) AS grams
+            FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+              CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS uni
+            FROM prep a JOIN prep b ON a.block = b.block AND a.doc_id < b.doc_id)
+          SELECT id1, id2, round(CASE WHEN uni = 0 THEN 0 ELSE inter / uni END, 4) AS jaccard
+          FROM pairs WHERE round(CASE WHEN uni = 0 THEN 0 ELSE inter / uni END, 4) >= 0.4
+          ORDER BY id1, id2""",
+
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id1, id2, round(cos, 4) AS cosine FROM p
+         WHERE cos >= 0.3 ORDER BY id1, id2""",
+
+    "s1_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+           FROM e JOIN p ON e.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "t1_lang_profile" ->
+      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+          round(avg(len(${toksSql("text")})), 4) AS avg_tokens
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "t2_quality_score" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(text)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(text) AS n_chars_raw
+            FROM documents)
+          SELECT doc_id, n_tokens, n_punct, n_stopwords,
+            round(
+              0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+              + 0.2 * (1.0 - least((
+                  (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                  + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                ) * 5.0, 1.0)), 4) AS quality
+          FROM f ORDER BY doc_id""",
+
+    "t3_token_topk" ->
+      s"""SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(${toksSql(normSql)}) AS token FROM documents)
+          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint,
+          CAST(length($normSql) AS BIGINT) AS norm_len,
+          CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "t5_lang_id" ->
+      s"""WITH hits AS (
+            SELECT doc_id,
+              CAST(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS en,
+              CAST(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('el','la','de','que','y','los'))) AS BIGINT) AS es,
+              CAST(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('le','la','de','et','les','des'))) AS BIGINT) AS fr,
+              CAST(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('der','die','und','das','ein','zu'))) AS BIGINT) AS de
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                 WHEN en = greatest(en, es, fr, de) THEN 'en'
+                 WHEN es = greatest(en, es, fr, de) THEN 'es'
+                 WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                 ELSE 'de' END AS lang_pred
+          FROM hits ORDER BY doc_id""",
+
+    "m1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha256,
+         CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) AS n_chunks
+         FROM documents ORDER BY doc_id"""
+  )
 }

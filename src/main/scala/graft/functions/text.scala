@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives as Column builders (codegen'd built-ins,
+  * no UDFs). These power the LLM-training-data operators: quality
+  * scoring, token counting, fingerprinting, language ID, shingling.
+  */
+object text {
+
+  /** Lowercase, strip non-[a-z0-9 ] chars, collapse whitespace, trim.
+    * Canonical form used by exact dedup + fingerprinting.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the raw string ('' → 0 tokens). */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Count of regexp matches, via length difference after removal —
+    * identical arithmetic is expressible in DuckDB for the oracle.
+    */
+  def matchCount(c: Column, singleCharPattern: String): Column =
+    (length(c) - length(regexp_replace(c, singleCharPattern, ""))).cast("long")
+
+  def punctCount(c: Column): Column = matchCount(c, "[\\.,;:!\\?]")
+  def upperCount(c: Column): Column = matchCount(c, "[A-Z]")
+  def digitCount(c: Column): Column = matchCount(c, "[0-9]")
+
+  /** English stopword-ish markers used for quality / language ID. */
+  val EnMarkers = Seq("the", "a", "and", "of", "to", "in", "is")
+  val EsMarkers = Seq("el", "la", "de", "que", "y", "los")
+  val FrMarkers = Seq("le", "la", "de", "et", "les", "des")
+  val DeMarkers = Seq("der", "die", "und", "das", "ein", "zu")
+
+  /** How many tokens of `c` are in `markers` (exact word matches). */
+  def markerHits(c: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Stopword ratio = marker hits / tokens (0 when empty). */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(markerHits(c, EnMarkers).cast("double") / n)
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs with
+    * stopwords and low punctuation/digit noise. Deterministic and
+    * SQL-expressible; the exact weights are this engine's contract.
+    */
+  def qualityScore(c: Column): Column = {
+    val n       = tokenCount(c).cast("double")
+    val lenTerm = least(n / lit(100.0), lit(1.0))
+    val stop    = least(stopwordRatio(c) * lit(5.0), lit(1.0))
+    val punct   = when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+    val digits  = when(length(c) === 0, lit(0.0))
+      .otherwise(digitCount(c).cast("double") / length(c))
+    val raw = lit(0.4) * lenTerm + lit(0.4) * stop +
+      lit(0.2) * (lit(1.0) - least((punct + digits) * lit(5.0), lit(1.0)))
+    round(raw, 4)
+  }
+
+  /** Stopword-marker voting language ID → 'en'/'es'/'fr'/'de'/'und'.
+    * N-gram-free heuristic (the reference corpus is synthetic); ties
+    * and zero-evidence both resolve deterministically.
+    */
+  def langId(c: Column): Column = {
+    val en = markerHits(c, EnMarkers)
+    val es = markerHits(c, EsMarkers)
+    val fr = markerHits(c, FrMarkers)
+    val de = markerHits(c, DeMarkers)
+    val m  = greatest(en, es, fr, de)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))   // priority order breaks ties
+      .when(es === m, lit("es"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. The reference
+    * keys idempotency on `incident_num` (`src/db/incidents.py:43`);
+    * for documents the content hash IS the key.
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Distinct word n-grams (arrays of space-joined n-grams). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(normalize(c))
+    val cnt  = size(toks)
+    when(cnt < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), cnt - lit(n)), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Distinct character k-shingles of the normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val s   = normalize(c)
+    val len = length(s)
+    when(len < k, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), len - lit(k - 1)), i => s.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+
+/** Reference-derived enrichment operators, re-expressed as declarative
+  * DataFrame transforms so Catalyst handles pushdown/pruning and every
+  * step is shuffle-minimal at scale.
+  */
+object Enrich {
+
+  /** Time derivations (reference `src/pdf/parse_incidents.py:9-21`,
+    * `src/db/incidents.py:20-27`): day_of_week recoded to 1=Sunday..
+    * 7=Saturday (Spark's dayofweek already uses that convention),
+    * hour-of-day, plus a 0/1 flag column from a marker value.
+    */
+  def deriveTime(df: DataFrame, ts: Column, flagCol: Column, marker: String): DataFrame =
+    df.withColumn("day_of_week", dayofweek(ts))
+      .withColumn("time_of_day", hour(ts))
+      .withColumn("flag", when(flagCol === marker, 1).otherwise(0))
+
+  /** Frequency rank of `key` (reference `src/db/incidents.py:66-73`):
+    * RANK() OVER (ORDER BY COUNT(*) DESC). The global window is safe —
+    * it sorts the GROUPED counts (|distinct keys| rows), never the fact
+    * table; the count itself is a partial-agg-friendly shuffle.
+    */
+  def frequencyRank(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", rank().over(Window.orderBy(col("cnt").desc)))
+
+  /** Attach the frequency rank back onto each row (the reference's
+    * UPDATE ... FROM LocationFrequency). Rank table is tiny → broadcast.
+    */
+  def withFrequencyRank(df: DataFrame, key: String, rankName: String): DataFrame =
+    df.join(broadcast(frequencyRank(df, key).withColumnRenamed("rank", rankName)
+      .drop("cnt")), Seq(key))
+
+  /** Keep-first keyed dedup — the Spark analog of
+    * `INSERT ... ON CONFLICT (key) DO NOTHING` (reference
+    * `src/db/incidents.py:41-46`): one shuffle on the key, min by the
+    * deterministic (orderTs, orderId) arrival order via a struct-min
+    * aggregate (no window sort needed).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(c => orderBy.contains(c) || keys.contains(c))
+    val ordStruct = struct((orderBy ++ payload).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(ordStruct).as("first"))
+      .select(keys.map(col) ++ Seq(col("first.*")): _*)
+  }
+
+  /** Group-max flag propagation (reference `src/db/incidents.py:49-57`:
+    * same (incident_ts, location) with any emsstat=1 → all 1). The
+    * reference does a quadratic self-join; a grouped max over the key
+    * is one shuffle and linear.
+    */
+  def propagateFlag(df: DataFrame, groupKeys: Seq[String], flag: String): DataFrame =
+    df.withColumn(s"${flag}_propagated",
+      max(col(flag)).over(Window.partitionBy(groupKeys.map(col): _*)))
+
+  /** Incremental watermark filter (reference `src/scrape/normanpd.py:
+    * 24-46`): only rows with ts after (max(ts) - lookback). The max is
+    * a partial-agg scalar; the filter then prunes at the scan.
+    */
+  def incrementalAfterWatermark(df: DataFrame, ts: String, lookbackDays: Int): DataFrame = {
+    val wm = df.agg(max(col(ts).cast("date")).as("maxd"))
+      .select(date_sub(col("maxd"), lookbackDays).as("wm"))
+    df.join(broadcast(wm), col(ts).cast("date") > col("wm")).drop("wm")
+  }
+
+  /** Enrichment-health metrics (reference `src/pipeline/main.py` step
+    * 11): count of NULL/blank values per enriched column, one row out.
+    */
+  def nullHealth(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    } :+ count(lit(1)).as("total_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** side_of_town enrichment (reference `src/enrich/geography.py`):
+    * compass direction of (lat,lon) relative to the town center.
+    */
+  def withSideOfTown(df: DataFrame, lat: Column, lon: Column): DataFrame =
+    df.withColumn("side_of_town", geo.sideOfTown(lat, lon))
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media (image/audio/video) as opaque
+  * `binary` columns with typed metadata, the way the reference holds
+  * PDF bytes in memory before extraction
+  * (reference `src/pdf/fetch_incidents.py`, `parse_incidents.py`).
+  *
+  * The decode step is a clearly-marked deterministic STUB (the real
+  * codecs are not in this container); the Spark-side plumbing —
+  * binary schema, per-partition batching, output schema — is real.
+  */
+object Multimodal {
+
+  /** Typed metadata for a binary payload, pure column math (codegen):
+    * byte length, content hash, chunk count at a fixed chunk size.
+    */
+  def binaryMeta(df: DataFrame, payloadCol: String, idCol: String,
+                 chunkSize: Int = 256): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+      sha2(col(payloadCol), 256).as("sha256"),
+      ceil(octet_length(col(payloadCol)).cast("double") / chunkSize)
+        .cast("long").as("n_chunks"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("frame_checksums", ArrayType(LongType), nullable = false)))
+
+  /** STUB media decoder: stands in for an image/audio codec. It
+    * deterministically "decodes" the payload into fixed-size frames
+    * and extracts per-frame checksums + a global intensity feature.
+    * Swap `decodeFrame` for a real codec; everything around it (the
+    * mapPartitions batching, schema, partition-parallel shape) is the
+    * production plumbing.
+    */
+  private def decodeFrame(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    var acc = 1469598103934665603L // FNV offset basis
+    while (i < off + len && i < bytes.length) {
+      acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    acc
+  }
+
+  /** Batched per-partition feature extraction over binary payloads.
+    * One task per input partition; no shuffle; the imperative loop is
+    * deliberate (this is the "(d) mapPartitions last resort" case —
+    * codec calls can't be expressed as Catalyst expressions).
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String, idCol: String,
+                      frameSize: Int = 1024): DataFrame = {
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(1L, (bytes.length + frameSize - 1L) / frameSize)
+        val checksums = (0L until nFrames).map(f =>
+          decodeFrame(bytes, (f * frameSize).toInt, frameSize))
+        var sum = 0.0
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        val mean = if (bytes.length == 0) 0.0 else sum / bytes.length
+        Row(id, bytes.length.toLong, nFrames,
+          math.rint(mean * 10000) / 10000, checksums)
+      }
+    }(enc)
+  }
+}

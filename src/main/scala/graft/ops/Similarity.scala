@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) probe
+  * set against the corpus — a map-side nested loop, no shuffle of the
+  * corpus, scales linearly in corpus size. `lshTopK` is the scale
+  * path: random-hyperplane buckets turn the cross product into an
+  * equi-join, trading recall for a ~2^bits fan-in reduction.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Probes must be small enough to broadcast (they are, by contract:
+    * a query workload, not the corpus).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), shared by all
+    * executors via the closure — reproducible across runs.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH-bucketed ANN: candidates are corpus rows sharing the probe's
+    * hyperplane signature in at least one band; exact cosine + top-k
+    * within candidates. Equi-join on (band, key) — no cross product.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+              idCol: String, k: Int, dim: Int,
+              numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bitsPerBand = numPlanes / bands
+    def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = vectors.hyperplaneSig(col(vec), planes)
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("sig", sig)
+        .withColumn("band", explode(array((0 until bands).map { b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col("sig"), b * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1).as("v"))
+        }: _*)))
+    }
+    val c = withBands(corpus, "neighbor_id", "cv")
+    val p = withBands(probes, "query_id", "qv")
+    val cands = c.join(broadcast(p), Seq("band"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming twins of the batch window/session operators.
+  *
+  * The reference is batch-incremental (re-run discovers only new PDFs
+  * via the max-ts watermark — `src/scrape/normanpd.py:24-46`); the
+  * streaming form makes that continuous: event-time watermark +
+  * tumbling windows for the hourly rollup, and a stateful session
+  * operator for gap-based sessionization.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window rollup (streaming q11_hourly_rollup).
+    * Works on any DataFrame with (ts: timestamp, event_type: string,
+    * value: double) — batch or streaming.
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicit state (streaming
+    * q12_sessionize): emits a session when `gapMs` of event-time
+    * silence passes (via ProcessingTime timeout in this minimal form).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.reverseIterator
+          }
+      }
+  }
+}
