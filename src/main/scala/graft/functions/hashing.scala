@@ -12,17 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object hashing {
 
-  /** MinHash signature: for each of `numPerm` seeded hash functions,
-    * the min hash over the element array. Returns array<long> of
-    * length numPerm; empty input → all Long.MaxValue sentinels.
+  /** One 64-bit base hash per element (a single string-hash pass;
+    * everything downstream works on longs).
     */
-  def minhash(elems: Column, numPerm: Int): Column = {
+  def elementHashes(elems: Column): Column = transform(elems, e => xxhash64(e))
+
+  /** MinHash signature from pre-hashed elements. Each of the
+    * `numPerm` permutations re-hashes the 64-bit base hash with a
+    * distinct seed — a fixed-width xxhash64 round per slot instead of
+    * a fresh variable-length string hash, so at 100 TB the string
+    * pass happens once, not numPerm times. (A linear a*x+b map would
+    * be cheaper still but overflows under ANSI mode.) Returns
+    * array<long>; empty input → all Long.MaxValue sentinels.
+    */
+  def minhashFromHashes(hashes: Column, numPerm: Int): Column = {
     val sigs = (0 until numPerm).map { seed =>
-      when(size(elems) === 0, lit(Long.MaxValue)).otherwise(
-        array_min(transform(elems, e => xxhash64(lit(seed), e))))
+      when(size(hashes) === 0, lit(Long.MaxValue)).otherwise(
+        array_min(transform(hashes, h => xxhash64(lit(seed), h))))
     }
     array(sigs: _*)
   }
+
+  /** MinHash signature straight from an element array (convenience;
+    * callers on a hot path should materialize `elementHashes` once
+    * and use `minhashFromHashes`).
+    */
+  def minhash(elems: Column, numPerm: Int): Column =
+    minhashFromHashes(elementHashes(elems), numPerm)
 
   /** LSH band keys for a minhash signature: `bands` keys, each hashing
     * `rowsPerBand` consecutive signature slots together with the band
@@ -35,13 +51,13 @@ object hashing {
     array(keys: _*)
   }
 
-  /** Per-bit votes for a 64-bit SimHash over a token array: one pass,
-    * accumulating an array of 64 (+1/-1) counters. Subexpression
-    * elimination keeps it to one xxhash64 per token.
+  /** Per-bit votes for a 64-bit SimHash over PRE-HASHED tokens: one
+    * pass, accumulating an array of 64 (+1/-1) counters. Taking longs
+    * (not strings) guarantees exactly one string-hash per token — the
+    * lambda var is bound once, so the 64 bit-probes share it.
     */
-  def simhashVotes(toks: Column): Column =
-    aggregate(toks, array_repeat(lit(0L), 64), (acc, t) => {
-      val h = xxhash64(t)
+  def simhashVotesFromHashes(hashes: Column): Column =
+    aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) => {
       val bitVotes = array((0 until 64).map { i =>
         when(shiftright(h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
       }: _*)
@@ -54,8 +70,9 @@ object hashing {
       when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** 64-bit SimHash of a token array (see simhashVotes). */
-  def simhash64(toks: Column): Column = votesToSimhash(simhashVotes(toks))
+  /** 64-bit SimHash of a token array (see simhashVotesFromHashes). */
+  def simhash64(toks: Column): Column =
+    votesToSimhash(simhashVotesFromHashes(elementHashes(toks)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -91,22 +91,54 @@ object text {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Distinct word n-grams (arrays of space-joined n-grams). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(normalize(c))
-    val cnt  = size(toks)
+  /** Distinct word n-grams from an ALREADY-TOKENIZED column.
+    *
+    * `toks` must be a materialized column (AttributeReference), never
+    * an inline expression: the lambda below references it per element,
+    * and an embedded normalize/tokenize subtree would be re-evaluated
+    * once per n-gram (an O(len·grams) blowup observed as a 10× slowdown
+    * at sf0.1). Callers stage `tokens(normalize(c))` with withColumn.
+    */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks)
     when(cnt < n, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(0), cnt - lit(n)), i =>
           concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Distinct character k-shingles of the normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
-    val s   = normalize(c)
-    val len = length(s)
-    when(len < k, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), len - lit(k - 1)), i => s.substr(i, lit(k)))))
+  /** Distinct word n-grams straight from raw text (convenience; hot
+    * paths stage the token column and use wordNgramsOfTokens).
+    */
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsOfTokens(tokens(normalize(c)), n)
+
+  /** Distinct character k-shingles of an ALREADY-NORMALIZED column.
+    * Same staging contract as wordNgramsOfTokens: `s` must be a
+    * materialized column or the normalize regexes re-run per shingle.
+    *
+    * Implementation detail: `substr(i, k)` on UTF8String is O(i) (it
+    * must scan for the char boundary), which makes naive shingling
+    * O(len²) per document — a measured 8× slowdown at sf0.1. Instead
+    * the string is split into a char array once, and each shingle is
+    * an O(k) array slice. The single-element transform binds the char
+    * array to a lambda variable so it is evaluated once, not once per
+    * shingle.
+    */
+  def charShinglesOfNormalized(s: Column, k: Int): Column = {
+    val chars = split(s, "")
+    element_at(
+      transform(array(chars), cs =>
+        when(size(cs) < k, array().cast("array<string>")).otherwise(
+          array_distinct(
+            transform(sequence(lit(1), size(cs) - lit(k - 1)), i =>
+              concat_ws("", slice(cs, i, lit(k))))))),
+      1)
   }
+
+  /** Distinct character k-shingles straight from raw text
+    * (convenience; hot paths stage normalize with withColumn).
+    */
+  def charShingles(c: Column, k: Int): Column =
+    charShinglesOfNormalized(normalize(c), k)
 }

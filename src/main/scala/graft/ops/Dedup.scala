@@ -33,20 +33,58 @@ object Dedup {
                    numPerm: Int = 128, bands: Int = 32, shingleK: Int = 5,
                    jaccardThreshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val withSig = docs.select(col(idCol).as("id"),
-        text.charShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", hashing.minhash(col("shingles"), numPerm))
-      .withColumn("band", explode(hashing.bandKeys(col("sig"), bands, rowsPerBand)))
-      .select("band", "id", "shingles")
-    val candidates = withSig.as("a").join(withSig.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+    // Staged: normalize → shingle → hash, each as its own column, so
+    // the per-element lambdas see attributes (see wordNgramsOfTokens
+    // scaladoc). One string-hash pass per shingle; signatures and the
+    // exact verify both work on the resulting longs (set-isomorphic
+    // to the shingle sets modulo 64-bit collisions).
+    val hashed = docs
+      .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
+      .select(col("id"), text.charShinglesOfNormalized(col("norm"), shingleK).as("sh"))
+      .select(col("id"), hashing.elementHashes(col("sh")).as("hs"))
+    // Signature via explode + hash-aggregate: numPerm codegen'd
+    // min(xxhash64(seed, h)) columns over (id, shingle-hash) rows.
+    // This stays in whole-stage codegen with map-side partial mins —
+    // unlike a numPerm-wide higher-order-function signature, which
+    // allocates a fresh array per permutation per row. Docs with no
+    // shingles drop out here; they could only ever pair at jaccard 0,
+    // below any positive threshold, so the result is unchanged.
+    val sigCols = count(lit(1)).as("n") +: (0 until numPerm).map { seed =>
+      min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
+    }
+    val sigs = hashed.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // Band key = one hash over its rowsPerBand signature slots. Only
+    // (band, id, setsize) goes through the explode/shuffle — never
+    // the shingle arrays (a bands-fold blowup of the payload at scale).
+    val bandKeyCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}"))): _*)
+    }
+    val banded = sigs.select(col("id"), col("n"),
+      explode(array(bandKeyCols: _*)).as("band"))
+    // Lossless prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
+    // — prunes most low-similarity band collisions before the
+    // dedup shuffle and the exact verify.
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    val union = size(col("sh1")) + size(col("sh2")) - size(array_intersect(col("sh1"), col("sh2")))
+    // The verify joins broadcast the doc→hashes table (tiny relative
+    // to the pair table at scale); both broadcasts share one exchange
+    // (identical canonical plan), so shingling runs once for them.
     candidates
-      .withColumn("jaccard", round(when(union === 0, 0.0).otherwise(inter / union), 4))
+      .join(broadcast(hashed).as("h1"), col("id1") === col("h1.id"))
+      .join(broadcast(hashed).as("h2"), col("id2") === col("h2.id"))
+      .select(col("id1"), col("id2"),
+        col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
+          .otherwise(col("inter") /
+            (size(col("sh1")).cast("double") + size(col("sh2")).cast("double") - col("inter"))), 4))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
   }
@@ -58,8 +96,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      hashing.simhash64(text.tokens(text.normalize(col(textCol)))).as("simhash"))
+    // Staged so the 64 per-bit probes in votesToSimhash read a
+    // materialized votes column instead of re-running the aggregate.
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+      .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
+      .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
     val banded = sigs.withColumn("band",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"), shiftrightunsigned(col("simhash"), b * 16)
@@ -82,16 +125,29 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.4): DataFrame = {
-    val prepared = docs.select(col(idCol).as("id"),
-      text.wordNgrams(col(textCol), n).as("grams"), blockCol.as("block"))
+    // Staged normalize → tokens → grams → hashes (per-element lambdas
+    // must see attributes — see wordNgramsOfTokens scaladoc). Grams
+    // are hashed to longs once per doc (set-isomorphic, so the Jaccard
+    // value is unchanged); the pairwise intersect then runs on longs
+    // and the shuffle carries 8-byte elements, not strings.
+    val prepared = docs
+      .select(col(idCol).as("id"), blockCol.as("block"),
+        text.tokens(text.normalize(col(textCol))).as("toks"))
+      .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
+      .select(col("id"), col("block"), hashing.elementHashes(col("g")).as("grams"))
+    // Lossless size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    // so pairs whose gram counts differ by more than 1/threshold can
+    // never pass — prune them before the O(|A|+|B|) intersect.
+    val sizeOk = least(size(col("g1")), size(col("g2"))).cast("double") >=
+      greatest(size(col("g1")), size(col("g2"))).cast("double") * threshold
     val pairs = prepared.as("a").join(prepared.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.grams").as("g1"), col("b.grams").as("g2"))
-    val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
-    val union = (size(col("g1")) + size(col("g2"))
-      - size(array_intersect(col("g1"), col("g2")))).cast("double")
-    pairs.withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(inter / union), 4))
+      .filter(sizeOk)
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("double"))
+    val union = size(col("g1")).cast("double") + size(col("g2")).cast("double") - col("inter")
+    pairs.withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -102,10 +158,15 @@ object Dedup {
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
     import graft.functions.vectors
-    val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("block"))
+    // Norms are computed once per row before the pair join — the
+    // per-pair work is then a single dot product (not dot + 2 norms).
+    val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(blockCol).as("block"), vectors.norm(col(vecCol)).as("nrm"))
+    val nn = col("a.nrm") * col("b.nrm")
     prepared.as("a").join(prepared.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("cosine", vectors.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("a.v"), col("b.v")) / nn))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cosine"), 4).as("cosine"))

@@ -21,10 +21,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Norms computed once per probe / corpus row, not once per pair.
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vectors.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      vectors.norm(col(vecCol)).as("cn"))
+    val nn = col("qn") * col("cn")
     val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("qv"), col("cv")) / nn))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -52,7 +57,8 @@ object Similarity {
     val bitsPerBand = numPlanes / bands
     def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
       val sig = vectors.hyperplaneSig(col(vec), planes)
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          vectors.norm(col(vecCol)).as(s"${vec}_n"))
         .withColumn("sig", sig)
         .withColumn("band", explode(array((0 until bands).map { b =>
           struct(lit(b).as("b"),
@@ -62,10 +68,12 @@ object Similarity {
     }
     val c = withBands(corpus, "neighbor_id", "cv")
     val p = withBands(probes, "query_id", "qv")
+    val nn = col("qv_n") * col("cv_n")
     val cands = c.join(broadcast(p), Seq("band"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("qv"), col("cv")) / nn))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
