@@ -17,6 +17,24 @@ object hashing {
     */
   def elementHashes(elems: Column): Column = transform(elems, e => xxhash64(e))
 
+  /** Distinct hashes of the character k-shingles of an
+    * ALREADY-NORMALIZED string column, without materializing shingle
+    * strings: split to chars once (let-bound via the single-element
+    * transform so it isn't re-evaluated per shingle — see
+    * text.wordNgramsOfTokens), then hash k single-char slots per
+    * shingle. Unambiguous because every slot is exactly one char.
+    */
+  def charShingleHashes(s: Column, k: Int): Column = {
+    val chars = split(s, "")
+    element_at(
+      transform(array(chars), cs =>
+        when(size(cs) < k, array().cast("array<bigint>")).otherwise(
+          array_distinct(
+            transform(sequence(lit(1), size(cs) - lit(k - 1)), i =>
+              xxhash64((0 until k).map(j => element_at(cs, i + lit(j))): _*))))),
+      1)
+  }
+
   /** MinHash signature from pre-hashed elements. Each of the
     * `numPerm` permutations re-hashes the 64-bit base hash with a
     * distinct seed — a fixed-width xxhash64 round per slot instead of

@@ -40,8 +40,7 @@ object Dedup {
     // to the shingle sets modulo 64-bit collisions).
     val hashed = docs
       .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
-      .select(col("id"), text.charShinglesOfNormalized(col("norm"), shingleK).as("sh"))
-      .select(col("id"), hashing.elementHashes(col("sh")).as("hs"))
+      .select(col("id"), hashing.charShingleHashes(col("norm"), shingleK).as("hs"))
     // Signature via explode + hash-aggregate: numPerm codegen'd
     // min(xxhash64(seed, h)) columns over (id, shingle-hash) rows.
     // This stays in whole-stage codegen with map-side partial mins —
@@ -160,6 +159,9 @@ object Dedup {
     import graft.functions.vectors
     // Norms are computed once per row before the pair join — the
     // per-pair work is then a single dot product (not dot + 2 norms).
+    // (An unrolled fixed-dim element_at dot was tried and measured 3x
+    // SLOWER than the zip_with/aggregate HOF — the wide expression
+    // falls out of whole-stage codegen; keep the HOF form.)
     val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(blockCol).as("block"), vectors.norm(col(vecCol)).as("nrm"))
     val nn = col("a.nrm") * col("b.nrm")
