@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer: parquet (primary), CSV with headers (the
+  * reference's export format — reference `src/pipeline/temp.py:11-27`
+  * dumps the full table to CSV with a header row), and JSON lines.
+  *
+  * Readers take an explicit schema where the format can't carry one
+  * (CSV/JSON): schema inference requires an extra full pass over the
+  * data, which is unacceptable at 100 TB and non-deterministic under
+  * sampling. Parquet needs no schema (self-describing) and is the only
+  * format that serves predicate pushdown + column pruning at the scan.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with a header row. The header is used for column ORDER only;
+    * types come from the caller's schema (never inferred — see above).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON lines (one object per line — splittable, so a 100 TB input
+    * still parallelizes by file block).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  private def writer(df: DataFrame, partitionBy: Seq[String]): DataFrameWriter[Row] = {
+    val w = df.write.mode("overwrite")
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+
+  /** Parquet sink; `partitionBy` produces hive-style directory
+    * partitioning so downstream scans get partition pruning.
+    */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil): Unit =
+    writer(df, partitionBy).parquet(path)
+
+  /** CSV-with-headers sink (the reference's export shape). */
+  def writeCsv(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit =
+    writer(df, partitionBy).option("header", "true").csv(path)
+
+  /** JSON-lines sink. */
+  def writeJsonl(df: DataFrame, path: String,
+                 partitionBy: Seq[String] = Nil): Unit =
+    writer(df, partitionBy).json(path)
+}
