@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{NgramHashesExpr, ShingleHashesExpr, VectorDotExpr}
+
+/** Registers graft's native Catalyst expressions through the public
+  * SparkSessionExtensions hook:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * after which `call_function("graft_vector_dot", a, b)` (and the SQL
+  * form `graft_vector_dot(a, b)`) resolves anywhere in the session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_vector_dot"),
+      info("graft_vector_dot",
+        "graft_vector_dot(a, b) - dot product of two float arrays in double"),
+      (children: Seq[Expression]) => VectorDotExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(s, k) - distinct xxhash64 of char k-shingles"),
+      (children: Seq[Expression]) => ShingleHashesExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"),
+      info("graft_ngram_hashes",
+        "graft_ngram_hashes(toks, n) - distinct xxhash64 of word n-grams"),
+      (children: Seq[Expression]) => NgramHashesExpr(children(0), children(1))))
+  }
+}

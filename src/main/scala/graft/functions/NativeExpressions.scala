@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two kernels that dominate the
+  * dedup/similarity workloads. Both come with `doGenCode`, so they run
+  * inside whole-stage codegen with zero per-element boxing — measured
+  * well ahead of the equivalent higher-order-function compositions,
+  * which allocate an intermediate array per evaluation.
+  *
+  * Registered through [[graft.GraftExtensions]] (SparkSessionExtensions
+  * → injectFunction), the documented public extension point.
+  */
+object NativeKernels {
+
+  /** xxhash64 seed used by Spark's `xxhash64(...)` function — shared so
+    * native hashes are interchangeable with expression-built ones.
+    */
+  val Seed = 42L
+
+  /** Dot product of two float arrays in double precision, accumulating
+    * left-to-right (bit-identical to the zip_with/aggregate fold).
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  /** Distinct xxhash64 values of the character k-shingles of `s`,
+    * hashing the UTF-8 bytes in place — no shingle strings, no char
+    * array. Byte-windowing equals char-windowing for ASCII input,
+    * which normalized text (`text.normalize`) guarantees.
+    */
+  def shingleHashes(s: UTF8String, k: Int): UnsafeArrayData = {
+    val bytes = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    distinctOf(n - k + 1, i => XXH64.hashUnsafeBytes(bytes, offset + i, k, Seed))
+  }
+
+  /** Distinct xxhash64 values of the space-joined word n-grams of
+    * `toks`. Hashes exactly the bytes of the joined gram string, so the
+    * output set equals `xxhash64(concat_ws(" ", slice(toks,i,n)))` over
+    * all i — gram-string identity semantics without building strings.
+    */
+  def ngramHashes(toks: ArrayData, n: Int): UnsafeArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    var scratch = new Array[Byte](64)
+    distinctOf(cnt - n + 1, { i =>
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        val tl = t.numBytes()
+        if (len + tl + 1 > scratch.length) {
+          scratch = java.util.Arrays.copyOf(scratch, math.max(scratch.length * 2, len + tl + 1))
+        }
+        if (j > 0) { scratch(len) = ' '.toByte; len += 1 }
+        t.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += tl
+        j += 1
+      }
+      XXH64.hashUnsafeBytes(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+    })
+  }
+
+  /** First-seen-order distinct of `count` generated longs via open
+    * addressing (no boxing; Long.MinValue is the empty-slot sentinel,
+    * remapped if it ever occurs as a value).
+    */
+  private def distinctOf(count: Int, gen: Int => Long): UnsafeArrayData = {
+    var cap = Integer.highestOneBit(math.max(4, count * 2) - 1) << 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, Long.MinValue)
+    val out = new Array[Long](count)
+    var outN = 0
+    var i = 0
+    while (i < count) {
+      val raw = gen(i)
+      val v = if (raw == Long.MinValue) Long.MaxValue else raw
+      var slot = (java.lang.Long.hashCode(v) & (cap - 1))
+      var seen = false
+      while (!seen && table(slot) != Long.MinValue) {
+        if (table(slot) == v) seen = true else slot = (slot + 1) & (cap - 1)
+      }
+      if (!seen) {
+        table(slot) = v
+        out(outN) = v
+        outN += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/** `graft_vector_dot(array<float>, array<float>) -> double` */
+case class VectorDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_shingle_hashes(string, k) -> array<bigint>` (k foldable) */
+case class ShingleHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(s: Any, k: Any): Any =
+    NativeKernels.shingleHashes(s.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k) =>
+      s"${ev.value} = graft.functions.NativeKernels.shingleHashes($s, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_ngram_hashes(array<string>, n) -> array<bigint>` (n foldable) */
+case class NgramHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    NativeKernels.ngramHashes(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, n) =>
+      s"${ev.value} = graft.functions.NativeKernels.ngramHashes($toks, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramHashesExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -38,9 +38,13 @@ object Dedup {
     // scaladoc). One string-hash pass per shingle; signatures and the
     // exact verify both work on the resulting longs (set-isomorphic
     // to the shingle sets modulo 64-bit collisions).
+    val shingles =
+      if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
+        call_function("graft_shingle_hashes", col("norm"), lit(shingleK))
+      else hashing.charShingleHashes(col("norm"), shingleK)
     val hashed = docs
       .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
-      .select(col("id"), hashing.charShingleHashes(col("norm"), shingleK).as("hs"))
+      .select(col("id"), shingles.as("hs"))
     // Signature via explode + hash-aggregate: numPerm codegen'd
     // min(xxhash64(seed, h)) columns over (id, shingle-hash) rows.
     // This stays in whole-stage codegen with map-side partial mins —
@@ -129,11 +133,20 @@ object Dedup {
     // are hashed to longs once per doc (set-isomorphic, so the Jaccard
     // value is unchanged); the pairwise intersect then runs on longs
     // and the shuffle carries 8-byte elements, not strings.
-    val prepared = docs
-      .select(col(idCol).as("id"), blockCol.as("block"),
-        text.tokens(text.normalize(col(textCol))).as("toks"))
-      .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
-      .select(col("id"), col("block"), hashing.elementHashes(col("g")).as("grams"))
+    // The native kernel hashes exactly the bytes of each space-joined
+    // gram with the xxhash64 seed, so its output set is identical to
+    // the expression fallback's.
+    val prepared =
+      if (docs.sparkSession.catalog.functionExists("graft_ngram_hashes"))
+        docs.select(col(idCol).as("id"), blockCol.as("block"),
+            text.tokens(text.normalize(col(textCol))).as("toks"))
+          .select(col("id"), col("block"),
+            call_function("graft_ngram_hashes", col("toks"), lit(n)).as("grams"))
+      else docs
+        .select(col(idCol).as("id"), blockCol.as("block"),
+          text.tokens(text.normalize(col(textCol))).as("toks"))
+        .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
+        .select(col("id"), col("block"), hashing.elementHashes(col("g")).as("grams"))
     // Lossless size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     // so pairs whose gram counts differ by more than 1/threshold can
     // never pass — prune them before the O(|A|+|B|) intersect.
@@ -159,16 +172,21 @@ object Dedup {
     import graft.functions.vectors
     // Norms are computed once per row before the pair join — the
     // per-pair work is then a single dot product (not dot + 2 norms).
-    // (An unrolled fixed-dim element_at dot was tried and measured 3x
-    // SLOWER than the zip_with/aggregate HOF — the wide expression
-    // falls out of whole-stage codegen; keep the HOF form.)
+    // The native codegen'd kernel accumulates in the same order as the
+    // zip_with/aggregate fallback, so results are bit-identical. (An
+    // unrolled fixed-dim element_at dot was also tried and measured 3x
+    // SLOWER than the HOF — wide expressions fall out of codegen.)
+    val dotOf: (Column, Column) => Column =
+      if (embs.sparkSession.catalog.functionExists("graft_vector_dot"))
+        (a, b) => call_function("graft_vector_dot", a, b)
+      else vectors.dot
     val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      col(blockCol).as("block"), vectors.norm(col(vecCol)).as("nrm"))
+      col(blockCol).as("block"), sqrt(dotOf(col(vecCol), col(vecCol))).as("nrm"))
     val nn = col("a.nrm") * col("b.nrm")
     prepared.as("a").join(prepared.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .withColumn("cosine",
-        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("a.v"), col("b.v")) / nn))
+        when(nn === 0.0, 0.0).otherwise(dotOf(col("a.v"), col("b.v")) / nn))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cosine"), 4).as("cosine"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.vectors
@@ -15,21 +15,30 @@ import graft.functions.vectors
   */
 object Similarity {
 
+  /** Native codegen'd dot kernel when the session has GraftExtensions;
+    * HOF fallback otherwise. Same accumulation order — bit-identical.
+    */
+  private def dotOf(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists("graft_vector_dot"))
+      (a, b) => call_function("graft_vector_dot", a, b)
+    else vectors.dot
+
   /** Exact top-k cosine neighbors for each probe row.
     * Probes must be small enough to broadcast (they are, by contract:
     * a query workload, not the corpus).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val dot = dotOf(corpus)
     // Norms computed once per probe / corpus row, not once per pair.
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      vectors.norm(col(vecCol)).as("qn"))
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      vectors.norm(col(vecCol)).as("cn"))
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
     val nn = col("qn") * col("cn")
     val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("qv"), col("cv")) / nn))
+        when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -55,10 +64,11 @@ object Similarity {
               numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val bitsPerBand = numPlanes / bands
+    val dot = dotOf(corpus)
     def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
       val sig = vectors.hyperplaneSig(col(vec), planes)
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-          vectors.norm(col(vecCol)).as(s"${vec}_n"))
+          sqrt(dot(col(vecCol), col(vecCol))).as(s"${vec}_n"))
         .withColumn("sig", sig)
         .withColumn("band", explode(array((0 until bands).map { b =>
           struct(lit(b).as("b"),
@@ -73,7 +83,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
-        when(nn === 0.0, 0.0).otherwise(vectors.dot(col("qv"), col("cv")) / nn))
+        when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
