@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NgramHashesExpr, ShingleHashesExpr, VectorDotExpr}
+import graft.functions.{NgramHashesExpr, ShingleHashesExpr, SortedIntersectSizeExpr, VectorDotExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingle_hashes",
         "graft_shingle_hashes(s, k) - distinct xxhash64 of char k-shingles"),
       (children: Seq[Expression]) => ShingleHashesExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_size"),
+      info("graft_sorted_intersect_size",
+        "graft_sorted_intersect_size(a, b) - |a intersect b| for sorted long arrays"),
+      (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"),
       info("graft_ngram_hashes",
         "graft_ngram_hashes(toks, n) - distinct xxhash64 of word n-grams"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two kernels that dominate the
@@ -77,6 +77,26 @@ object NativeKernels {
     })
   }
 
+  /** Intersection cardinality of two sorted long arrays (two-pointer
+    * merge; assumes ascending order, duplicates absent — both are
+    * guaranteed by the distinct-hash producers + array_sort).
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   /** First-seen-order distinct of `count` generated longs via open
     * addressing (no boxing; Long.MinValue is the empty-slot sentinel,
     * remapped if it ever occurs as a value).
@@ -105,6 +125,31 @@ object NativeKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
   }
+}
+
+/** `graft_sorted_intersect_size(array<bigint>, array<bigint>) -> int`
+  *
+  * Intersection cardinality of two SORTED long arrays by two-pointer
+  * merge — O(n+m), zero allocation. `array_intersect` builds a hash
+  * set per invocation, which dominates pairwise verify joins where the
+  * same arrays are intersected against many partners.
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sortedIntersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_vector_dot(array<float>, array<float>) -> double` */

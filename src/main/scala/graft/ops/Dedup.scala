@@ -42,9 +42,11 @@ object Dedup {
       if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
         call_function("graft_shingle_hashes", col("norm"), lit(shingleK))
       else hashing.charShingleHashes(col("norm"), shingleK)
+    // Hash arrays are sorted once per doc so the pairwise verify can
+    // use the allocation-free two-pointer intersect kernel.
     val hashed = docs
       .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
-      .select(col("id"), shingles.as("hs"))
+      .select(col("id"), array_sort(shingles).as("hs"))
     // Signature via explode + hash-aggregate: numPerm codegen'd
     // min(xxhash64(seed, h)) columns over (id, shingle-hash) rows.
     // This stays in whole-stage codegen with map-side partial mins —
@@ -83,7 +85,7 @@ object Dedup {
       .join(broadcast(hashed).as("h2"), col("id2") === col("h2.id"))
       .select(col("id1"), col("id2"),
         col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("inter", Dedup.intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
       .withColumn("jaccard", round(
         when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
           .otherwise(col("inter") /
@@ -91,6 +93,15 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
   }
+
+  /** Intersection size of two sorted hash arrays: native two-pointer
+    * kernel when the session has GraftExtensions, array_intersect
+    * otherwise (same value either way — sets are unchanged by order).
+    */
+  private def intersectSize(docs: DataFrame, a: Column, b: Column): Column =
+    if (docs.sparkSession.catalog.functionExists("graft_sorted_intersect_size"))
+      call_function("graft_sorted_intersect_size", a, b)
+    else size(array_intersect(a, b))
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc, candidates
     * from 16-bit band collisions (any doc pair within hamming<=3 of
@@ -141,12 +152,12 @@ object Dedup {
         docs.select(col(idCol).as("id"), blockCol.as("block"),
             text.tokens(text.normalize(col(textCol))).as("toks"))
           .select(col("id"), col("block"),
-            call_function("graft_ngram_hashes", col("toks"), lit(n)).as("grams"))
+            array_sort(call_function("graft_ngram_hashes", col("toks"), lit(n))).as("grams"))
       else docs
         .select(col(idCol).as("id"), blockCol.as("block"),
           text.tokens(text.normalize(col(textCol))).as("toks"))
         .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
-        .select(col("id"), col("block"), hashing.elementHashes(col("g")).as("grams"))
+        .select(col("id"), col("block"), array_sort(hashing.elementHashes(col("g"))).as("grams"))
     // Lossless size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     // so pairs whose gram counts differ by more than 1/threshold can
     // never pass — prune them before the O(|A|+|B|) intersect.
@@ -157,7 +168,7 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.grams").as("g1"), col("b.grams").as("g2"))
       .filter(sizeOk)
-      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("double"))
+      .withColumn("inter", Dedup.intersectSize(docs, col("g1"), col("g2")).cast("double"))
     val union = size(col("g1")).cast("double") + size(col("g2")).cast("double") - col("inter")
     pairs.withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
       .filter(col("jaccard") >= threshold)
