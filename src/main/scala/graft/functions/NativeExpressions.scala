@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -75,6 +75,32 @@ object NativeKernels {
       }
       XXH64.hashUnsafeBytes(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
     })
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: per-bit +1/-1 votes from
+    * each hash's bits, fingerprint bit set where votes are positive.
+    * One compiled O(64·n) loop — no per-token array allocation.
+    */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp += (1L << b)
+      b += 1
+    }
+    fp
   }
 
   /** Intersection cardinality of two sorted long arrays (two-pointer
@@ -217,4 +243,19 @@ case class NgramHashesExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NgramHashesExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_simhash64(array<bigint>) -> bigint` */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(hs: Any): Any =
+    NativeKernels.simhash64(hs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, hs => s"graft.functions.NativeKernels.simhash64($hs)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
+    copy(child = newChild)
 }

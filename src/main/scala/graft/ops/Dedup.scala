@@ -110,13 +110,19 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // Staged so the 64 per-bit probes in votesToSimhash read a
-    // materialized votes column instead of re-running the aggregate.
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
-      .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
-      .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
+    // Native compiled vote loop when available; otherwise staged so
+    // the 64 per-bit probes in votesToSimhash read a materialized
+    // votes column instead of re-running the aggregate.
+    val sigs =
+      if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
+        docs.select(col(idCol).as("id"),
+            hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+          .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
+      else docs
+        .select(col(idCol).as("id"),
+          hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+        .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
+        .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
     val banded = sigs.withColumn("band",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"), shiftrightunsigned(col("simhash"), b * 16)

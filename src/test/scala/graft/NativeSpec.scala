@@ -32,6 +32,28 @@ class NativeSpec extends AnyFunSuite {
     assert(got == Seq(3, 1, 0, 0))
   }
 
+  test("graft_simhash64 equals the expression-built simhash") {
+    val docs = tables.Tables(spark, sfDir).documents.limit(20)
+      .select(hashing.elementHashes(text.tokens(text.normalize(col("text")))).as("th"))
+    val both = docs
+      .withColumn("votes", hashing.simhashVotesFromHashes(col("th")))
+      .select(
+        call_function("graft_simhash64", col("th")).as("native"),
+        hashing.votesToSimhash(col("votes")).as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+  }
+
+  test("graft_sorted_intersect_size equals array_intersect size") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 8L), Seq(4L, 8L))).toDF("a", "b")
+    val both = df.select(
+      call_function("graft_sorted_intersect_size", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+  }
+
   test("graft_ngram_hashes equals xxhash64 of the joined gram strings") {
     val docs = tables.Tables(spark, sfDir).documents.limit(20)
       .select(text.tokens(text.normalize(col("text"))).as("toks"))
