@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, VectorDotExpr}
+import graft.functions.{MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, VectorDotExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |a intersect b| for sorted long arrays"),
       (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, p) - p-permutation MinHash signature"),
+      (children: Seq[Expression]) => MinhashExpr(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64",
         "graft_simhash64(hashes) - 64-bit SimHash over pre-hashed tokens"),

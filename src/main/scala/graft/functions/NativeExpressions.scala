@@ -77,6 +77,29 @@ object NativeKernels {
     })
   }
 
+  /** MinHash signature over pre-hashed elements: sig[p] = min over h
+    * of xxh64(h, seed=p). One compiled O(n·numPerm) loop per doc — no
+    * explode, no aggregate machinery, no shuffle. Empty input → all
+    * Long.MaxValue sentinels.
+    */
+  def minhash(hashes: ArrayData, numPerm: Int): UnsafeArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val v = XXH64.hashLong(h, p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: per-bit +1/-1 votes from
     * each hash's bits, fingerprint bit set where votes are positive.
     * One compiled O(64·n) loop — no per-token array allocation.
@@ -258,4 +281,22 @@ case class Simhash64Expr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
     copy(child = newChild)
+}
+
+/** `graft_minhash(array<bigint>, numPerm) -> array<bigint>` */
+case class MinhashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(hs: Any, p: Any): Any =
+    NativeKernels.minhash(hs.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, p) =>
+      s"${ev.value} = graft.functions.NativeKernels.minhash($hs, $p);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashExpr =
+    copy(left = newLeft, right = newRight)
 }

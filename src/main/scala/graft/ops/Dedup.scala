@@ -47,27 +47,35 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
       .select(col("id"), array_sort(shingles).as("hs"))
-    // Signature via explode + hash-aggregate: numPerm codegen'd
-    // min(xxhash64(seed, h)) columns over (id, shingle-hash) rows.
-    // This stays in whole-stage codegen with map-side partial mins —
-    // unlike a numPerm-wide higher-order-function signature, which
-    // allocates a fresh array per permutation per row. Docs with no
-    // shingles drop out here; they could only ever pair at jaccard 0,
-    // below any positive threshold, so the result is unchanged.
-    val sigCols = count(lit(1)).as("n") +: (0 until numPerm).map { seed =>
-      min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
-    }
-    val sigs = hashed.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-    // Band key = one hash over its rowsPerBand signature slots. Only
-    // (band, id, setsize) goes through the explode/shuffle — never
-    // the shingle arrays (a bands-fold blowup of the payload at scale).
-    val bandKeyCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-        col(s"m${b * rowsPerBand + r}"))): _*)
-    }
-    val banded = sigs.select(col("id"), col("n"),
-      explode(array(bandKeyCols: _*)).as("band"))
+    // Signature per doc. Native path: one compiled O(shingles·perms)
+    // pass, pure map stage, no shuffle. Fallback: explode +
+    // hash-aggregate with numPerm codegen'd min(xxhash64(seed, h))
+    // columns (map-side partial mins; one shuffle on id). Docs with
+    // no shingles are dropped: they could only ever pair at jaccard
+    // 0, below any positive threshold, so the result is unchanged.
+    // Band key = one hash over rowsPerBand signature slots; only
+    // (band, id, setsize) goes through the band explode/shuffle —
+    // never the shingle arrays.
+    val banded =
+      if (docs.sparkSession.catalog.functionExists("graft_minhash")) {
+        val sigs = hashed.filter(size(col("hs")) > 0)
+          .select(col("id"), size(col("hs")).as("n"),
+            call_function("graft_minhash", col("hs"), lit(numPerm)).as("sig"))
+        sigs.select(col("id"), col("n"),
+          explode(hashing.bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      } else {
+        val sigCols = count(lit(1)).as("n") +: (0 until numPerm).map { seed =>
+          min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
+        }
+        val sigs = hashed.select(col("id"), explode(col("hs")).as("h"))
+          .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+        val bandKeyCols = (0 until bands).map { b =>
+          xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+            col(s"m${b * rowsPerBand + r}"))): _*)
+        }
+        sigs.select(col("id"), col("n"),
+          explode(array(bandKeyCols: _*)).as("band"))
+      }
     // Lossless prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
     // — prunes most low-similarity band collisions before the
     // dedup shuffle and the exact verify.
