@@ -25,6 +25,19 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
 
+  /** Streaming form of the reference's idempotent keyed insert
+    * (`INSERT .. ON CONFLICT DO NOTHING`, reference
+    * `src/db/incidents.py:41-46`): keep the first row per key, with
+    * state bounded by the event-time watermark. Works on batch
+    * DataFrames too (where it degenerates to dropDuplicates).
+    */
+  def dedupKeyed(events: DataFrame, keys: Seq[String], tsCol: String,
+                 watermark: String = "1 hour"): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
   case class Event(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
