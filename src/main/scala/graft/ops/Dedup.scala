@@ -31,7 +31,8 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    numPerm: Int = 128, bands: Int = 32, shingleK: Int = 5,
-                   jaccardThreshold: Double = 0.5): DataFrame = {
+                   jaccardThreshold: Double = 0.5,
+                   persistIntermediate: Boolean = true): DataFrame = {
     val rowsPerBand = numPerm / bands
     // Staged: normalize → shingle → hash, each as its own column, so
     // the per-element lambdas see attributes (see wordNgramsOfTokens
@@ -44,9 +45,18 @@ object Dedup {
       else hashing.charShingleHashes(col("norm"), shingleK)
     // Hash arrays are sorted once per doc so the pairwise verify can
     // use the allocation-free two-pointer intersect kernel.
-    val hashed = docs
+    val hashedPlan = docs
       .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
       .select(col("id"), array_sort(shingles).as("hs"))
+    // The doc→hashes table feeds three subplans (banding + both verify
+    // sides); persisting it trades executor memory/disk for running
+    // the normalize+shingle pass once — the standard call for a
+    // multi-use intermediate on a cluster. Callers that must not pin
+    // storage pass persistIntermediate = false.
+    val hashed =
+      if (persistIntermediate)
+        hashedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashedPlan
     // Signature per doc. Native path: one compiled O(shingles·perms)
     // pass, pure map stage, no shuffle. Fallback: explode +
     // hash-aggregate with numPerm codegen'd min(xxhash64(seed, h))

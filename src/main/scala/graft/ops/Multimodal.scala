@@ -50,6 +50,53 @@ object Multimodal {
     acc
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling: emit every `stride`-th fixed-size frame of each
+    * payload as its own row — the shape a video/audio pipeline needs
+    * before per-frame feature extraction. Pure partition-local explode
+    * (no shuffle); downstream ops parallelize over frames, not files.
+    */
+  def frameSample(df: DataFrame, payloadCol: String, idCol: String,
+                  frameSize: Int = 1024, stride: Int = 2): DataFrame = {
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(1L, (bytes.length + frameSize - 1L) / frameSize)
+        (0L until nFrames by stride).iterator.map { f =>
+          val from = (f * frameSize).toInt
+          val until = math.min(bytes.length, from + frameSize)
+          Row(id, f, java.util.Arrays.copyOfRange(bytes, from, math.max(from, until)))
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB resize: stands in for an image resize/resample codec. The
+    * deterministic fake keeps every `factor`-th byte; a real codec
+    * drops in without touching the Spark-side shape (binary → binary,
+    * partition-local, no shuffle).
+    */
+  def resizeStub(df: DataFrame, payloadCol: String, outCol: String,
+                 factor: Int = 4): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        out
+      }
+    }
+    df.withColumn(outCol, resize(col(payloadCol)))
+  }
+
   /** Batched per-partition feature extraction over binary payloads.
     * One task per input partition; no shuffle; the imperative loop is
     * deliberate (this is the "(d) mapPartitions last resort" case —

@@ -130,6 +130,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(s => s(0) >= s(1)))
   }
 
+  test("frameSample emits strided frames; resizeStub shrinks by factor") {
+    import spark.implicits._
+    val df = Seq((7L, "ab" * 2048)).toDF("doc_id", "text") // 4096 bytes
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val frames = Multimodal.frameSample(df, "payload", "doc_id",
+      frameSize = 1024, stride = 2).collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L)) // frames 0,2 of 4
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 1024))
+    val resized = Multimodal.resizeStub(df, "payload", "small", factor = 4)
+      .select(octet_length(col("small"))).as[Int].head()
+    assert(resized == 1024)
+  }
+
   test("multimodal feature extraction is deterministic and chunk-correct") {
     import spark.implicits._
     val df = Seq((0L, "x" * 2500)).toDF("doc_id", "text")
