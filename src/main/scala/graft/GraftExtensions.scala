@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, VectorDotExpr}
+import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, VectorDotExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |a intersect b| for sorted long arrays"),
       (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig",
+        "graft_hyperplane_sig(vec, planes, dim) - packed sign bits of vec against flattened hyperplanes"),
+      (children: Seq[Expression]) => HyperplaneSigExpr(children(0), children(1), children(2))))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hashes, p) - p-permutation MinHash signature"),

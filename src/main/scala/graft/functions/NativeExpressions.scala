@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -144,6 +144,29 @@ object NativeKernels {
       else j += 1
     }
     cnt
+  }
+
+  /** Random-hyperplane LSH signature: bit p of the result is the sign
+    * of vec · planes[p]. `planes` is the flattened numPlanes×dim
+    * matrix; accumulation order matches the HOF dot, so signatures
+    * agree with vectors.hyperplaneSig bit-for-bit.
+    */
+  def hyperplaneSig(vec: ArrayData, planes: ArrayData, dim: Int): Long = {
+    val numPlanes = planes.numElements() / dim
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val base = p * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += vec.getFloat(i).toDouble * planes.getDouble(base + i)
+        i += 1
+      }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 
   /** First-seen-order distinct of `count` generated longs via open
@@ -299,4 +322,23 @@ case class MinhashExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinhashExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_hyperplane_sig(array<float>, array<double>, dim) -> bigint` */
+case class HyperplaneSigExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override protected def nullSafeEval(vec: Any, planes: Any, dim: Any): Any =
+    NativeKernels.hyperplaneSig(vec.asInstanceOf[ArrayData],
+      planes.asInstanceOf[ArrayData], dim.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, pl, d) =>
+      s"${ev.value} = graft.functions.NativeKernels.hyperplaneSig($v, $pl, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HyperplaneSigExpr =
+    copy(first = f, second = s, third = t)
 }

@@ -65,8 +65,13 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val bitsPerBand = numPlanes / bands
     val dot = dotOf(corpus)
+    val sigOf: Column => Column =
+      if (corpus.sparkSession.catalog.functionExists("graft_hyperplane_sig"))
+        v => call_function("graft_hyperplane_sig",
+          v, lit(planes.flatten.toArray), lit(dim))
+      else v => vectors.hyperplaneSig(v, planes)
     def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = vectors.hyperplaneSig(col(vec), planes)
+      val sig = sigOf(col(vec))
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           sqrt(dot(col(vecCol), col(vecCol))).as(s"${vec}_n"))
         .withColumn("sig", sig)
