@@ -270,6 +270,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t6_token_bpe" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      d.select(col("doc_id"), text.bpeTokenCount(col("text")).as("n_bpe"),
+          text.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -545,6 +552,12 @@ object SparkEntry {
                  WHEN fr = greatest(en, es, fr, de) THEN 'fr'
                  ELSE 'de' END AS lang_pred
           FROM hits ORDER BY doc_id""",
+
+    "t6_token_bpe" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+          CAST(len(${toksSql("text")}) AS BIGINT) AS n_ws
+          FROM documents ORDER BY doc_id""",
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -85,6 +85,17 @@ object text {
       .otherwise(lit("de"))
   }
 
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * single non-alphanumeric marks — the coarse split GPT-family
+    * tokenizers apply before byte-pair merging. Counting these is the
+    * standard cheap proxy for model token counts at corpus scale.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Count of BPE-ish pre-tokens ('' → 0). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0))).cast("long")
+
   /** Content fingerprint: md5 of the normalized text. The reference
     * keys idempotency on `incident_num` (`src/db/incidents.py:43`);
     * for documents the content hash IS the key.

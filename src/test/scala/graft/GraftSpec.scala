@@ -39,6 +39,13 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach { case (g, w) => assert(g == w) }
   }
 
+  test("bpeTokenCount splits letter runs, digit runs, punct marks") {
+    val got = Seq(("hello, world42!", 5L), ("", 0L), ("a.b", 3L))
+      .toDF("t", "want")
+      .select(text.bpeTokenCount($"t").as("got"), $"want").as[(Long, Long)].collect()
+    got.foreach { case (g, w) => assert(g == w) }
+  }
+
   test("compass8 maps cardinal bearings correctly") {
     val cases = Seq((0.0, "N"), (45.0, "NE"), (90.0, "E"), (135.0, "SE"),
       (180.0, "S"), (225.0, "SW"), (270.0, "W"), (315.0, "NW"), (359.9, "N"))
