@@ -245,6 +245,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfTopK(emb, probes, "embedding", "vec_id", 5,
+        numCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ----- text analysis -----
     "t1_lang_profile" -> ((s, dir) => {
       TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")

@@ -47,6 +47,56 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF-style bucketed ANN. The "inverted file": every corpus vector
+    * is assigned to its nearest centroid; a probe searches only the
+    * `nProbe` nearest centroid buckets — an equi-join on centroid id,
+    * never a full cross product. Centroids are a deterministic sample
+    * of the corpus (IVF training is an offline step; a k-means refiner
+    * can replace the sample without touching the query path). With
+    * nProbe = numCentroids the result equals bruteForceTopK exactly.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+              idCol: String, k: Int, numCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val dot = dotOf(corpus)
+    // tiny deterministic centroid table → driver (numCentroids rows)
+    val cents: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(numCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    // score against centroid c is dot/|c| (the probe's own norm is a
+    // common positive factor — argmax unchanged); ties break on the
+    // lower centroid index for determinism.
+    def scores(vec: Column): Seq[Column] = cents.indices.map { ci =>
+      struct((dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
+        lit(-ci).as("negi"))
+    }
+    def nearestCentroid(vec: Column): Column =
+      -greatest(scores(vec): _*).getField("negi")
+    def nearestCentroids(vec: Column, n: Int): Column =
+      transform(slice(reverse(array_sort(array(scores(vec): _*))), 1, n),
+        s => -s.getField("negi"))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
+      nearestCentroid(col(vecCol)).as("cent"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+        explode(nearestCentroids(col(vecCol), nProbe)).as("cent"))
+    val nn = col("qn") * col("cn")
+    val cands = c.join(broadcast(p), Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), shared by all
     * executors via the closure — reproducible across runs.
     */

@@ -137,6 +137,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(s => s(0) >= s(1)))
   }
 
+  test("ivfTopK with nProbe = numCentroids equals brute force exactly") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivf = Similarity.ivfTopK(emb, probes, "embedding", "vec_id", 5,
+        numCentroids = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("frameSample emits strided frames; resizeStub shrinks by factor") {
     import spark.implicits._
     val df = Seq((7L, "ab" * 2048)).toDF("doc_id", "text") // 4096 bytes
