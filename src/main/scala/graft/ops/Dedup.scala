@@ -162,7 +162,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3,
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4,
+                        persistIntermediate: Boolean = true): DataFrame = {
     // Staged normalize → tokens → grams → hashes (per-element lambdas
     // must see attributes — see wordNgramsOfTokens scaladoc). Grams
     // are hashed to longs once per doc (set-isomorphic, so the Jaccard
@@ -182,19 +183,34 @@ object Dedup {
           text.tokens(text.normalize(col(textCol))).as("toks"))
         .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
         .select(col("id"), col("block"), array_sort(hashing.elementHashes(col("g"))).as("grams"))
-    // Lossless size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    // so pairs whose gram counts differ by more than 1/threshold can
-    // never pass — prune them before the O(|A|+|B|) intersect.
-    val sizeOk = least(size(col("g1")), size(col("g2"))).cast("double") >=
-      greatest(size(col("g1")), size(col("g2"))).cast("double") * threshold
-    val pairs = prepared.as("a").join(prepared.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.grams").as("g1"), col("b.grams").as("g2"))
-      .filter(sizeOk)
-      .withColumn("inter", Dedup.intersectSize(docs, col("g1"), col("g2")).cast("double"))
-    val union = size(col("g1")).cast("double") + size(col("g2")).cast("double") - col("inter")
-    pairs.withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
+    // prepared feeds three subplans (candidate join sides + the verify
+    // broadcast) — persist unless the caller must not pin storage.
+    val grams =
+      if (persistIntermediate)
+        prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prepared
+    // Candidates form on a slim (id, block, gramcount) projection with
+    // the lossless size prefilter in the join condition — J(A,B) <=
+    // min(|A|,|B|)/max(|A|,|B|), so pairs whose gram counts differ by
+    // more than 1/threshold can never pass. The gram arrays only
+    // travel in the verify broadcast, never through the pair join.
+    val slim = grams.select(col("id"), col("block"), size(col("grams")).as("n"))
+    val candidates = slim.as("a").join(slim.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")).cast("double") * threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val verified = candidates
+      .join(broadcast(grams.select(col("id"), col("grams"))).as("h1"),
+        col("id1") === col("h1.id"))
+      .join(broadcast(grams.select(col("id"), col("grams"))).as("h2"),
+        col("id2") === col("h2.id"))
+      .withColumn("inter",
+        Dedup.intersectSize(docs, col("h1.grams"), col("h2.grams")).cast("double"))
+    val union = size(col("h1.grams")).cast("double") +
+      size(col("h2.grams")).cast("double") - col("inter")
+    verified
+      .withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
