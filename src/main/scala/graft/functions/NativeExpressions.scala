@@ -174,7 +174,11 @@ object NativeKernels {
     * remapped if it ever occurs as a value).
     */
   private def distinctOf(count: Int, gen: Int => Long): UnsafeArrayData = {
-    var cap = Integer.highestOneBit(math.max(4, count * 2) - 1) << 1
+    // long math: count*2 overflows Int for ~1GB documents, which would
+    // undersize the table and turn the probe loop into a hang
+    require(count <= (1 << 29),
+      s"$count elements exceed the shingle/gram limit (1<<29) for one document")
+    var cap = (java.lang.Long.highestOneBit(math.max(4L, count.toLong * 2L) - 1L) << 1).toInt
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, Long.MinValue)
     val out = new Array[Long](count)
