@@ -185,6 +185,11 @@ object SparkEntry {
 
     "q15_market_share" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // NOTE: a per-order pre-aggregation (as in q14) would shrink the
+      // fact side 4x before this join, but changing the summation
+      // grouping shifts the double total across a 2dp rounding
+      // boundary vs the oracle — the direct form is kept for exact
+      // parity; the dims still broadcast and the agg is partial.
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))

@@ -40,7 +40,7 @@ object Dedup {
     // exact verify both work on the resulting longs (set-isomorphic
     // to the shingle sets modulo 64-bit collisions).
     val shingles =
-      if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
+      if (Native.enabled(docs, "graft_shingle_hashes"))
         call_function("graft_shingle_hashes", col("norm"), lit(shingleK))
       else hashing.charShingleHashes(col("norm"), shingleK)
     // Hash arrays are sorted once per doc so the pairwise verify can
@@ -67,7 +67,7 @@ object Dedup {
     // (band, id, setsize) goes through the band explode/shuffle —
     // never the shingle arrays.
     val banded =
-      if (docs.sparkSession.catalog.functionExists("graft_minhash")) {
+      if (Native.enabled(docs, "graft_minhash")) {
         val sigs = hashed.filter(size(col("hs")) > 0)
           .select(col("id"), size(col("hs")).as("n"),
             call_function("graft_minhash", col("hs"), lit(numPerm)).as("sig"))
@@ -117,7 +117,7 @@ object Dedup {
     * otherwise (same value either way — sets are unchanged by order).
     */
   private def intersectSize(docs: DataFrame, a: Column, b: Column): Column =
-    if (docs.sparkSession.catalog.functionExists("graft_sorted_intersect_size"))
+    if (Native.enabled(docs, "graft_sorted_intersect_size"))
       call_function("graft_sorted_intersect_size", a, b)
     else size(array_intersect(a, b))
 
@@ -132,7 +132,7 @@ object Dedup {
     // the 64 per-bit probes in votesToSimhash read a materialized
     // votes column instead of re-running the aggregate.
     val sigs =
-      if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
+      if (Native.enabled(docs, "graft_simhash64"))
         docs.select(col(idCol).as("id"),
             hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
           .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
@@ -173,7 +173,7 @@ object Dedup {
     // gram with the xxhash64 seed, so its output set is identical to
     // the expression fallback's.
     val prepared =
-      if (docs.sparkSession.catalog.functionExists("graft_ngram_hashes"))
+      if (Native.enabled(docs, "graft_ngram_hashes"))
         docs.select(col(idCol).as("id"), blockCol.as("block"),
             text.tokens(text.normalize(col(textCol))).as("toks"))
           .select(col("id"), col("block"),
@@ -228,7 +228,7 @@ object Dedup {
     // unrolled fixed-dim element_at dot was also tried and measured 3x
     // SLOWER than the HOF — wide expressions fall out of codegen.)
     val dotOf: (Column, Column) => Column =
-      if (embs.sparkSession.catalog.functionExists("graft_vector_dot"))
+      if (Native.enabled(embs, "graft_vector_dot"))
         (a, b) => call_function("graft_vector_dot", a, b)
       else vectors.dot
     val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -19,7 +19,7 @@ object Similarity {
     * HOF fallback otherwise. Same accumulation order — bit-identical.
     */
   private def dotOf(df: DataFrame): (Column, Column) => Column =
-    if (df.sparkSession.catalog.functionExists("graft_vector_dot"))
+    if (Native.enabled(df, "graft_vector_dot"))
       (a, b) => call_function("graft_vector_dot", a, b)
     else vectors.dot
 
@@ -116,7 +116,7 @@ object Similarity {
     val bitsPerBand = numPlanes / bands
     val dot = dotOf(corpus)
     val sigOf: Column => Column =
-      if (corpus.sparkSession.catalog.functionExists("graft_hyperplane_sig"))
+      if (Native.enabled(corpus, "graft_hyperplane_sig"))
         v => call_function("graft_hyperplane_sig",
           v, lit(planes.flatten.toArray), lit(dim))
       else v => vectors.hyperplaneSig(v, planes)
