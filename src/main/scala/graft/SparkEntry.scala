@@ -26,11 +26,21 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val t = Tables(spark, "/root/testdata/sf0.001")
-    val derived = Enrich.deriveTime(t.events, col("ts"), col("event_type"), "error")
+    // the reference pipeline end-to-end: idempotent insert → time
+    // derivations → frequency rank → flag propagation → geo enrichment
+    val deduped = Enrich.dedupKeepFirst(
+      t.events.withColumn("ts_ms", unix_millis(col("ts"))),
+      keys = Seq("event_id"), orderBy = Seq("ts_ms"))
+    val derived = Enrich.deriveTime(deduped, col("ts"), col("event_type"), "error")
     val ranked = Enrich.withFrequencyRank(derived, "event_type", "type_rank")
-    Enrich.propagateFlag(
+    val flagged = Enrich.propagateFlag(
       ranked.withColumn("minute_bucket", date_trunc("minute", col("ts"))),
       Seq("minute_bucket", "user_id"), "flag")
+    Enrich.withSideOfTown(
+      flagged
+        .withColumn("lat", lit(geo.TownCenterLat) + (col("user_id") % 10).cast("double") * 0.01)
+        .withColumn("lon", lit(geo.TownCenterLon) + (col("user_id") % 7).cast("double") * 0.01),
+      col("lat"), col("lon"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
