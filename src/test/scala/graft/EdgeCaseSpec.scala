@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** Degenerate inputs — null, empty, and shorter-than-shingle texts —
+  * must flow through every dedup operator without errors and without
+  * fabricating pairs, while real duplicates are still found.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  // Long text with DISTINCT tokens: simhash's one-token sensitivity
+  // degrades on few-distinct-token text (zero-vote bits flip), which
+  // is a property of the algorithm, not of this implementation.
+  private val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base + " tail"),
+    (3L, null.asInstanceOf[String]),
+    (4L, ""),
+    (5L, "ab"),                       // shorter than shingle k
+    (6L, "completely different text entirely about other things")
+  ).toDF("doc_id", "text").withColumn("block", lit("b"))
+
+  test("minhashPairs tolerates null/empty/short docs and finds the dup") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        numPerm = 64, bands = 16, persistIntermediate = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => Set(1L, 2L)(a) && Set(1L, 2L)(b) })
+  }
+
+  test("simhashPairs tolerates null/empty/short docs and finds the dup") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngramJaccardPairs tolerates null/empty/short docs and finds the dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", col("block"),
+        persistIntermediate = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => Set(1L, 2L)(a) && Set(1L, 2L)(b) })
+  }
+
+  test("exactGroups keeps null and empty apart from real content") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    // null text → null fingerprint row is allowed but must not merge
+    // with the empty-string group
+    val counts = groups.select("n_dups").as[Long].collect()
+    assert(counts.forall(_ >= 1))
+    assert(groups.count() >= 4)
+  }
+}
