@@ -37,10 +37,15 @@ object Bench {
       graft.ops.Similarity.lshTopK(emb, emb.limit(4), "embedding", "vec_id", 5, 64).count()
       docs.unpersist(); emb.unpersist()
     } catch { case _: Throwable => }
+    // Two timed runs per query, min reported: steady-state latency,
+    // robust to one-off GC/compilation hiccups.
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
