@@ -86,8 +86,16 @@ object SparkEntry {
 
     "q5_composite_enrich" -> ((s, dir) => {
       val e = Tables(s, dir).events
+      // avg via exact decimal sum / non-null count, then an explicit
+      // floor-based round: double summation is order-dependent across
+      // partitions, and engine round() semantics differ exactly on the
+      // .xxxx5 boundaries the exact quotient lands on (Spark rounds
+      // the shortest decimal repr HALF_UP, DuckDB rounds the binary
+      // double). floor(x*1e4 + 0.5)/1e4 is identical double math in
+      // both engines, so results agree bit-for-bit at any scale.
       val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
-        .agg(round(avg("value"), 4).as("hourly_avg"))
+        .agg((floor((sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(col("value"))) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("hourly_avg"))
       e.withColumn("hb", date_trunc("hour", col("ts")))
         .join(hourly, Seq("hb", "event_type"))
         .select(col("event_id"), epochMs(col("hb")).as("hour_ms"), col("hourly_avg"))
@@ -145,10 +153,13 @@ object SparkEntry {
 
     "q11_hourly_rollup" -> ((s, dir) => {
       val e = Tables(s, dir).events
+      // see q5: exact-decimal average + floor-round, deterministic at
+      // any scale (the sum itself is exact at 2dp, no boundary risk)
       e.groupBy(epochMs(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg("value"), 4).as("avg_value"),
-          round(sum("value"), 2).as("sum_value"))
+          (floor((sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(col("value"))) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("avg_value"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
         .orderBy("hour_ms", "event_type")
     }),
 
@@ -369,7 +380,8 @@ object SparkEntry {
     "q5_composite_enrich" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS hb, event_type,
-                  round(avg(value), 4) AS hourly_avg
+                  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(value) * 10000 + 0.5) / 10000 AS hourly_avg
            FROM events GROUP BY 1, 2)
          SELECT e.event_id, epoch_ms(h.hb) AS hour_ms, h.hourly_avg
          FROM events e
@@ -426,7 +438,9 @@ object SparkEntry {
 
     "q11_hourly_rollup" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-         count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+         count(*) AS n,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) * 10000 + 0.5) / 10000 AS avg_value,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
 
     "q12_sessionize" ->
