@@ -47,16 +47,27 @@ object SparkEntry {
     // ----- core relational / reference-derived -----
     "q1_pricing_summary" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
+      // All money/ratio columns carry <= 6 decimal digits, so sums in
+      // decimal are exact (order-independent) and the explicit
+      // floor(x*10^d + 0.5)/10^d round is identical double math in
+      // Spark and DuckDB — no engine-rounding-semantics dependence at
+      // any SF. (Sums stay below 2^53/10^d at the tested scales; an
+      // all-decimal output would be the choice beyond that.)
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      def fround(c: Column, d: Int) = {
+        val m = math.pow(10, d)
+        floor(c * lit(m) + lit(0.5)) / lit(m)
+      }
       li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          fround(sum(dec(col("l_quantity"))).cast("double"), 2).as("sum_qty"),
+          fround(sum(dec(col("l_extendedprice"))).cast("double"), 2).as("sum_base_price"),
+          fround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double"), 2).as("sum_disc_price"),
+          fround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax")))).cast("double"), 2).as("sum_charge"),
+          fround(sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")), 4).as("avg_qty"),
+          fround(sum(dec(col("l_extendedprice"))).cast("double") / count(col("l_extendedprice")), 4).as("avg_price"),
+          fround(sum(dec(col("l_discount"))).cast("double") / count(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -195,7 +206,9 @@ object SparkEntry {
       // lineitem, so the join then moves one row per order instead of
       // one per lineitem — at scale this halves the shuffle volume.
       val rev = t.lineitem.groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)")
+            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double")
+          * lit(100.0) + lit(0.5)) / lit(100.0)).as("revenue"))
       rev.join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").cast("string").as("order_date"),
@@ -217,7 +230,9 @@ object SparkEntry {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("yr"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)")
+            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double")
+          * lit(100.0) + lit(0.5)) / lit(100.0)).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("region", "yr")
     }),
@@ -346,13 +361,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_base_price,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc_price,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+         floor(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -468,14 +483,14 @@ object SparkEntry {
 
     "q14_revenue_topk" ->
       """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 
     "q15_market_share" ->
       """SELECT r_name AS region, CAST(year(o_orderdate) AS INTEGER) AS yr,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -513,8 +528,10 @@ object SparkEntry {
               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
               CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS uni
             FROM prep a JOIN prep b ON a.block = b.block AND a.doc_id < b.doc_id)
-          SELECT id1, id2, round(CASE WHEN uni = 0 THEN 0 ELSE inter / uni END, 4) AS jaccard
-          FROM pairs WHERE round(CASE WHEN uni = 0 THEN 0 ELSE inter / uni END, 4) >= 0.4
+          SELECT id1, id2,
+            floor((CASE WHEN uni = 0 THEN 0 ELSE inter / uni END) * 10000 + 0.5) / 10000 AS jaccard
+          FROM pairs
+          WHERE floor((CASE WHEN uni = 0 THEN 0 ELSE inter / uni END) * 10000 + 0.5) / 10000 >= 0.4
           ORDER BY id1, id2""",
 
     "d5_embed_neardup" ->
@@ -543,8 +560,9 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "t1_lang_profile" ->
-      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-          round(avg(len(${toksSql("text")})), 4) AS avg_tokens
+      s"""SELECT lang, count(*) AS n_docs,
+          floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 10000 + 0.5) / 10000 AS avg_chars,
+          floor(CAST(sum(len(${toksSql("text")})) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens
           FROM documents GROUP BY lang ORDER BY lang""",
 
     "t2_quality_score" ->
@@ -559,14 +577,14 @@ object SparkEntry {
               length(text) AS n_chars_raw
             FROM documents)
           SELECT doc_id, n_tokens, n_punct, n_stopwords,
-            round(
+            floor((
               0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
               + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
                   ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
               + 0.2 * (1.0 - least((
                   (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
                   + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
-                ) * 5.0, 1.0)), 4) AS quality
+                ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
           FROM f ORDER BY doc_id""",
 
     "t3_token_topk" ->

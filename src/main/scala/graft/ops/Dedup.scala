@@ -209,8 +209,12 @@ object Dedup {
         Dedup.intersectSize(docs, col("h1.grams"), col("h2.grams")).cast("double"))
     val union = size(col("h1.grams")).cast("double") +
       size(col("h2.grams")).cast("double") - col("inter")
+    // floor-round: integer-ratio jaccards land exactly on .xxxx5
+    // boundaries where engine round() semantics diverge
     verified
-      .withColumn("jaccard", round(when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
+      .withColumn("jaccard",
+        floor(when(union === 0.0, 0.0).otherwise(col("inter") / union)
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.text
+import org.apache.spark.sql.Column
 
 /** Corpus-level text analysis: language profiling, quality scoring,
   * token statistics, fingerprints, heuristic language ID. All pure
@@ -10,15 +11,27 @@ import graft.functions.text
   */
 object TextAnalysis {
 
-  /** Per-language corpus stats. */
+  /** floor(x*10^d+0.5)/10^d: identical double math in every engine,
+    * unlike round(), whose half-way semantics differ between Spark
+    * (shortest-decimal HALF_UP) and DuckDB (binary round) exactly on
+    * the boundaries integer-sum quotients land on.
+    */
+  private[ops] def fround(c: Column, d: Int): Column = {
+    val m = math.pow(10, d)
+    floor(c * lit(m) + lit(0.5)) / lit(m)
+  }
+
+  /** Per-language corpus stats. Integer sums are exact in double, so
+    * sum/count + fround is deterministic at any scale.
+    */
   def langProfile(docs: DataFrame, textCol: String, langCol: String,
                   nCharsCol: String): DataFrame =
     docs.select(col(langCol).as("lang"), col(nCharsCol).as("n_chars"),
         text.tokenCount(col(textCol)).as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
-        round(avg("n_tokens"), 4).as("avg_tokens"))
+        fround(sum("n_chars").cast("double") / count(col("n_chars")), 4).as("avg_chars"),
+        fround(sum("n_tokens").cast("double") / count(col("n_tokens")), 4).as("avg_tokens"))
 
   /** Per-document quality features + score. */
   def qualityScores(docs: DataFrame, textCol: String, idCol: String): DataFrame =
