@@ -144,11 +144,12 @@ object SparkEntry {
 
     "q9_null_health" -> ((s, dir) => {
       val e = Tables(s, dir).events
+      // coalesce mirrors the oracle: zero (not NULL) on empty input
       e.agg(
         count(lit(1)).as("total_rows"),
-        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
-        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
-        sum(when(trim(col("props")) === "", 1L).otherwise(0L)).as("blank_props"))
+        coalesce(sum(when(col("value").isNull, 1L).otherwise(0L)), lit(0L)).as("null_value"),
+        coalesce(sum(when(col("props").isNull, 1L).otherwise(0L)), lit(0L)).as("null_props"),
+        coalesce(sum(when(trim(col("props")) === "", 1L).otherwise(0L)), lit(0L)).as("blank_props"))
     }),
 
     "q10_dedup_keyed" -> ((s, dir) => {
@@ -356,7 +357,12 @@ object SparkEntry {
   /** Shared SQL fragment: normalized text (must mirror text.normalize). */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-  private def toksSql(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
+  /** DuckDB's regexp_split_to_array(trim(''), '\s+') yields [''] (one
+    * empty token) where text.tokens('') yields [] — guard to match.
+    */
+  private def toksSql(src: String) =
+    s"(CASE WHEN trim($src) = '' OR $src IS NULL THEN CAST([] AS VARCHAR[]) " +
+    s"ELSE regexp_split_to_array(trim($src), '\\s+') END)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -561,7 +567,7 @@ object SparkEntry {
 
     "t1_lang_profile" ->
       s"""SELECT lang, count(*) AS n_docs,
-          floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 10000 + 0.5) / 10000 AS avg_chars,
+          floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_chars,
           floor(CAST(sum(len(${toksSql("text")})) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens
           FROM documents GROUP BY lang ORDER BY lang""",
 

@@ -77,20 +77,27 @@ object NativeKernels {
   }
 
   /** MinHash signature over pre-hashed elements: sig[p] = min over h
-    * of xxh64(h, seed=p). One compiled O(n·numPerm) loop per doc — no
-    * explode, no aggregate machinery, no shuffle. Empty input → all
-    * Long.MaxValue sentinels.
+    * of the same value Spark's `xxhash64(lit(p), h)` computes —
+    * XXH64.hashLong(h, XXH64.hashInt(p, 42)) (the expression chains
+    * child hashes from seed 42), so native and expression-built
+    * signatures are IDENTICAL and d2's output does not depend on
+    * whether the extension is loaded. One compiled O(n·numPerm) loop
+    * per doc — no explode, no aggregate machinery, no shuffle. Empty
+    * input → all Long.MaxValue sentinels.
     */
   def minhash(hashes: ArrayData, numPerm: Int): UnsafeArrayData = {
     val n = hashes.numElements()
+    val permSeeds = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) { permSeeds(p) = XXH64.hashInt(p, Seed); p += 1 }
     val sig = new Array[Long](numPerm)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
-      var p = 0
+      p = 0
       while (p < numPerm) {
-        val v = XXH64.hashLong(h, p)
+        val v = XXH64.hashLong(h, permSeeds(p))
         if (v < sig(p)) sig(p) = v
         p += 1
       }

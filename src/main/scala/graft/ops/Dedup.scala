@@ -98,6 +98,9 @@ object Dedup {
     // The verify joins broadcast the doc→hashes table (tiny relative
     // to the pair table at scale); both broadcasts share one exchange
     // (identical canonical plan), so shingling runs once for them.
+    // NOTE: broadcast is right up to Spark's 8GB exchange cap (~tens
+    // of millions of docs at ~200 hashes each); beyond that, drop the
+    // hint and let AQE pick a shuffle join keyed on id.
     candidates
       .join(broadcast(hashed).as("h1"), col("id1") === col("h1.id"))
       .join(broadcast(hashed).as("h2"), col("id2") === col("h2.id"))
@@ -231,10 +234,7 @@ object Dedup {
     // zip_with/aggregate fallback, so results are bit-identical. (An
     // unrolled fixed-dim element_at dot was also tried and measured 3x
     // SLOWER than the HOF — wide expressions fall out of codegen.)
-    val dotOf: (Column, Column) => Column =
-      if (Native.enabled(embs, "graft_vector_dot"))
-        (a, b) => call_function("graft_vector_dot", a, b)
-      else vectors.dot
+    val dotOf = Native.dotOf(embs)
     val prepared = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(blockCol).as("block"), sqrt(dotOf(col(vecCol), col(vecCol))).as("nrm"))
     val nn = col("a.nrm") * col("b.nrm")

@@ -9,7 +9,18 @@ import org.apache.spark.sql.DataFrame
   * the extension loaded.
   */
 private[ops] object Native {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
   def enabled(df: DataFrame, fn: String): Boolean =
     df.sparkSession.catalog.functionExists(fn) &&
       !df.sparkSession.conf.get("graft.native.disabled", "false").toBoolean
+
+  /** Native codegen'd dot kernel when available; HOF fallback
+    * otherwise. Same accumulation order — bit-identical results.
+    */
+  def dotOf(df: DataFrame): (Column, Column) => Column =
+    if (enabled(df, "graft_vector_dot"))
+      (a, b) => call_function("graft_vector_dot", a, b)
+    else graft.functions.vectors.dot
 }

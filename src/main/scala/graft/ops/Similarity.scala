@@ -15,13 +15,7 @@ import graft.functions.vectors
   */
 object Similarity {
 
-  /** Native codegen'd dot kernel when the session has GraftExtensions;
-    * HOF fallback otherwise. Same accumulation order — bit-identical.
-    */
-  private def dotOf(df: DataFrame): (Column, Column) => Column =
-    if (Native.enabled(df, "graft_vector_dot"))
-      (a, b) => call_function("graft_vector_dot", a, b)
-    else vectors.dot
+  private def dotOf(df: DataFrame) = Native.dotOf(df)
 
   /** Exact top-k cosine neighbors for each probe row.
     * Probes must be small enough to broadcast (they are, by contract:

@@ -30,8 +30,8 @@ object TextAnalysis {
         text.tokenCount(col(textCol)).as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        fround(sum("n_chars").cast("double") / count(col("n_chars")), 4).as("avg_chars"),
-        fround(sum("n_tokens").cast("double") / count(col("n_tokens")), 4).as("avg_tokens"))
+        fround(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+        fround(sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
 
   /** Per-document quality features + score. */
   def qualityScores(docs: DataFrame, textCol: String, idCol: String): DataFrame =

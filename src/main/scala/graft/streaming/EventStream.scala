@@ -63,7 +63,10 @@ object EventStream {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1))
+                  // max/min guards: a late (out-of-order) event must not
+                  // rewind the session span
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   out ::= SessionOut(user, s.start, s.end, s.n)
                   cur = Some(SessionState(t, t, 1))

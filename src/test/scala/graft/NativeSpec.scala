@@ -32,6 +32,19 @@ class NativeSpec extends AnyFunSuite {
     assert(got == Seq(3, 1, 0, 0))
   }
 
+  test("graft_minhash equals the expression-built per-perm minima") {
+    val docs = tables.Tables(spark, sfDir).documents.limit(20)
+      .select(hashing.elementHashes(text.tokens(text.normalize(col("text")))).as("th"))
+      .filter(size(col("th")) > 0)
+    val exprSig = array((0 until 16).map { seed =>
+      array_min(transform(col("th"), h => xxhash64(lit(seed), h)))
+    }: _*)
+    val both = docs.select(
+      call_function("graft_minhash", col("th"), lit(16)).as("native"),
+      exprSig.as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+  }
+
   test("graft_simhash64 equals the expression-built simhash") {
     val docs = tables.Tables(spark, sfDir).documents.limit(20)
       .select(hashing.elementHashes(text.tokens(text.normalize(col("text")))).as("th"))
