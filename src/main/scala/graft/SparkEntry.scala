@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.functions.{geo, text, vectors}
+import graft.functions.{geo, num, text, vectors}
 import graft.ops._
 
 /** Driver contract: one `queries` entry per operator in SURVEY.md §2,
@@ -54,10 +54,7 @@ object SparkEntry {
       // any SF. (Sums stay below 2^53/10^d at the tested scales; an
       // all-decimal output would be the choice beyond that.)
       def dec(c: Column) = c.cast("decimal(18,6)")
-      def fround(c: Column, d: Int) = {
-        val m = math.pow(10, d)
-        floor(c * lit(m) + lit(0.5)) / lit(m)
-      }
+      def fround(c: Column, d: Int) = num.fround(c, d)
       li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -105,8 +102,8 @@ object SparkEntry {
       // double). floor(x*1e4 + 0.5)/1e4 is identical double math in
       // both engines, so results agree bit-for-bit at any scale.
       val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
-        .agg((floor((sum(col("value").cast("decimal(18,6)")).cast("double")
-          / count(col("value"))) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("hourly_avg"))
+        .agg(num.fround(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(col("value")), 4).as("hourly_avg"))
       e.withColumn("hb", date_trunc("hour", col("ts")))
         .join(hourly, Seq("hb", "event_type"))
         .select(col("event_id"), epochMs(col("hb")).as("hour_ms"), col("hourly_avg"))
@@ -169,8 +166,8 @@ object SparkEntry {
       // any scale (the sum itself is exact at 2dp, no boundary risk)
       e.groupBy(epochMs(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          (floor((sum(col("value").cast("decimal(18,6)")).cast("double")
-            / count(col("value"))) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("avg_value"),
+          num.fround(sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(col("value")), 4).as("avg_value"),
           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
         .orderBy("hour_ms", "event_type")
     }),
@@ -207,9 +204,8 @@ object SparkEntry {
       // lineitem, so the join then moves one row per order instead of
       // one per lineitem — at scale this halves the shuffle volume.
       val rev = t.lineitem.groupBy(col("l_orderkey"))
-        .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)")
-            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double")
-          * lit(100.0) + lit(0.5)) / lit(100.0)).as("revenue"))
+        .agg(num.fround(sum(col("l_extendedprice").cast("decimal(18,6)")
+            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double"), 2).as("revenue"))
       rev.join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").cast("string").as("order_date"),
@@ -231,9 +227,8 @@ object SparkEntry {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("yr"))
-        .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)")
-            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double")
-          * lit(100.0) + lit(0.5)) / lit(100.0)).as("revenue"),
+        .agg(num.fround(sum(col("l_extendedprice").cast("decimal(18,6)")
+            * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("region", "yr")
     }),

@@ -66,8 +66,8 @@ object text {
     val raw = lit(0.4) * lenTerm + lit(0.4) * stop +
       lit(0.2) * (lit(1.0) - least((punct + digits) * lit(5.0), lit(1.0)))
     // floor-round: rational inputs land exactly on .xxxx5 boundaries
-    // where engine round() semantics diverge (see TextAnalysis.fround)
-    floor(raw * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    // where engine round() semantics diverge (see num.fround)
+    num.fround(raw, 4)
   }
 
   /** Stopword-marker voting language ID → 'en'/'es'/'fr'/'de'/'und'.

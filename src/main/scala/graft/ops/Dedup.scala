@@ -216,8 +216,8 @@ object Dedup {
     // boundaries where engine round() semantics diverge
     verified
       .withColumn("jaccard",
-        floor(when(union === 0.0, 0.0).otherwise(col("inter") / union)
-          * lit(10000.0) + lit(0.5)) / lit(10000.0))
+        graft.functions.num.fround(
+          when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

@@ -11,15 +11,8 @@ import org.apache.spark.sql.Column
   */
 object TextAnalysis {
 
-  /** floor(x*10^d+0.5)/10^d: identical double math in every engine,
-    * unlike round(), whose half-way semantics differ between Spark
-    * (shortest-decimal HALF_UP) and DuckDB (binary round) exactly on
-    * the boundaries integer-sum quotients land on.
-    */
-  private[ops] def fround(c: Column, d: Int): Column = {
-    val m = math.pow(10, d)
-    floor(c * lit(m) + lit(0.5)) / lit(m)
-  }
+  private def fround(c: Column, d: Int): Column =
+    graft.functions.num.fround(c, d)
 
   /** Per-language corpus stats. Integer sums are exact in double, so
     * sum/count + fround is deterministic at any scale.
