@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session builder for graft.
+  *
+  * Collects every session-level conf the library assumes, so callers
+  * (and our own mains/tests) set them once at session build instead of
+  * scattering `spark.conf.set` side effects through loaders:
+  *
+  *  - `graft.GraftExtensions`: registers the native codegen'd kernels
+  *    (every operator falls back to pure built-in expressions without
+  *    them, so this is an optimization, not a requirement).
+  *  - `nanosAsLong`: the events table carries parquet TIMESTAMP(NANOS),
+  *    which Spark 4 otherwise rejects at scan time; must be set before
+  *    the first read (it is a reader conf, not a plan conf).
+  *  - UTC session timezone: timestamp derivations are locale-free.
+  *  - `shufflePartitions` sized by the caller to the actual
+  *    parallelism (cores locally, ~2-3x total executor cores on a
+  *    cluster) — Spark's static default of 200 under-partitions big
+  *    shuffles and over-partitions local runs. AQE (on by default in
+  *    Spark 4) coalesces from there at runtime.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** The reader conf the events table needs; `Tables.events` checks it
+    * rather than mutating session state as a load side effect.
+    */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+}

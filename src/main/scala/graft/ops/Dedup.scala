@@ -14,6 +14,28 @@ import graft.functions.{hashing, text}
   */
 object Dedup {
 
+  /** Join-strategy gate for the pairwise-verify joins (candidates ⋈
+    * doc→hashes). The doc table is O(corpus), so an unconditional
+    * broadcast dies at Spark's 8 GB exchange cap past ~tens of
+    * millions of docs. Semantics:
+    *  - `None` (default): no hint — AQE plans the join from RUNTIME
+    *    size stats, converting to broadcast only when the table
+    *    actually fits the threshold. This is the size-gated path: the
+    *    gate is Spark's own measured size, not a guess.
+    *  - `Some(true)`: force the broadcast hint (caller knows the
+    *    corpus is small; skips the shuffle AQE would stage first).
+    *  - `Some(false)`: force a shuffled hash join on id (the 100 TB
+    *    path: per-partition build side is corpus/numPartitions, no
+    *    sort, no single-node exchange).
+    * Results are identical under every strategy (see DedupJoinSpec).
+    */
+  private def verifyHinted(df: DataFrame, strategy: Option[Boolean]): DataFrame =
+    strategy match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_hash")
+      case None        => df
+    }
+
   /** Exact dedup groups: normalized-content md5 → (fingerprint,
     * n_dups, canonical = min id). One shuffle on the fingerprint.
     */
@@ -32,7 +54,8 @@ object Dedup {
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    numPerm: Int = 128, bands: Int = 32, shingleK: Int = 5,
                    jaccardThreshold: Double = 0.5,
-                   persistIntermediate: Boolean = true): DataFrame = {
+                   persistIntermediate: Boolean = true,
+                   verifyBroadcast: Option[Boolean] = None): DataFrame = {
     val rowsPerBand = numPerm / bands
     // Staged: normalize → shingle → hash, each as its own column, so
     // the per-element lambdas see attributes (see wordNgramsOfTokens
@@ -95,15 +118,12 @@ object Dedup {
           greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // The verify joins broadcast the doc→hashes table (tiny relative
-    // to the pair table at scale); both broadcasts share one exchange
-    // (identical canonical plan), so shingling runs once for them.
-    // NOTE: broadcast is right up to Spark's 8GB exchange cap (~tens
-    // of millions of docs at ~200 hashes each); beyond that, drop the
-    // hint and let AQE pick a shuffle join keyed on id.
+    // The verify joins bring the doc→hashes table to the candidate
+    // pairs; strategy is size-gated via verifyHinted (AQE runtime
+    // stats by default — broadcast only when it actually fits).
     candidates
-      .join(broadcast(hashed).as("h1"), col("id1") === col("h1.id"))
-      .join(broadcast(hashed).as("h2"), col("id2") === col("h2.id"))
+      .join(verifyHinted(hashed, verifyBroadcast).as("h1"), col("id1") === col("h1.id"))
+      .join(verifyHinted(hashed, verifyBroadcast).as("h2"), col("id2") === col("h2.id"))
       .select(col("id1"), col("id2"),
         col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
       .withColumn("inter", Dedup.intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
@@ -124,13 +144,26 @@ object Dedup {
       call_function("graft_sorted_intersect_size", a, b)
     else size(array_intersect(a, b))
 
-  /** SimHash near-dup pairs: 64-bit fingerprint per doc, candidates
-    * from 16-bit band collisions (any doc pair within hamming<=3 of
-    * each other shares at least one of 4 bands — standard pigeonhole),
-    * verified by exact hamming distance.
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc, block-key
+    * candidate generation, verified by exact hamming distance.
+    *
+    * Banding scheme (scale-bounded): the 64 bits split into 6 blocks
+    * (11,11,11,11,10,10); a pair within hamming <= h differs in at
+    * most h blocks, so at least 6-h blocks are identical on both
+    * sides — pigeonhole guarantees the pair collides on at least one
+    * of the C(6, 6-h) block-combination keys (recall 1.0, same as the
+    * textbook 4x16-bit scheme for h=3). Each key spans >= 21 bits
+    * (vs 16), so bucket population at a given corpus size shrinks by
+    * >= 2^5-2^16x and the within-bucket self-join stays near-linear on
+    * billion-doc corpora; the cost is C(6,3)=20 slim explode rows per
+    * doc instead of 4. Keys are xxhash64(comboId, blocks...) — a hash
+    * collision only ADDs a candidate (exact verify filters it), never
+    * loses a pair.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 4,
+      s"maxHamming must be in [1,4] for the 6-block banding scheme, got $maxHamming")
     // Native compiled vote loop when available; otherwise staged so
     // the 64 per-bit probes in votesToSimhash read a materialized
     // votes column instead of re-running the aggregate.
@@ -144,11 +177,16 @@ object Dedup {
           hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
         .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
         .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
-    val banded = sigs.withColumn("band",
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("b"), shiftrightunsigned(col("simhash"), b * 16)
-          .bitwiseAND(0xFFFFL).as("v"))
-      }: _*)))
+    val blockSizes = Seq(11, 11, 11, 11, 10, 10)
+    val blockOffsets = blockSizes.scanLeft(0)(_ + _).init
+    def blockOf(i: Int): Column =
+      shiftrightunsigned(col("simhash"), blockOffsets(i))
+        .bitwiseAND((1L << blockSizes(i)) - 1)
+    val combos = (0 until blockSizes.size).combinations(blockSizes.size - maxHamming)
+    val keyCols = combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci) +: combo.map(blockOf)): _*)
+    }.toSeq
+    val banded = sigs.withColumn("band", explode(array(keyCols: _*)))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -166,7 +204,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.4,
-                        persistIntermediate: Boolean = true): DataFrame = {
+                        persistIntermediate: Boolean = true,
+                        verifyBroadcast: Option[Boolean] = None): DataFrame = {
     // Staged normalize → tokens → grams → hashes (per-element lambdas
     // must see attributes — see wordNgramsOfTokens scaladoc). Grams
     // are hashed to longs once per doc (set-isomorphic, so the Jaccard
@@ -203,10 +242,13 @@ object Dedup {
           least(col("a.n"), col("b.n")).cast("double") >=
           greatest(col("a.n"), col("b.n")).cast("double") * threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // Verify-join strategy is size-gated (see verifyHinted): AQE
+    // runtime stats by default, never an unconditional broadcast of an
+    // O(corpus) table.
     val verified = candidates
-      .join(broadcast(grams.select(col("id"), col("grams"))).as("h1"),
+      .join(verifyHinted(grams.select(col("id"), col("grams")), verifyBroadcast).as("h1"),
         col("id1") === col("h1.id"))
-      .join(broadcast(grams.select(col("id"), col("grams"))).as("h2"),
+      .join(verifyHinted(grams.select(col("id"), col("grams")), verifyBroadcast).as("h2"),
         col("id2") === col("h2.id"))
       .withColumn("inter",
         Dedup.intersectSize(docs, col("h1.grams"), col("h2.grams")).cast("double"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.vectors
@@ -41,24 +41,59 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Engine-portable deterministic sample order: an affine map over a
+    * prime modulus decorrelates selection from id order (a low-id
+    * prefix is a biased "sample" on any corpus where id correlates
+    * with content) while staying expressible in ANSI SQL for the
+    * oracle — no engine-specific hash. ids reduce mod P first, so the
+    * product stays < 2^63 for any id; ties break on the id itself.
+    */
+  private val SampleP = 1000003L
+  def sampleOrder(id: Column): Column =
+    pmod(pmod(id, lit(SampleP)) * lit(999983L) + lit(101L), lit(SampleP))
+
   /** IVF-style bucketed ANN. The "inverted file": every corpus vector
     * is assigned to its nearest centroid; a probe searches only the
     * `nProbe` nearest centroid buckets — an equi-join on centroid id,
-    * never a full cross product. Centroids are a deterministic sample
-    * of the corpus (IVF training is an offline step; a k-means refiner
-    * can replace the sample without touching the query path). With
+    * never a full cross product. Centroids are a deterministic
+    * hash-order sample of the corpus (one per-partition top-k scan —
+    * IVF training is an offline step), optionally refined by
+    * `kmeansIters` Lloyd steps (assign + per-dimension mean, one
+    * shuffle each; empty clusters keep their previous centroid). With
     * nProbe = numCentroids the result equals bruteForceTopK exactly.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
               idCol: String, k: Int, numCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     val dot = dotOf(corpus)
     // tiny deterministic centroid table → driver (numCentroids rows)
-    val cents: Array[Array[Float]] = corpus
-      .orderBy(col(idCol)).limit(numCentroids)
+    var cents: Array[Array[Float]] = corpus
+      .orderBy(sampleOrder(col(idCol)), col(idCol)).limit(numCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    // Lloyd refinement: nearest-centroid assignment (same argmax as the
+    // query path) then per-dimension mean — posexplode + partial-agg
+    // shuffle of numCentroids*dim rows, collected driver-side.
+    for (_ <- 0 until kmeansIters) {
+      val norms = centNorms
+      val assignScores = cents.indices.map { ci =>
+        struct((dot(col(vecCol), lit(cents(ci))) / lit(norms(ci))).as("s"),
+          lit(-ci).as("negi"))
+      }
+      val assigned = corpus.select(
+        (-greatest(assignScores: _*).getField("negi")).as("cent"), col(vecCol).as("v"))
+      val means = assigned.select(col("cent"), posexplode(col("v")))
+        .groupBy("cent", "pos").agg(avg("col").as("m"))
+        .groupBy("cent").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .collect()
+      val next = cents.clone()
+      means.foreach { r =>
+        next(r.getAs[Int]("cent")) =
+          r.getAs[Seq[Row]]("dims").map(_.getAs[Double]("m").toFloat).toArray
+      }
+      cents = next
+    }
     // score against centroid c is dot/|c| (the probe's own norm is a
     // common positive factor — argmax unchanged); ties break on the
     // lower centroid index for determinism.

@@ -23,9 +23,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * outright; read it as a nanos long and surface a microsecond
     * TimestampType column (floor, matching DuckDB's ns→µs cast).
+    * The nanosAsLong conf must be set at session build (see
+    * [[graft.GraftSession]]) — a loader must not mutate session state.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(graft.GraftSession.NanosConf).contains("true"),
+      s"events.parquet carries TIMESTAMP(NANOS); build the session with " +
+        s"${graft.GraftSession.NanosConf}=true (see graft.GraftSession.builder)")
     // integer `div`, not `/`: ns epochs (~1.7e18) overflow double mantissa
     load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
