@@ -160,23 +160,26 @@ object Dedup {
     * collision only ADDs a candidate (exact verify filters it), never
     * loses a pair.
     */
+  /** (id, simhash) per doc. Native compiled vote loop when available;
+    * otherwise staged so the 64 per-bit probes in votesToSimhash read
+    * a materialized votes column instead of re-running the aggregate.
+    */
+  def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    if (Native.enabled(docs, "graft_simhash64"))
+      docs.select(col(idCol).as("id"),
+          hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+        .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
+    else docs
+      .select(col(idCol).as("id"),
+        hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+      .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
+      .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
+
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 4,
       s"maxHamming must be in [1,4] for the 6-block banding scheme, got $maxHamming")
-    // Native compiled vote loop when available; otherwise staged so
-    // the 64 per-bit probes in votesToSimhash read a materialized
-    // votes column instead of re-running the aggregate.
-    val sigs =
-      if (Native.enabled(docs, "graft_simhash64"))
-        docs.select(col(idCol).as("id"),
-            hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
-          .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
-      else docs
-        .select(col(idCol).as("id"),
-          hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
-        .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
-        .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
+    val sigs = simhashSigs(docs, textCol, idCol)
     val blockSizes = Seq(11, 11, 11, 11, 10, 10)
     val blockOffsets = blockSizes.scanLeft(0)(_ + _).init
     def blockOf(i: Int): Column =
