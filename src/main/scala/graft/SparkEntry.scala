@@ -351,8 +351,21 @@ object SparkEntry {
 
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same table names, same column names, same
-  // rounding. Omitted for hash/LSH ops (d2, d3, s2, m2): rows-only.
+  // rounding. Omitted only for d3 (simhash = chained xxhash64, not
+  // reproducible in DuckDB; covered by RobustSpec's brute-force
+  // banding equivalence instead). d2's oracle is the EXACT all-pairs
+  // shingle-Jaccard set — it asserts LSH recall 1.0 at the test SF on
+  // top of value parity. s2/s3 oracles replicate the bucketing
+  // (hyperplane literals / portable affine-hash centroid sample), so
+  // candidate generation itself is oracle-checked.
   // ---------------------------------------------------------------
+
+  /** The s2 hyperplanes as DuckDB list literals — Double.toString is
+    * shortest-round-trip, so DuckDB parses bit-identical values.
+    */
+  private lazy val planeSqlLits: Seq[String] =
+    ops.Similarity.hyperplanes(16, 64)
+      .map(_.map(_.toString).mkString("[", ",", "]"))
 
   /** Shared SQL fragment: normalized text (must mirror text.normalize). */
   private val normSql =
@@ -523,6 +536,26 @@ object SparkEntry {
           min(doc_id) AS canonical_id
           FROM documents GROUP BY 1 ORDER BY fingerprint""",
 
+    "d2_minhash_lsh" ->
+      s"""WITH prep AS (
+            SELECT doc_id,
+              CASE WHEN length($normSql) >= 5
+                   THEN list_distinct(list_transform(range(1, length($normSql) - 3),
+                          i -> substr($normSql, i, 5)))
+                   ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+              CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS szsum
+            FROM prep a JOIN prep b ON a.doc_id < b.doc_id),
+          j AS (
+            SELECT id1, id2,
+              floor((CASE WHEN szsum - inter = 0 THEN 0
+                          ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 AS jaccard
+            FROM pairs)
+          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
     "d4_ngram_jaccard" ->
       s"""WITH prep AS (
             SELECT doc_id, source AS block,
@@ -558,6 +591,79 @@ object SparkEntry {
              list_dot_product(qv, v)
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
            FROM e JOIN p ON e.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // The LSH bucketing replicated literally: signature bits from the
+    // same 16 hyperplanes (embedded as literals), 4-bit bands, probe
+    // side expanded to hamming<=1 band values (multi-probe radius 1).
+    "s2_ann_lsh" -> {
+      val sigTerms = planeSqlLits.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, v, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          cb AS (
+            SELECT vec_id AS neighbor_id, v AS cv, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
+            FROM sigs, (SELECT unnest(range(4)) AS b)),
+          pb AS (
+            SELECT query_id, qv, b,
+              CASE WHEN f = -1 THEN bv ELSE xor(bv, CAST(2 ** f AS BIGINT)) END AS bv
+            FROM (SELECT vec_id AS query_id, v AS qv, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
+                  FROM sigs, (SELECT unnest(range(4)) AS b)
+                  WHERE vec_id % 100 = 0) pbase,
+                 (SELECT unnest([-1, 0, 1, 2, 3]) AS f) flips),
+          cand AS (
+            SELECT DISTINCT query_id, neighbor_id, qv, cv
+            FROM cb JOIN pb USING (b, bv)
+            WHERE query_id <> neighbor_id),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) = 0 THEN 0
+                   ELSE list_dot_product(qv,cv) / (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv))) END AS cos
+            FROM cand),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // IVF replicated literally: centroids = first numCentroids rows in
+    // the portable affine-hash order (Similarity.sampleOrder), corpus
+    // assigned to argmax dot/|c| (tie: lower ci), probes search their
+    // nProbe nearest cells.
+    "s3_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id) - 1 AS ci, v AS cv
+           FROM e ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id LIMIT 16),
+         cn AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents),
+         ascore AS (
+           SELECT e.vec_id, e.v, cn.ci, list_dot_product(e.v, cn.cv) / cn.cnorm AS s
+           FROM e, cn),
+         corpus AS (
+           SELECT vec_id AS neighbor_id, v AS cv2, ci FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM ascore) t
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, ci FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM ascore
+             WHERE vec_id % 100 = 0) t
+           WHERE rn <= 4),
+         cand AS (
+           SELECT query_id, neighbor_id, qv, cv2 FROM corpus JOIN probes USING (ci)
+           WHERE query_id <> neighbor_id),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv2,cv2)) = 0 THEN 0
+                  ELSE list_dot_product(qv,cv2) / (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv2,cv2))) END AS cos
+           FROM cand),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
@@ -630,6 +736,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          sha256(text) AS sha256,
          CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) AS n_chunks
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // The payload is UTF-8-encoded text and the corpus is ASCII, so
+    // byte values are the codepoints of the chars; byte sums are exact
+    // in doubles, so mean_byte's floor-round matches bit-for-bit.
+    "m2_binary_features" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(greatest(1, ceil(octet_length(encode(text)) / 1024.0)) AS BIGINT) AS n_frames,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(1, length(text) + 1),
+                         i -> unicode(substr(text, i, 1)))) * 1.0 / length(text) END AS mean
+           FROM documents)
+         SELECT doc_id, n_bytes, n_frames, floor(mean * 10000 + 0.5) / 10000 AS mean_byte
+         FROM f ORDER BY doc_id"""
   )
 }

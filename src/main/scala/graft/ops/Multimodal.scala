@@ -117,8 +117,11 @@ object Multimodal {
         var i = 0
         while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
         val mean = if (bytes.length == 0) 0.0 else sum / bytes.length
+        // floor-based round (not rint): identical double math to the
+        // oracle's floor(x*1e4 + 0.5)/1e4 — byte means land exactly on
+        // .xxxx5 boundaries where HALF_EVEN and HALF_UP diverge
         Row(id, bytes.length.toLong, nFrames,
-          math.rint(mean * 10000) / 10000, checksums)
+          math.floor(mean * 10000 + 0.5) / 10000, checksums)
       }
     }(enc)
   }
