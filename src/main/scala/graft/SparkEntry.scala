@@ -251,6 +251,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q17_dim_upsert" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // the reference's geocode-cache pattern: a partial dim ("cache")
+      // plus facts referencing keys beyond it; only the missing keys
+      // get "fetched" (a deterministic stand-in for the geocode call)
+      val dim = t.nation.filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+          lit("cached").as("src"))
+      Enrich.upsertDim(dim, t.customer.select(col("c_nationkey").as("nationkey")),
+          Seq("nationkey"),
+          missing => missing.select(col("nationkey"),
+            concat(lit("backfilled_"), col("nationkey")).as("name"),
+            lit("fetched").as("src")))
+        .orderBy("nationkey")
+    }),
+
     // ----- deduplication -----
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables(s, dir).documents, "text", "doc_id")
@@ -346,6 +362,14 @@ object SparkEntry {
       Multimodal.extractFeatures(docs, "payload", "doc_id")
         .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("mean_byte"))
         .orderBy("doc_id")
+    }),
+
+    "m3_extract_records" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.extractRecords(docs, "payload", "doc_id",
+          Multimodal.WhitespaceRecordParser)
+        .orderBy("doc_id", "rec_idx")
     })
   )
 
@@ -530,6 +554,20 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ms
            FROM ve)
          WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q17_dim_upsert" ->
+      """WITH dim AS (
+           SELECT n_nationkey AS nationkey, n_name AS name, 'cached' AS src
+           FROM nation WHERE n_nationkey < 13),
+         missing AS (
+           SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           WHERE c_nationkey IS NOT NULL
+             AND c_nationkey NOT IN (SELECT nationkey FROM dim))
+         SELECT nationkey, name, src FROM dim
+         UNION ALL
+         SELECT nationkey, 'backfilled_' || nationkey AS name, 'fetched' AS src
+         FROM missing
+         ORDER BY nationkey""",
 
     "d1_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, count(*) AS n_dups,
@@ -751,6 +789,19 @@ object SparkEntry {
                          i -> unicode(substr(text, i, 1)))) * 1.0 / length(text) END AS mean
            FROM documents)
          SELECT doc_id, n_bytes, n_frames, floor(mean * 10000 + 0.5) / 10000 AS mean_byte
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+
+    "m3_extract_records" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+          u AS (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                i -> {'rec_idx': CAST(i - 1 AS BIGINT),
+                      'rec_text': toks[i],
+                      'rec_len': CAST(length(toks[i]) AS BIGINT)})) AS rec
+            FROM t)
+          SELECT doc_id, rec.rec_idx AS rec_idx, rec.rec_text AS rec_text,
+            rec.rec_len AS rec_len
+          FROM u ORDER BY doc_id, rec_idx"""
   )
 }

@@ -70,6 +70,25 @@ object Enrich {
     df.join(broadcast(wm), col(ts).cast("date") > col("wm")).drop("wm")
   }
 
+  /** Cache-miss dimension upsert — the reference's incremental geocode
+    * cache (`src/db/location.py:36-72`): distinct keys seen in the
+    * facts → anti-join the existing dim → enrich ONLY the missing keys
+    * (the expensive fetch runs once per novel key, never per fact row
+    * and never for already-cached keys) → union onto the dim.
+    *
+    * `enrichMissing` turns a DataFrame of distinct missing keys into
+    * full dim rows (same schema as `dim`); existing dim rows pass
+    * through untouched. Scale shape: distinct is one partial-agg
+    * shuffle on the keys; the anti-join broadcasts whichever side is
+    * small (dims usually are — AQE decides from runtime stats).
+    */
+  def upsertDim(dim: DataFrame, facts: DataFrame, keys: Seq[String],
+                enrichMissing: DataFrame => DataFrame): DataFrame = {
+    val missingKeys = facts.select(keys.map(col): _*).na.drop(keys).distinct()
+      .join(dim, keys, "left_anti")
+    dim.unionByName(enrichMissing(missingKeys))
+  }
+
   /** Enrichment-health metrics (reference `src/pipeline/main.py` step
     * 11): count of NULL/blank values per enriched column, one row out.
     */

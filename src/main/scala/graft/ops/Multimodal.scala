@@ -97,6 +97,59 @@ object Multimodal {
     df.withColumn(outCol, resize(col(payloadCol)))
   }
 
+  /** Payload → typed records. The contract a PDF-table / media-stream
+    * extractor plugs into (reference `src/pdf/parse_incidents.py:24-64`
+    * turns report bytes into incident rows the same way): one payload
+    * in, zero-or-more structured records out. Implementations must be
+    * deterministic per payload (extraction re-runs under task retry).
+    */
+  trait PayloadParser extends Serializable {
+    /** Schema of ONE emitted record (the extractor prepends doc_id). */
+    def recordSchema: StructType
+    def parse(bytes: Array[Byte]): Iterator[Row]
+  }
+
+  /** Deterministic test parser standing in for a real PDF/codec
+    * parser: decodes UTF-8 and emits one record per whitespace-
+    * delimited token — (rec_idx, rec_text, rec_len). Exactly mirrors
+    * the oracle's regexp_split semantics (trim first; empty → none).
+    */
+  object WhitespaceRecordParser extends PayloadParser {
+    val recordSchema: StructType = StructType(Seq(
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("rec_text", StringType, nullable = false),
+      StructField("rec_len", LongType, nullable = false)))
+    def parse(bytes: Array[Byte]): Iterator[Row] = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+      if (s.isEmpty) Iterator.empty
+      else s.split("\\s+").iterator.zipWithIndex.map { case (tok, i) =>
+        Row(i.toLong, tok, tok.length.toLong)
+      }
+    }
+  }
+
+  /** Structured extraction: binary payloads → typed multi-row records
+    * via a pluggable [[PayloadParser]] (the `frameSample` shape
+    * generalized from fixed-size frames to parser-defined records).
+    * Partition-local flatMap — no shuffle; at 100 TB the parallelism
+    * is the input's partitioning and each payload is parsed exactly
+    * once.
+    */
+  def extractRecords(df: DataFrame, payloadCol: String, idCol: String,
+                     parser: PayloadParser): DataFrame = {
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: parser.recordSchema.fields)
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        parser.parse(r.getAs[Array[Byte]](1))
+          .map(rec => Row.fromSeq(id +: rec.toSeq))
+      }
+    }(enc)
+  }
+
   /** Batched per-partition feature extraction over binary payloads.
     * One task per input partition; no shuffle; the imperative loop is
     * deliberate (this is the "(d) mapPartitions last resort" case —

@@ -43,14 +43,20 @@ object EventStream {
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
   /** Gap-based sessionization with explicit state (streaming
-    * q12_sessionize): emits a session when `gapMs` of event-time
-    * silence passes (via ProcessingTime timeout in this minimal form).
+    * q12_sessionize): a session closes `gapMs` of EVENT TIME after its
+    * last event — the timeout is the watermark passing session end +
+    * gap, so emission is deterministic w.r.t. the data, not the
+    * wall clock, and replays produce identical sessions. State is
+    * bounded by the watermark (`watermarkDelay` of allowed lateness).
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -75,7 +81,13 @@ object EventStream {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            // fire when the watermark passes end + gap; clamp to just
+            // past the current watermark for groups fed only by late
+            // events (a timeout in the past is rejected by Spark)
+            if (streaming) cur.foreach { s =>
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
             out.reverseIterator
           }
       }

@@ -224,4 +224,34 @@ class StreamingSpec extends AnyFunSuite {
     // check the emitted (closed) session from the gap split
     assert(got.exists(s => s.n_events == 2 && s.start_ms == t0))
   }
+
+  test("streaming sessionize: event-time timeout emits after watermark; late out-of-order event merges") {
+    import spark.implicits._
+    import graft.streaming.EventStream._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, ms: Long) = Event(u, id, new java.sql.Timestamp(ms))
+    val t0 = 1700000000000L
+    val ms = MemoryStream[Event]
+    val q = sessionize(ms.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_et").start()
+    try {
+      // batch 1: an open session for user 1; watermark -> t0+60s-5min
+      ms.addData(ev(1, 1, t0), ev(1, 2, t0 + 60000))
+      q.processAllAvailable()
+      // batch 2: a LATE out-of-order event inside the allowed lateness
+      // (t0+30s > watermark) must merge without rewinding the span;
+      // user 2 pushes the watermark past user 1's end + gap
+      ms.addData(ev(1, 3, t0 + 30000), ev(2, 10, t0 + 2 * 3600 * 1000))
+      q.processAllAvailable()
+      // batch 3: timeouts are evaluated against the advanced watermark
+      ms.addData(ev(2, 11, t0 + 2 * 3600 * 1000 + 1000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sess_et").as[SessionOut].collect()
+      assert(got.exists(s => s.user_id == 1 && s.n_events == 3 &&
+        s.start_ms == t0 && s.end_ms == t0 + 60000),
+        s"expected user 1's 3-event session closed by event-time timeout, got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
