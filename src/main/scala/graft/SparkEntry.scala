@@ -349,6 +349,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- corpus curation -----
+    "t7_pii_scrub" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so the query plants a
+      // deterministic payload per doc (identically on the oracle side)
+      // and the operator must find and redact exactly it
+      val docs = Tables(s, dir).documents.withColumn("pii_text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0, lit(" call 555-123-4567 or 555-987-6543"))
+            .when(col("doc_id") % 3 === 1, lit(" call 555-111-2222"))
+            .otherwise(lit(""))))
+      Curation.scrubPii(docs, "pii_text", "doc_id").orderBy("doc_id")
+    }),
+
+    "t8_split_det" -> ((s, dir) => {
+      Curation.deterministicSplit(Tables(s, dir).documents.select("doc_id"),
+          "doc_id", "graft", Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    "t9_seq_pack" -> ((s, dir) => {
+      Curation.packSequences(Tables(s, dir).documents, "doc_id", "text",
+          "source", budgetTokens = 2048L)
+        .orderBy("shard", "doc_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -769,6 +796,53 @@ object SparkEntry {
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
           CAST(len(${toksSql("text")}) AS BIGINT) AS n_ws
           FROM documents ORDER BY doc_id""",
+
+    "t7_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com' ||
+               (CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567 or 555-987-6543'
+                     WHEN doc_id % 3 = 1 THEN ' call 555-111-2222'
+                     ELSE '' END) AS pii_text
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email,
+             CAST(len(regexp_extract_all(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+           FROM p)
+         SELECT doc_id,
+           regexp_replace(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean_text,
+           n_emails,
+           CAST(len(regexp_extract_all(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
+         FROM s ORDER BY doc_id""",
+
+    "t8_split_det" ->
+      """WITH b AS (
+           SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 'e666' THEN 'train'
+                WHEN bucket < 'f333' THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "t9_seq_pack" ->
+      s"""WITH t AS (
+            SELECT source AS shard, doc_id,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT shard, doc_id, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+            FROM t)
+          SELECT shard, doc_id, n_tokens,
+            CAST(floor(prev / 2048.0) AS BIGINT) AS pack_id,
+            CAST(prev % 2048 AS BIGINT) AS pack_offset
+          FROM c ORDER BY shard, doc_id""",
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curation
+import graft.tables.Tables
+
+class CurationSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  test("scrubPii redacts emails then phones with exact counts") {
+    val docs = Seq(
+      (1L, "write to a.b+c@mail-host.org or bob@x.io today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "mixed bob@x.io and 555-123-4567"),
+      (4L, "clean text, nothing to redact"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Curation.scrubPii(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, "write to <EMAIL> or <EMAIL> today", 2L, 0L),
+      Row(2L, "call <PHONE> or <PHONE> now", 0L, 2L),
+      Row(3L, "mixed <EMAIL> and <PHONE>", 1L, 1L),
+      Row(4L, "clean text, nothing to redact", 0L, 0L),
+      Row(5L, "", 0L, 0L)))
+  }
+
+  test("scrubPii counts phones on the email-scrubbed text (no double redaction)") {
+    // the local part contains a phone-shaped digit run; email wins
+    val docs = Seq((1L, "x 555-123-4567@host.com y")).toDF("doc_id", "text")
+    val got = Curation.scrubPii(docs, "text", "doc_id").head()
+    assert(got == Row(1L, "x <EMAIL> y", 1L, 0L))
+  }
+
+  test("deterministicSplit is stable, total, and close to requested fractions") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
+    val fr = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    val a = Curation.deterministicSplit(docs, "doc_id", "s1", fr)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == docs.count())
+    assert(math.abs(counts("train").toDouble / n - 0.9) < 0.05,
+      s"train fraction off: $counts")
+    // stability: same (key, salt) → same assignment on a re-run
+    val b = Curation.deterministicSplit(docs, "doc_id", "s1", fr)
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    // accretion-safety: a doc's split ignores the rest of the corpus
+    val sub = Curation.deterministicSplit(docs.filter(col("doc_id") < 100),
+      "doc_id", "s1", fr)
+    assert(sub.orderBy("doc_id").collect().toSeq ==
+      a.filter(col("doc_id") < 100).orderBy("doc_id").collect().toSeq)
+    // a different salt reshuffles
+    val c = Curation.deterministicSplit(docs, "doc_id", "s2", fr)
+    assert(c.filter(col("split") === "train").count() != counts("train") ||
+      c.orderBy("doc_id").collect().toSeq != a.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("splitThresholds maps cumulative fractions to 4-hex bounds") {
+    assert(Curation.splitThresholds(Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      == Seq(("train", "e666"), ("val", "f333"), ("test", "ffff")))
+  }
+
+  test("packSequences chunks by exclusive prefix within each shard") {
+    val docs = Seq(
+      // shard A: token counts 3, 4, 5 with budget 6
+      (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i j k l", "A"),
+      // shard B independent
+      (10L, "x y", "B"), (11L, "", "B"), (12L, "z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.packSequences(docs, "doc_id", "text", "source", 6L)
+      .orderBy("shard", "doc_id").collect().toSeq
+    assert(got == Seq(
+      Row("A", 1L, 3L, 0L, 0L),   // prev 0
+      Row("A", 2L, 4L, 0L, 3L),   // prev 3
+      Row("A", 3L, 5L, 1L, 1L),   // prev 7 -> pack 1, offset 1
+      Row("B", 10L, 2L, 0L, 0L),
+      Row("B", 11L, 0L, 0L, 2L),
+      Row("B", 12L, 1L, 0L, 2L)))
+  }
+}
