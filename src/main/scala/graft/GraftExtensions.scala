@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, VectorDotExpr}
+import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_ngram_hashes",
         "graft_ngram_hashes(toks, n) - distinct xxhash64 of word n-grams"),
       (children: Seq[Expression]) => NgramHashesExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(score, id, k) - bounded top-k aggregate, best-first array of (score, id)"),
+      (children: Seq[Expression]) => TopKAgg(children(0), children(1), children(2))))
   }
 }

@@ -17,6 +17,34 @@ object Similarity {
 
   private def dotOf(df: DataFrame) = Native.dotOf(df)
 
+  /** Top-k rows per query from a scored candidate set, ranked by
+    * (cosine desc, neighbor_id asc).
+    *
+    * Native path: the `graft_topk` bounded aggregate — partial-agg
+    * friendly, so each map task forwards at most k entries per query
+    * and the shuffle carries O(k · queries · partitions) rows.
+    * Fallback: the window row_number idiom — same rows out, but every
+    * candidate row crosses the exchange and is sorted. The two paths
+    * are asserted row-identical in NativeSpec.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    if (Native.enabled(scored, "graft_topk")) {
+      scored.groupBy("query_id")
+        .agg(call_function("graft_topk",
+          col("cosine"), col("neighbor_id"), lit(k)).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("cosine"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+    }
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * Probes must be small enough to broadcast (they are, by contract:
     * a query workload, not the corpus).
@@ -33,12 +61,7 @@ object Similarity {
     val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Engine-portable deterministic sample order: an affine map over a
@@ -118,12 +141,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    topKPerQuery(cands, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), shared by all
@@ -185,11 +203,6 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    topKPerQuery(cands, k)
   }
 }

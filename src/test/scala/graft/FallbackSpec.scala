@@ -32,6 +32,10 @@ class FallbackSpec extends AnyFunSuite {
       Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", "label", 0.3)
         .orderBy("id1", "id2").collect().mkString("|"),
       Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
+        .orderBy("query_id", "rank").collect().mkString("|"),
+      Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank").collect().mkString("|"),
+      Similarity.ivfTopK(emb, probes, "embedding", "vec_id", 5)
         .orderBy("query_id", "rank").collect().mkString("|"))
   }
 

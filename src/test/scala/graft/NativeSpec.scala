@@ -75,4 +75,37 @@ class NativeSpec extends AnyFunSuite {
       array_sort(hashing.elementHashes(text.wordNgramsOfTokens(col("toks"), 3))).as("expr"))
     assert(both.filter(col("native") =!= col("expr")).count() == 0)
   }
+
+  test("graft_topk agg equals the window row_number idiom, including ties") {
+    val rows = Seq(
+      // group 1: a tie on score resolved by lower id
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.95, 20L),
+      // group 2: fewer rows than k
+      (2L, 0.1, 1L),
+      // group 3: negative scores
+      (3L, -0.2, 5L), (3L, -0.1, 6L), (3L, -0.3, 4L))
+      .toDF("query_id", "cosine", "neighbor_id")
+    val agg = rows.groupBy("query_id")
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(2)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val win = rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+    assert(agg.orderBy("query_id", "rank").collect().toSeq ==
+      win.orderBy("query_id", "rank").collect().toSeq)
+  }
+
+  test("graft_topk is a partial aggregate (no window sort in the plan)") {
+    val emb = tables.Tables(spark, sfDir).embeddings
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val plan = ops.Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"),
+      s"expected a map-side partial graft_topk aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"window top-k should be gone from:\n$plan")
+  }
 }
