@@ -376,6 +376,13 @@ object SparkEntry {
         .orderBy("shard", "doc_id")
     }),
 
+    "d6_decontaminate" -> ((s, dir) => {
+      val split = Curation.deterministicSplit(Tables(s, dir).documents,
+        "doc_id", "graft", Seq(("train", 0.95), ("eval", 0.05)))
+      Curation.contaminationPairs(split, "text", "doc_id", "split", "eval")
+        .orderBy("train_id", "eval_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -828,6 +835,28 @@ object SparkEntry {
                 WHEN bucket < 'f333' THEN 'val'
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+
+    "d6_decontaminate" ->
+      s"""WITH s AS (
+            SELECT doc_id, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'f333'
+                   THEN 'train' ELSE 'eval' END AS split
+            FROM documents),
+          t AS (SELECT doc_id, split, ${toksSql(normSql)} AS toks FROM s),
+          g AS (SELECT doc_id, split,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+                FROM t),
+          e AS (SELECT doc_id, split, unnest(grams) AS gram FROM g),
+          rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10),
+          r AS (SELECT e.doc_id, e.split, e.gram FROM e JOIN rare USING (gram)),
+          p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                  count(*) AS n_shared
+                FROM r a JOIN r b ON a.gram = b.gram
+                  AND a.split = 'train' AND b.split = 'eval'
+                GROUP BY 1, 2)
+          SELECT train_id, eval_id, n_shared FROM p
+          WHERE n_shared >= 2 ORDER BY train_id, eval_id""",
 
     "t9_seq_pack" ->
       s"""WITH t AS (

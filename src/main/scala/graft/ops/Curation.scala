@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.text
+import graft.functions.{hashing, text}
 
 /** Corpus-curation operators for LLM-training-data pipelines: PII
   * scrubbing, deterministic train/val/test splitting, and token-budget
@@ -73,6 +73,66 @@ object Curation {
     fractions.map(_._1).zip(cum).map { case (label, c) =>
       (label, f"${math.min(math.floor(c * 65536).toLong, 65535L)}%04x")
     }
+  }
+
+  /** Train/eval decontamination: (train doc, eval doc) pairs sharing
+    * at least `minShared` distinct word n-grams — the standard n-gram
+    * collision check run before training so eval answers that leaked
+    * into the training corpus are caught (the check GPT-3/PaLM-style
+    * pipelines run with 8-13-grams).
+    *
+    * Grams with document frequency above `dfCap` are excluded first:
+    * boilerplate shared by hundreds of documents indicates nothing
+    * about copying, and the cap is ALSO the scale bound — the
+    * gram-level equi-join fans out at most dfCap² rows per gram value,
+    * so no hot gram can quadratically blow up the shuffle. Shape:
+    * explode grams → df count (one partial-agg shuffle) → filter →
+    * equi-join train×eval on the gram hash → pair count. No pairwise
+    * block join anywhere, so cross-split pair count never appears as
+    * an intermediate — only actually-colliding pairs materialize
+    * (the d4 blocked-pair shape inverted, for the case where the pair
+    * space is huge but collisions are sparse).
+    *
+    * Grams travel as 64-bit hashes (native kernel when loaded);
+    * counts equal string-gram counts modulo xxhash64 collisions.
+    */
+  def contaminationPairs(docs: DataFrame, textCol: String, idCol: String,
+                         splitCol: String, evalLabel: String, n: Int = 3,
+                         dfCap: Long = 10, minShared: Long = 2,
+                         persistIntermediate: Boolean = true): DataFrame = {
+    val toksed = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
+      text.tokens(text.normalize(col(textCol))).as("toks"))
+    val grams =
+      if (Native.enabled(docs, "graft_ngram_hashes"))
+        toksed.select(col("id"), col("split"),
+          call_function("graft_ngram_hashes", col("toks"), lit(n)).as("grams"))
+      else
+        toksed.select(col("id"), col("split"),
+            text.wordNgramsOfTokens(col("toks"), n).as("g"))
+          .select(col("id"), col("split"), hashing.elementHashes(col("g")).as("grams"))
+    // the exploded gram stream feeds three consumers (df count, and
+    // the two pair-join sides) — without a persist the tokenize +
+    // gram-hash pass runs once per consumer (measured 2.9s -> 1s at
+    // sf0.1); same contract as d2/d4's persistIntermediate
+    val explodedPlan = grams.select(col("id"), col("split"),
+      explode(col("grams")).as("gram"))
+    val exploded =
+      if (persistIntermediate)
+        explodedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else explodedPlan
+    // grams are distinct within a doc, so count(*) = document frequency
+    val rareGrams = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram")
+    val rare = exploded.join(rareGrams, "gram")
+    val train = rare.filter(col("split") =!= evalLabel)
+      .select(col("gram"), col("id").as("train_id"))
+    val eval_ = rare.filter(col("split") === evalLabel)
+      .select(col("gram"), col("id").as("eval_id"))
+    train.join(eval_, "gram")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Token-budget sequence packing (concatenate-and-chunk): documents

@@ -63,6 +63,33 @@ class CurationSpec extends AnyFunSuite {
       == Seq(("train", "e666"), ("val", "f333"), ("test", "ffff")))
   }
 
+  test("contaminationPairs finds planted leakage, respects dfCap and minShared") {
+    val leak = "quick brown fox jumps over lazy dog tonight"   // 6 3-grams
+    val boiler = "lorem ipsum dolor"                            // 1 3-gram, everywhere
+    val docs = Seq(
+      (1L, s"$boiler $leak extra words here", "train"),
+      (2L, s"$boiler completely different content words", "train"),
+      (3L, s"$boiler also unrelated training text", "train"),
+      (4L, s"$boiler $leak trailing tail", "eval"),             // leaked from 1
+      (5L, s"$boiler nothing shared at all", "eval"))
+      .toDF("doc_id", "text", "split")
+    // dfCap=3: the boilerplate gram appears in 5 docs -> excluded;
+    // so doc 4 matches doc 1 only through the planted leak run
+    val got = Curation.contaminationPairs(docs, "text", "doc_id", "split",
+        "eval", n = 3, dfCap = 3, minShared = 2)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 4L)), s"got $got")
+    // docs 1/4 share the 11-token prefix -> 9 3-grams, minus the
+    // boilerplate gram (df 5 > cap) = 8; grams crossing the
+    // divergence point differ between the two docs
+    assert(got.head.getLong(2) == 8L, s"got $got")
+    // with the cap relaxed, boilerplate links every train doc to every
+    // eval doc only if minShared allows single-gram evidence
+    val loose = Curation.contaminationPairs(docs, "text", "doc_id", "split",
+        "eval", n = 3, dfCap = 100, minShared = 1)
+    assert(loose.count() >= 6, "boilerplate gram should link all pairs when uncapped")
+  }
+
   test("packSequences chunks by exclusive prefix within each shard") {
     val docs = Seq(
       // shard A: token counts 3, 4, 5 with budget 6
