@@ -42,6 +42,31 @@ object EventStream {
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+  /** Watermarked stream-stream interval join (streaming q16_asof):
+    * each purchase matches the views of the SAME user in the
+    * `maxGap` of event time before it. Both sides carry watermarks
+    * and the join condition is a bounded event-time interval, which
+    * is exactly what lets Spark expire join state: a buffered view
+    * can be dropped once the watermark passes its ts + maxGap, so
+    * state is O(rate · (maxGap + lateness)), never O(stream).
+    * Works on batch frames too (plain interval join, same rows).
+    */
+  def viewPurchaseJoin(views: Dataset[Event], purchases: Dataset[Event],
+                       maxGap: String = "1 hour",
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val streaming = views.isStreaming
+    val v0 = views.toDF("v_user", "view_id", "v_ts")
+    val p0 = purchases.toDF("p_user", "purchase_id", "p_ts")
+    val v = if (streaming) v0.withWatermark("v_ts", watermarkDelay) else v0
+    val p = if (streaming) p0.withWatermark("p_ts", watermarkDelay) else p0
+    v.join(p,
+        col("v_user") === col("p_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $maxGap"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+  }
+
   /** Gap-based sessionization with explicit state (streaming
     * q12_sessionize): a session closes `gapMs` of EVENT TIME after its
     * last event — the timeout is the watermark passing session end +

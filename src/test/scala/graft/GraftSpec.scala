@@ -225,6 +225,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(s => s.n_events == 2 && s.start_ms == t0))
   }
 
+  test("stream-stream interval join matches views in the window, drops stale ones") {
+    import spark.implicits._
+    import graft.streaming.EventStream._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, ms: Long) = Event(u, id, new java.sql.Timestamp(ms))
+    val t0 = 1700000000000L
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = viewPurchaseJoin(views.toDS(), purchases.toDS(), maxGap = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vp_join").start()
+    try {
+      views.addData(
+        ev(1, 100, t0),                      // in window
+        ev(1, 101, t0 - 2 * 3600 * 1000),    // too old -> no match
+        ev(2, 200, t0))                      // other user -> no match
+      purchases.addData(ev(1, 900, t0 + 60000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM vp_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, 900L, 100L, 60000L)), s"got $got")
+    } finally q.stop()
+    // batch path: same semantics on plain Datasets
+    val bv = Seq(ev(1, 100, t0), ev(1, 101, t0 - 2 * 3600 * 1000)).toDS()
+    val bp = Seq(ev(1, 900, t0 + 60000)).toDS()
+    val batch = viewPurchaseJoin(bv, bp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == Set((1L, 900L, 100L, 60000L)), s"batch got $batch")
+  }
+
   test("streaming sessionize: event-time timeout emits after watermark; late out-of-order event merges") {
     import spark.implicits._
     import graft.streaming.EventStream._
