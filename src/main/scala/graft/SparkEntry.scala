@@ -383,6 +383,18 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "t10_len_quantiles" -> ((s, dir) => {
+      TextAnalysis.lengthQuantiles(Tables(s, dir).documents, "lang", "n_chars")
+        .orderBy("grp")
+    }),
+
+    "t11_strat_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
+          "doc_id", "source", "smp",
+          Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -857,6 +869,27 @@ object SparkEntry {
                 GROUP BY 1, 2)
           SELECT train_id, eval_id, n_shared FROM p
           WHERE n_shared >= 2 ORDER BY train_id, eval_id""",
+
+    "t10_len_quantiles" ->
+      """SELECT lang AS grp, count(*) AS n_docs,
+         CAST(min(n_chars) AS BIGINT) AS min_len,
+         CAST(max(n_chars) AS BIGINT) AS max_len,
+         floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.25) * 10000 + 0.5) / 10000 AS p25,
+         floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.50) * 10000 + 0.5) / 10000 AS p50,
+         floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS p75,
+         floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) * 10000 + 0.5) / 10000 AS p95
+         FROM documents GROUP BY lang ORDER BY grp""",
+
+    "t11_strat_sample" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 4) AS bucket
+           FROM documents)
+         SELECT doc_id, source, bucket FROM b
+         WHERE bucket < (CASE source WHEN 'src0' THEN '8000'
+                                     WHEN 'src1' THEN '4000'
+                                     ELSE '1999' END)
+         ORDER BY doc_id""",
 
     "t9_seq_pack" ->
       s"""WITH t AS (

@@ -75,6 +75,28 @@ object Curation {
     }
   }
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * rows, selected by the same md5(key:salt) hex bucket as
+    * [[deterministicSplit]] — engine-portable, accretion-safe, and a
+    * pure map-only filter (no sampleBy RNG, so re-runs and different
+    * partitionings keep IDENTICAL rows). Strata not in `fractions`
+    * fall back to `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       salt: String, fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    def hex4(f: Double): String = {
+      val v = math.floor(f.max(0.0).min(1.0) * 65536).toLong
+      if (v >= 65536L) "g" else f"$v%04x"   // "g" > any hex: keep all
+    }
+    val bucket = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt))), 1, 4)
+    val thr = fractions.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, lit(hex4(f)))
+    }.otherwise(lit(hex4(defaultFraction)))
+    df.withColumn("bucket", bucket).filter(col("bucket") < thr)
+  }
+
   /** Train/eval decontamination: (train doc, eval doc) pairs sharing
     * at least `minShared` distinct word n-grams — the standard n-gram
     * collision check run before training so eval answers that leaked

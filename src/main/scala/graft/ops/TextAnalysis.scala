@@ -54,4 +54,33 @@ object TextAnalysis {
   /** Heuristic language ID per document. */
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), text.langId(col(textCol)).as("lang_pred"))
+
+  /** Per-group length-distribution quantiles (p25/p50/p75/p95) +
+    * min/max/count — the corpus-shape profile a curation pipeline
+    * reads before setting length filters.
+    *
+    * `exact = true` uses `percentile` (linear interpolation at
+    * (n-1)·p, the same definition as DuckDB's quantile_cont, so the
+    * oracle matches bit-for-bit) — it buffers each group's values, so
+    * it is for bounded-cardinality groups (languages, sources).
+    * `exact = false` uses `approx_percentile` (GK sketch, fixed
+    * memory, partial-agg mergeable) — the 100 TB path, where a
+    * ±accuracy⁻¹ rank error is the right trade and no oracle can
+    * match it exactly.
+    */
+  def lengthQuantiles(docs: DataFrame, groupCol: String, lenCol: String,
+                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    def q(p: Double): Column =
+      if (exact) percentile(col("len"), lit(p))
+      else approx_percentile(col("len"), lit(p), lit(accuracy))
+    docs.select(col(groupCol).as("grp"), col(lenCol).cast("double").as("len"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).cast("long").as("min_len"),
+        max(col("len")).cast("long").as("max_len"),
+        fround(q(0.25), 4).as("p25"),
+        fround(q(0.50), 4).as("p50"),
+        fround(q(0.75), 4).as("p75"),
+        fround(q(0.95), 4).as("p95"))
+  }
 }

@@ -63,6 +63,43 @@ class CurationSpec extends AnyFunSuite {
       == Seq(("train", "e666"), ("val", "f333"), ("test", "ffff")))
   }
 
+  test("stratifiedSample keeps per-stratum fractions deterministically") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+      .select("doc_id", "source")
+    val a = Curation.stratifiedSample(docs, "doc_id", "source", "s",
+      Map("src0" -> 0.5), defaultFraction = 0.1)
+    val bySrc = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("src0").toDouble / totals("src0") - 0.5) < 0.15,
+      s"src0 fraction off: $bySrc vs $totals")
+    val others = (bySrc - "src0").values.sum.toDouble / (totals - "src0").values.sum
+    assert(math.abs(others - 0.1) < 0.08, s"default fraction off: $others")
+    // deterministic: identical rows on re-run
+    val b = Curation.stratifiedSample(docs, "doc_id", "source", "s",
+      Map("src0" -> 0.5), defaultFraction = 0.1)
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert(Curation.stratifiedSample(docs, "doc_id", "source", "s",
+      Map.empty, defaultFraction = 1.0).count() == docs.count())
+    assert(Curation.stratifiedSample(docs, "doc_id", "source", "s",
+      Map.empty, defaultFraction = 0.0).count() == 0)
+  }
+
+  test("lengthQuantiles exact matches hand-computed interpolation; approx stays close") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.lengthQuantiles(docs, "lang", "n_chars").head()
+    // (n-1)*p interpolation over [1,2,3,4,10]
+    assert(got.getLong(1) == 5 && got.getLong(2) == 1 && got.getLong(3) == 10)
+    assert(got.getDouble(4) == 2.0 && got.getDouble(5) == 3.0)
+    assert(got.getDouble(6) == 4.0 && got.getDouble(7) == 8.8)
+    val approx = TextAnalysis.lengthQuantiles(docs, "lang", "n_chars", exact = false).head()
+    assert(math.abs(approx.getDouble(5) - 3.0) <= 1.0, s"approx p50 far off: $approx")
+  }
+
   test("contaminationPairs finds planted leakage, respects dfCap and minShared") {
     val leak = "quick brown fox jumps over lazy dog tonight"   // 6 3-grams
     val boiler = "lorem ipsum dolor"                            // 1 3-gram, everywhere
