@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr}
+import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, NormalizeTextExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_ngram_hashes",
         "graft_ngram_hashes(toks, n) - distinct xxhash64 of word n-grams"),
       (children: Seq[Expression]) => NgramHashesExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_normalize"),
+      info("graft_normalize",
+        "graft_normalize(s) - canonical lowercase/strip/collapse/trim normalize in one pass"),
+      (children: Seq[Expression]) => NormalizeTextExpr(children(0))))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k aggregate, best-first array of (score, id)"),

@@ -175,6 +175,46 @@ object NativeKernels {
     sig
   }
 
+  /** Canonical text normalize (lowercase → non-[a-z0-9 ] → space →
+    * collapse runs → trim) in ONE byte pass for ASCII input — the
+    * expression form runs two full regex passes per row and measurably
+    * dominates every text operator's map stage. Non-ASCII input takes
+    * the exact slow path (the same toLowerCase + replaceAll chain the
+    * expression evaluates), so results are identical to
+    * `text.normalize` for EVERY input, not just ASCII.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Byte](n)
+    var outLen = 0
+    var pendingSep = false
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b < 0) {
+        // multi-byte UTF-8 → exact slow path, identical to the
+        // lower/regexp/trim expression chain
+        return UTF8String.fromString(
+          s.toString.toLowerCase
+            .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
+      }
+      val c = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && outLen > 0) { out(outLen) = ' '; outLen += 1 }
+        pendingSep = false
+        out(outLen) = c
+        outLen += 1
+      } else {
+        pendingSep = true   // spaces and stripped chars both separate;
+        // leading/trailing runs vanish (outLen guard + no flush at end)
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, outLen)
+  }
+
   /** First-seen-order distinct of `count` generated longs via open
     * addressing (no boxing; Long.MinValue is the empty-slot sentinel,
     * remapped if it ever occurs as a value).
@@ -299,6 +339,21 @@ case class NgramHashesExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NgramHashesExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_normalize(string) -> string` */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_normalize"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.normalizeText(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.NativeKernels.normalizeText($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
 }
 
 /** `graft_simhash64(array<bigint>) -> bigint` */

@@ -123,7 +123,7 @@ object Curation {
                          dfCap: Long = 10, minShared: Long = 2,
                          persistIntermediate: Boolean = true): DataFrame = {
     val toksed = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
-      text.tokens(text.normalize(col(textCol))).as("toks"))
+      text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
     val grams =
       if (Native.enabled(docs, "graft_ngram_hashes"))
         toksed.select(col("id"), col("split"),

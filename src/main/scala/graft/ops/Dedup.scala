@@ -40,7 +40,7 @@ object Dedup {
     * n_dups, canonical = min id). One shuffle on the fingerprint.
     */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(text.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+    docs.select(md5(Native.normOf(docs)(col(textCol))).as("fingerprint"), col(idCol))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
@@ -69,7 +69,7 @@ object Dedup {
     // Hash arrays are sorted once per doc so the pairwise verify can
     // use the allocation-free two-pointer intersect kernel.
     val hashedPlan = docs
-      .select(col(idCol).as("id"), text.normalize(col(textCol)).as("norm"))
+      .select(col(idCol).as("id"), Native.normOf(docs)(col(textCol)).as("norm"))
       .select(col("id"), array_sort(shingles).as("hs"))
     // The doc→hashes table feeds three subplans (banding + both verify
     // sides); persisting it trades executor memory/disk for running
@@ -167,11 +167,11 @@ object Dedup {
   def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     if (Native.enabled(docs, "graft_simhash64"))
       docs.select(col(idCol).as("id"),
-          hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+          hashing.elementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
         .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
     else docs
       .select(col(idCol).as("id"),
-        hashing.elementHashes(text.tokens(text.normalize(col(textCol)))).as("th"))
+        hashing.elementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
       .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
       .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
 
@@ -220,12 +220,12 @@ object Dedup {
     val prepared =
       if (Native.enabled(docs, "graft_ngram_hashes"))
         docs.select(col(idCol).as("id"), blockCol.as("block"),
-            text.tokens(text.normalize(col(textCol))).as("toks"))
+            text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
           .select(col("id"), col("block"),
             array_sort(call_function("graft_ngram_hashes", col("toks"), lit(n))).as("grams"))
       else docs
         .select(col(idCol).as("id"), blockCol.as("block"),
-          text.tokens(text.normalize(col(textCol))).as("toks"))
+          text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
         .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
         .select(col("id"), col("block"), array_sort(hashing.elementHashes(col("g"))).as("grams"))
     // prepared feeds three subplans (candidate join sides + the verify

@@ -23,4 +23,13 @@ private[ops] object Native {
     if (enabled(df, "graft_vector_dot"))
       (a, b) => call_function("graft_vector_dot", a, b)
     else graft.functions.vectors.dot
+
+  /** Single-pass native normalize when available; the two-regex
+    * expression chain otherwise. Identical output for every input
+    * (the kernel's non-ASCII slow path IS the expression semantics).
+    */
+  def normOf(df: DataFrame): Column => Column =
+    if (enabled(df, "graft_normalize"))
+      c => call_function("graft_normalize", c)
+    else graft.functions.text.normalize
 }

@@ -39,17 +39,19 @@ object TextAnalysis {
     * grouped vocabulary, not the corpus.
     */
   def tokenTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(text.tokens(text.normalize(col(textCol)))).as("token"))
+    docs.select(explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
   /** Per-document fingerprints (content hash + cheap stats). */
-  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = Native.normOf(docs)
     docs.select(col(idCol).as("doc_id"),
-      text.fingerprint(col(textCol)).as("fingerprint"),
-      length(text.normalize(col(textCol))).cast("long").as("norm_len"),
+      md5(norm(col(textCol))).as("fingerprint"),
+      length(norm(col(textCol))).cast("long").as("norm_len"),
       text.tokenCount(col(textCol)).as("n_tokens"))
+  }
 
   /** Heuristic language ID per document. */
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =

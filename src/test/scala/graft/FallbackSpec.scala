@@ -22,6 +22,10 @@ class FallbackSpec extends AnyFunSuite {
     val emb = Tables(spark, sfDir).embeddings
     val probes = emb.filter(col("vec_id") % 100 === 0)
     Seq(
+      Dedup.exactGroups(docs, "text", "doc_id")
+        .orderBy("fingerprint").collect().mkString("|"),
+      graft.ops.TextAnalysis.fingerprints(docs, "text", "doc_id")
+        .orderBy("doc_id").collect().mkString("|"),
       Dedup.minhashPairs(docs, "text", "doc_id", persistIntermediate = false)
         .orderBy("id1", "id2").collect().mkString("|"),
       Dedup.simhashPairs(docs, "text", "doc_id")

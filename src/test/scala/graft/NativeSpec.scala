@@ -108,4 +108,21 @@ class NativeSpec extends AnyFunSuite {
       s"expected a map-side partial graft_topk aggregate in:\n$plan")
     assert(!plan.contains("Window"), s"window top-k should be gone from:\n$plan")
   }
+
+  test("graft_normalize equals the lower/regexp/trim expression chain") {
+    val df = Seq(
+      "  Hello,   WORLD!! 42 ",
+      "tabs\tand\nnewlines",
+      "",
+      "   ",
+      "already clean text",
+      "!!!???",
+      "Caf\u00e9 na\u00efve \u4e2d\u6587 mixed ASCII 7",   // non-ASCII slow path
+      "UPPER lower 123 MiXeD").toDF("t")
+    val both = df.select(
+      call_function("graft_normalize", col("t")).as("native"),
+      text.normalize(col("t")).as("expr"))
+    val diff = both.filter(col("native") =!= col("expr")).collect()
+    assert(diff.isEmpty, s"diverged: ${diff.toSeq}")
+  }
 }
