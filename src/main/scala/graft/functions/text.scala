@@ -15,10 +15,14 @@ object text {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Whitespace tokens of the raw string ('' → 0 tokens). */
+  /** Whitespace tokens of the raw string ('' and NULL → 0 tokens —
+    * the same guard the DuckDB oracle's toksSql applies, so token
+    * counts agree on degenerate rows too).
+    */
   def tokens(c: Column): Column = {
     val t = trim(c)
-    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+    when(t.isNull || t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
   }
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")

@@ -164,16 +164,20 @@ object Dedup {
     * otherwise staged so the 64 per-bit probes in votesToSimhash read
     * a materialized votes column instead of re-running the aggregate.
     */
-  def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    if (Native.enabled(docs, "graft_simhash64"))
-      docs.select(col(idCol).as("id"),
-          hashing.elementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
-        .select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
-    else docs
-      .select(col(idCol).as("id"),
+  def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // zero-token docs are dropped, not fingerprinted: an all-zero-vote
+    // simhash (0L) would pair every contentless doc with every other,
+    // which is evidence-free — same rationale as minhash's
+    // empty-shingle drop
+    val hashed = docs.select(col(idCol).as("id"),
         hashing.elementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
+      .filter(size(col("th")) > 0)
+    if (Native.enabled(docs, "graft_simhash64"))
+      hashed.select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
+    else hashed
       .select(col("id"), hashing.simhashVotesFromHashes(col("th")).as("votes"))
       .select(col("id"), hashing.votesToSimhash(col("votes")).as("simhash"))
+  }
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {

@@ -56,4 +56,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(counts.forall(_ >= 1))
     assert(groups.count() >= 4)
   }
+
+  test("curation ops tolerate null/empty text") {
+    import graft.ops.Curation
+    val cds = Seq((1L, null.asInstanceOf[String], "train"), (2L, "", "eval"),
+      (3L, "real content words here", "train"))
+      .toDF("doc_id", "text", "split")
+    // scrub: null stays null, counts stay null-safe (no throw)
+    val scrubbed = Curation.scrubPii(cds, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(scrubbed.length == 3 && scrubbed(2).getString(1) == "real content words here")
+    // packing: null text counts 0 tokens
+    val packed = Curation.packSequences(cds, "doc_id", "text", "split", 10L)
+      .orderBy("shard", "doc_id").collect()
+    assert(packed.map(_.getLong(2)).toSeq == Seq(0L, 0L, 4L))  // (eval,2), (train,1), (train,3)
+    // contamination: null/empty produce no grams and no pairs, no throw
+    val pairs = Curation.contaminationPairs(cds, "text", "doc_id", "split",
+      "eval", persistIntermediate = false)
+    assert(pairs.count() == 0)
+  }
 }
