@@ -36,15 +36,19 @@ object Bench {
     // NOT silently timed as fast: its error surfaces in the JSON.
     val results = ordered.map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+          }
+        // a failed run's duration is not a latency — min over failures
+        // would report a fast-failing query as a speedup
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      (name, times.min, err)
+      (name, if (times.nonEmpty) times.min else -1.0, err)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

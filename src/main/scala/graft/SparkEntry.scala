@@ -841,7 +841,7 @@ object SparkEntry {
       """WITH b AS (
            SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket
-           FROM documents)
+           FROM documents WHERE doc_id IS NOT NULL)
          SELECT doc_id, bucket,
            CASE WHEN bucket < 'e666' THEN 'train'
                 WHEN bucket < 'f333' THEN 'val'
@@ -853,7 +853,7 @@ object SparkEntry {
             SELECT doc_id, text,
               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'f333'
                    THEN 'train' ELSE 'eval' END AS split
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
           t AS (SELECT doc_id, split, ${toksSql(normSql)} AS toks FROM s),
           g AS (SELECT doc_id, split,
                  list_distinct(list_transform(range(1, len(toks) - 1),

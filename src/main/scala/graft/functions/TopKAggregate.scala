@@ -19,9 +19,14 @@ final class TopKHeap(val k: Int) {
 
   /** (s1,i1) ranks strictly worse than (s2,i2): lower score, or same
     * score with the larger id (matching ORDER BY score DESC, id ASC).
+    * Double.compare gives the same total order Spark's physical
+    * DoubleType ordering uses — NaN ranks above every number, so a
+    * NaN-scored row wins desc ordering on both paths.
     */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (k == 0) return
@@ -72,7 +77,12 @@ final class TopKHeap(val k: Int) {
   * O(k · groups · partitions), the difference between an ANN query
   * that scales and one that sorts the corpus per probe. Output is
   * sorted best-first; ties break on the lower id, identical to the
-  * window idiom, so the two forms are exchangeable row-for-row.
+  * window idiom, so the two forms are exchangeable row-for-row over
+  * non-null inputs (NaN scores included — Double.compare order). Rows
+  * with a null score or id are SKIPPED, the standard aggregate-null
+  * convention (cf. max/min); a window ranks null scores last instead,
+  * so callers wanting exact window parity filter nulls first (the
+  * graft ANN ops produce no null scores by construction).
   *
   * k must be a foldable literal (it sizes the buffer).
   */
@@ -89,6 +99,21 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: id must be BIGINT, got ${idExpr.dataType.sql}")
+    else if (!kExpr.foldable ||
+             kExpr.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: k must be an INT literal, got ${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)

@@ -56,7 +56,12 @@ object Curation {
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val bucket = substring(
       md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt))), 1, 4)
-    val withBucket = df.withColumn("bucket", bucket)
+    // null keys are dropped, not assigned: a null bucket fails every
+    // `<` compare, which would silently dump the row into the LAST
+    // label (the eval set, in the usual config). Dropping matches
+    // stratifiedSample's behavior, so the two bucket-scheme operators
+    // agree on degenerate keys.
+    val withBucket = df.where(col(keyCol).isNotNull).withColumn("bucket", bucket)
     val thresholds = splitThresholds(fractions)
     val assigned = thresholds.init.foldLeft(when(lit(false), lit(""))) {
       case (acc, (label, thr)) => acc.when(col("bucket") < lit(thr), lit(label))

@@ -127,7 +127,11 @@ object Dedup {
       .select(col("id1"), col("id2"),
         col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
       .withColumn("inter", Dedup.intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
-      .withColumn("jaccard", round(
+      // floor-round (num.fround), NOT round(): integer-ratio jaccards
+      // land exactly on .xxxx5 boundaries where engine round()
+      // semantics diverge from the DuckDB oracle's floor form (same
+      // rule as d4)
+      .withColumn("jaccard", graft.functions.num.fround(
         when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
           .otherwise(col("inter") /
             (size(col("sh1")).cast("double") + size(col("sh2")).cast("double") - col("inter"))), 4))

@@ -144,8 +144,11 @@ object Multimodal {
     input.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        parser.parse(r.getAs[Array[Byte]](1))
-          .map(rec => Row.fromSeq(id +: rec.toSeq))
+        val payload = r.getAs[Array[Byte]](1)
+        // a NULL payload extracts zero records — parsers only ever see
+        // real bytes, so none of them has to re-implement this guard
+        if (payload == null) Iterator.empty
+        else parser.parse(payload).map(rec => Row.fromSeq(id +: rec.toSeq))
       }
     }(enc)
   }
