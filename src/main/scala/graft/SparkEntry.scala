@@ -383,6 +383,11 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "t12_rolling_fp" -> ((s, dir) => {
+      TextAnalysis.rollingFingerprints(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t10_len_quantiles" -> ((s, dir) => {
       TextAnalysis.lengthQuantiles(Tables(s, dir).documents, "lang", "n_chars")
         .orderBy("grp")
@@ -869,6 +874,17 @@ object SparkEntry {
                 GROUP BY 1, 2)
           SELECT train_id, eval_id, n_shared FROM p
           WHERE n_shared >= 2 ORDER BY train_id, eval_id""",
+
+    "t12_rolling_fp" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+          SELECT doc_id,
+            CASE WHEN length(norm) = 0 THEN 0
+                 ELSE list_reduce(
+                   list_transform(range(1, length(norm) + 1),
+                     i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) END AS rolling_fp,
+            CAST(length(norm) AS BIGINT) AS norm_len
+          FROM n ORDER BY doc_id""",
 
     "t10_len_quantiles" ->
       """SELECT lang AS grp, count(*) AS n_docs,

@@ -108,6 +108,21 @@ object text {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Polynomial rolling hash (Rabin-Karp base 31, mod 1e9+7) of an
+    * ALREADY-NORMALIZED column — the incremental-hash fingerprint
+    * family, engine-portable (the fold is exact BIGINT math both in
+    * Spark's `aggregate` and DuckDB's `list_reduce`, so the oracle
+    * reproduces it digit-for-digit). `s` must be a materialized
+    * column: the per-char lambda would re-evaluate an embedded
+    * normalize subtree per character.
+    */
+  val RollingMod = 1000000007L
+  def rollingHashOfNormalized(s: Column): Column = {
+    val codes = transform(split(s, ""), ch => ascii(ch).cast("long"))
+    when(length(s) === 0 || s.isNull, lit(0L)).otherwise(
+      aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(RollingMod)))
+  }
+
   /** Distinct word n-grams from an ALREADY-TOKENIZED column.
     *
     * `toks` must be a materialized column (AttributeReference), never

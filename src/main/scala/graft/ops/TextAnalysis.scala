@@ -57,6 +57,18 @@ object TextAnalysis {
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), text.langId(col(textCol)).as("lang_pred"))
 
+  /** Rolling-hash fingerprints (Rabin-Karp polynomial fold over the
+    * normalized text) alongside the md5 content hash — the
+    * incremental-fingerprint family for pipelines that maintain
+    * hashes under streaming append. Map-only column math.
+    */
+  def rollingFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Native.normOf(docs)(col(textCol)).as("norm"))
+      .select(col("doc_id"),
+        text.rollingHashOfNormalized(col("norm")).as("rolling_fp"),
+        length(col("norm")).cast("long").as("norm_len"))
+
   /** Per-group length-distribution quantiles (p25/p50/p75/p95) +
     * min/max/count — the corpus-shape profile a curation pipeline
     * reads before setting length filters.
