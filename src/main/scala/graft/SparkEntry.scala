@@ -267,6 +267,15 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    "q18_salted_agg" -> ((s, dir) => {
+      // the skew path in the driver's hard signal: two-stage salted
+      // count (partials on (key, salt) spread a hot key over 16
+      // reducers) must equal the direct groupBy count exactly
+      Skew.saltedCount(Tables(s, dir).events,
+          keys = Seq("user_id"), saltBy = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
     // ----- deduplication -----
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables(s, dir).documents, "text", "doc_id")
@@ -619,6 +628,10 @@ object SparkEntry {
          SELECT nationkey, 'backfilled_' || nationkey AS name, 'fetched' AS src
          FROM missing
          ORDER BY nationkey""",
+
+    "q18_salted_agg" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+         GROUP BY user_id ORDER BY user_id""",
 
     "d1_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, count(*) AS n_dups,
