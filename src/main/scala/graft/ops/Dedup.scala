@@ -109,10 +109,19 @@ object Dedup {
         sigs.select(col("id"), col("n"),
           explode(array(bandKeyCols: _*)).as("band"))
       }
+    // Both sides of the band self-join reference `banded`; without a
+    // persist the signature computation runs once PER SIDE (the plan
+    // shows no ReusedExchange across the self-join inputs). The slim
+    // (id, n, band) table is bands rows per doc — tiny relative to the
+    // hash arrays.
+    val bandedCached =
+      if (persistIntermediate)
+        banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded
     // Lossless prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
     // — prunes most low-similarity band collisions before the
     // dedup shuffle and the exact verify.
-    val candidates = banded.as("a").join(banded.as("b"),
+    val candidates = bandedCached.as("a").join(bandedCached.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
           greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
@@ -184,10 +193,18 @@ object Dedup {
   }
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   persistIntermediate: Boolean = true): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 4,
       s"maxHamming must be in [1,4] for the 6-block banding scheme, got $maxHamming")
-    val sigs = simhashSigs(docs, textCol, idCol)
+    // both self-join sides reference sigs: persist the (id, simhash)
+    // table (16 bytes/doc) or the normalize+tokenize+hash pipeline
+    // runs once per side
+    val sigsPlan = simhashSigs(docs, textCol, idCol)
+    val sigs =
+      if (persistIntermediate)
+        sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsPlan
     val blockSizes = Seq(11, 11, 11, 11, 10, 10)
     val blockOffsets = blockSizes.scanLeft(0)(_ + _).init
     def blockOf(i: Int): Column =
