@@ -145,6 +145,22 @@ class CurationSpec extends AnyFunSuite {
       Row("B", 12L, 1L, 0L, 2L)))
   }
 
+  test("split and sample are partitioning-invariant (the no-RNG contract)") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id", "source")
+    val fr = Seq(("train", 0.9), ("val", 0.1))
+    val base = Curation.deterministicSplit(docs, "doc_id", "p", fr)
+      .orderBy("doc_id").collect().toSeq
+    val repart = Curation.deterministicSplit(docs.repartition(7), "doc_id", "p", fr)
+      .orderBy("doc_id").collect().toSeq
+    assert(base == repart)
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "source", "p", Map("src0" -> 0.3), 0.2)
+      .orderBy("doc_id").collect().toSeq
+    val s2 = Curation.stratifiedSample(docs.repartition(7), "doc_id", "source", "p",
+        Map("src0" -> 0.3), 0.2)
+      .orderBy("doc_id").collect().toSeq
+    assert(s1 == s2)
+  }
+
   test("rollingFingerprints computes the base-31 polynomial fold") {
     import graft.ops.TextAnalysis
     val docs = Seq((1L, "abc"), (2L, ""), (3L, "ABC!")).toDF("doc_id", "text")
