@@ -225,6 +225,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(s => s.n_events == 2 && s.start_ms == t0))
   }
 
+  test("map-only curation ops run unchanged on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDS().toDF("doc_id", "text")
+    // stateless select/filter ops need no watermark or state store —
+    // the same operator body serves batch and streaming callers
+    val q = graft.ops.Curation.scrubPii(
+        graft.ops.Curation.deterministicSplit(docs, "doc_id", "s",
+          Seq(("train", 0.9), ("val", 0.1))),
+        "text", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("cur_stream").start()
+    try {
+      ms.addData((1L, "mail bob@x.io now"), (2L, "clean"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, clean_text, n_emails FROM cur_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "mail <EMAIL> now", 1L), (2L, "clean", 0L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches views in the window, drops stale ones") {
     import spark.implicits._
     import graft.streaming.EventStream._
