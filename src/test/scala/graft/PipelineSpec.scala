@@ -58,4 +58,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == exported.count())
     assert(back.columns.toSeq == exported.columns.toSeq)
   }
+
+  test("LLM curation pipeline composes: dedup -> quality -> split -> decontaminate -> pack") {
+    import graft.ops.{Curation, Dedup, TextAnalysis}
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val n0 = docs.count()
+    // 1. exact dedup: keep one canonical doc per content fingerprint
+    val canon = Dedup.exactGroups(docs, "text", "doc_id")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = docs.join(canon, "doc_id")
+    // 2. quality gate
+    val keep = TextAnalysis.qualityScores(deduped, "text", "doc_id")
+      .filter(col("quality") >= 0.3).select("doc_id")
+    val kept = deduped.join(keep, "doc_id")
+    // 3. deterministic split
+    val split = Curation.deterministicSplit(kept, "doc_id", "pipe",
+      Seq(("train", 0.95), ("eval", 0.05)))
+    // 4. decontaminate: drop train docs that collide with eval docs
+    val contaminated = Curation.contaminationPairs(split, "text", "doc_id",
+        "split", "eval", persistIntermediate = false)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = split.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. pack the surviving train docs into 2048-token sequences
+    val train = clean.filter(col("split") === "train")
+    val packed = Curation.packSequences(train, "doc_id", "text", "source", 2048L)
+    // structural invariants of the composition
+    assert(deduped.count() <= n0 && kept.count() <= deduped.count())
+    assert(split.count() == kept.count(), "split is total over its input")
+    assert(clean.count() == split.count() - contaminated.count(),
+      "decontamination removes exactly the flagged train docs")
+    assert(packed.count() == train.count(), "packing is a metadata pass, 1 row per doc")
+    assert(packed.filter(col("pack_offset") >= 2048 || col("pack_offset") < 0).count() == 0)
+    assert(packed.count() > 0, "pipeline must not degenerate to empty")
+  }
 }
