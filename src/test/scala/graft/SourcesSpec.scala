@@ -45,4 +45,36 @@ class SourcesSpec extends AnyFunSuite {
       physical.contains("c_mktsegment"),
       s"expected partition pruning in plan:\n$physical")
   }
+
+  test("bucketed tables join and aggregate with no exchange") {
+    import graft.sources.Sources
+    val e = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    Sources.writeBucketed(e, "ev_a", Seq("user_id"), 4)
+    Sources.writeBucketed(e.select(col("user_id"), col("event_id").as("eid2")),
+      "ev_b", Seq("user_id"), 4)
+    // tiny tables broadcast by default (which IS an exchange) — force
+    // the shuffle-join path the bucketing exists to serve
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Sources.readTable(spark, "ev_a")
+        .join(Sources.readTable(spark, "ev_b"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle either side:\n$plan")
+      assert(joined.count() > 0)
+      // aggregation on the bucket key also skips the exchange
+      val agg = Sources.readTable(spark, "ev_a").groupBy("user_id").count()
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregation must not shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ev_a")
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+    }
+  }
 }
