@@ -48,6 +48,9 @@ object Bench {
         // would report a fast-failing query as a speedup
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      // release the ops' persisted intermediates between queries so the
+      // cached blocks of one query never occupy the next one's memory
+      spark.catalog.clearCache()
       (name, if (times.nonEmpty) times.min else -1.0, err)
     }
     def esc(s: String): String = s.flatMap {

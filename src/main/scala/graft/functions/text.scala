@@ -119,8 +119,12 @@ object text {
   val RollingMod = 1000000007L
   def rollingHashOfNormalized(s: Column): Column = {
     val codes = transform(split(s, ""), ch => ascii(ch).cast("long"))
-    when(length(s) === 0 || s.isNull, lit(0L)).otherwise(
-      aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(RollingMod)))
+    // NULL propagates (like md5/fingerprint — and like the oracle's
+    // list_reduce over a NULL list); only a real empty string is 0
+    when(s.isNull, lit(null).cast("long"))
+      .when(length(s) === 0, lit(0L))
+      .otherwise(
+        aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(RollingMod)))
   }
 
   /** Distinct word n-grams from an ALREADY-TOKENIZED column.

@@ -54,21 +54,34 @@ object Sources {
 
   /** Bucketed parquet table write — the co-located-join layout.
     *
-    * Rows are hash-partitioned into `numBuckets` files per partition
-    * by `bucketCols` AND each bucket is sorted by them, so an
-    * equi-join (or aggregation) on the bucket columns between two
-    * tables bucketed the same way plans with NO exchange and no sort:
-    * at 100 TB that deletes the single largest cost of a repeated
-    * fact⋈fact join. Bucketing metadata lives in the catalog, which is
-    * why this writes a TABLE (saveAsTable), not a bare path.
+    * Rows are hash-partitioned into `numBuckets` buckets by
+    * `bucketCols`, one file per bucket (the repartition below), each
+    * file sorted by the bucket columns. An equi-join or aggregation on
+    * the bucket columns between two same-bucketed tables then plans
+    * with NO exchange — at 100 TB that deletes the dominant cost of a
+    * repeated fact⋈fact join. (A per-partition Sort remains under
+    * Spark's defaults: sorted-bucket read ordering sits behind
+    * spark.sql.legacy.bucketedTableScan.outputOrdering since 3.0; the
+    * in-file ordering still serves min/max row-group skipping.)
+    * Bucketing metadata lives in the catalog, which is why this writes
+    * a TABLE (saveAsTable), not a bare path.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, mode: String = "overwrite"): Unit =
-    df.write.mode(mode)
+                    numBuckets: Int, mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    // repartition on the bucket columns first: without it every input
+    // task writes its own file per bucket (file count = tasks ×
+    // buckets at scale), and Spark only reports a bucket's sort order
+    // when it holds exactly one file — multi-file buckets silently
+    // re-Sort on read, defeating the no-sort join this layout exists
+    // for
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

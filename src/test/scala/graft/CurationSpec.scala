@@ -163,13 +163,16 @@ class CurationSpec extends AnyFunSuite {
 
   test("rollingFingerprints computes the base-31 polynomial fold") {
     import graft.ops.TextAnalysis
-    val docs = Seq((1L, "abc"), (2L, ""), (3L, "ABC!")).toDF("doc_id", "text")
+    val docs = Seq((1L, "abc"), (2L, ""), (3L, "ABC!"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val got = TextAnalysis.rollingFingerprints(docs, "text", "doc_id")
       .orderBy("doc_id").collect().toSeq
     // normalize("abc") = "abc" -> ((97*31+98)*31+99) % 1e9+7
     val abc = ((97L * 31 + 98) * 31 + 99) % 1000000007L
-    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+    assert(got.take(3).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
       Seq((1L, abc, 3L), (2L, 0L, 0L), (3L, abc, 3L)),
       s"got $got")  // "ABC!" normalizes to "abc" -> same fingerprint
+    // NULL text propagates NULL (like md5), never colliding with ""
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2), s"got ${got(3)}")
   }
 }

@@ -64,6 +64,8 @@ class SourcesSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed equi-join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"the scan must actually use the bucketing:\n$plan")
       assert(joined.count() > 0)
       // aggregation on the bucket key also skips the exchange
       val agg = Sources.readTable(spark, "ev_a").groupBy("user_id").count()
