@@ -392,6 +392,13 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "t13_det_shuffle" -> ((s, dir) => {
+      Curation.deterministicShuffle(Tables(s, dir).documents.select("doc_id"),
+          "doc_id", "shuf")
+        .select("doc_id", "bucket", "pos")
+        .orderBy("bucket", "pos")
+    }),
+
     "t12_rolling_fp" -> ((s, dir) => {
       TextAnalysis.rollingFingerprints(Tables(s, dir).documents, "text", "doc_id")
         .orderBy("doc_id")
@@ -887,6 +894,15 @@ object SparkEntry {
                 GROUP BY 1, 2)
           SELECT train_id, eval_id, n_shared FROM p
           WHERE n_shared >= 2 ORDER BY train_id, eval_id""",
+
+    "t13_det_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuf') AS hh
+           FROM documents WHERE doc_id IS NOT NULL)
+         SELECT doc_id, substr(hh, 1, 2) AS bucket,
+           CAST(row_number() OVER (PARTITION BY substr(hh, 1, 2)
+             ORDER BY hh, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY bucket, pos""",
 
     "t12_rolling_fp" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)

@@ -102,6 +102,28 @@ object Curation {
     df.withColumn("bucket", bucket).filter(col("bucket") < thr)
   }
 
+  /** Deterministic training-order shuffle: a reproducible global
+    * order decorrelated from ingest order (the "shuffle the corpus
+    * before training" step), with no RNG and no global sort.
+    *
+    * Order = (bucket, pos): bucket is the first 2 hex chars of
+    * md5(key:salt) (256 buckets), pos is the rank within the bucket
+    * by the full hash. Consumers read buckets in order — the
+    * concatenation is the global shuffled order. Scale shape: the
+    * window partitions by bucket, so no single-partition global
+    * window exists anywhere; 256 bounded sorts instead of one
+    * corpus-wide sort.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt)))
+    val w = Window.partitionBy("bucket").orderBy(col("h"), col(keyCol))
+    df.where(col(keyCol).isNotNull)
+      .withColumn("h", h)
+      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+
   /** Train/eval decontamination: (train doc, eval doc) pairs sharing
     * at least `minShared` distinct word n-grams — the standard n-gram
     * collision check run before training so eval answers that leaked

@@ -175,4 +175,25 @@ class CurationSpec extends AnyFunSuite {
     // NULL text propagates NULL (like md5), never colliding with ""
     assert(got(3).isNullAt(1) && got(3).isNullAt(2), s"got ${got(3)}")
   }
+
+  test("deterministicShuffle gives a total, reproducible, partitioning-invariant order") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
+    val a = Curation.deterministicShuffle(docs, "doc_id", "x")
+    assert(a.count() == docs.count(), "order is total")
+    // (bucket, pos) is a dense unique order within each bucket
+    assert(a.select("bucket", "pos").distinct().count() == a.count())
+    // reproducible and partitioning-invariant
+    val b = Curation.deterministicShuffle(docs.repartition(7), "doc_id", "x")
+    assert(a.orderBy("bucket", "pos").collect().toSeq ==
+      b.orderBy("bucket", "pos").collect().toSeq)
+    // genuinely decorrelated from id order: the first 20 docs of the
+    // shuffled order are not the first 20 ids
+    val first = a.orderBy("bucket", "pos").limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(first != first.sorted || first.max > 100, s"suspiciously id-ordered: $first")
+    // a different salt produces a different order
+    val c = Curation.deterministicShuffle(docs, "doc_id", "y")
+    assert(c.orderBy("bucket", "pos").limit(20).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq != first)
+  }
 }
