@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, NormalizeTextExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr}
+import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, NormalizeTextExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr, WinnowExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_normalize",
         "graft_normalize(s) - canonical lowercase/strip/collapse/trim normalize in one pass"),
       (children: Seq[Expression]) => NormalizeTextExpr(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(s, k, w) - packed winnowing fingerprints pos*1000000007 + fp"),
+      (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k aggregate, best-first array of (score, id)"),

@@ -303,6 +303,15 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "d7_cluster_dedup" -> ((s, dir) => {
+      // pairs → transitive clusters → one canonical survivor per
+      // cluster: the step that turns a near-dup PAIR list into an
+      // actionable keep/drop verdict (A~B, B~C must drop two of three)
+      val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+        "embedding", "vec_id", "label", 0.3)
+      Graph.clusterDedup(pairs, "id1", "id2").orderBy("id")
+    }),
+
     // ----- similarity search -----
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -407,6 +416,16 @@ object SparkEntry {
     "t10_len_quantiles" -> ((s, dir) => {
       TextAnalysis.lengthQuantiles(Tables(s, dir).documents, "lang", "n_chars")
         .orderBy("grp")
+    }),
+
+    "t14_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t15_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id", "pos")
     }),
 
     "t11_strat_sample" -> ((s, dir) => {
@@ -692,6 +711,28 @@ object SparkEntry {
          SELECT id1, id2, round(cos, 4) AS cosine FROM p
          WHERE cos >= 0.3 ORDER BY id1, id2""",
 
+    // d5's pair graph → connected components via a recursive CTE
+    // (min reachable id per vertex — exactly what the label
+    // propagation converges to), then size + canonical flags.
+    "d7_cluster_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+         ed AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT a AS id FROM ed),
+         walk(id, comp) AS (
+           SELECT id, CAST(id AS BIGINT) FROM nodes
+           UNION
+           SELECT ed.b, w.comp FROM walk w JOIN ed ON ed.a = w.id),
+         cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN id = component THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM cc ORDER BY id""",
+
     "s1_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -914,6 +955,55 @@ object SparkEntry {
                    (acc, x) -> (acc * 31 + x) % 1000000007) END AS rolling_fp,
             CAST(length(norm) AS BIGINT) AS norm_len
           FROM n ORDER BY doc_id""",
+
+    "t14_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          f AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            len(list_distinct(toks)) AS n_distinct,
+            greatest(len(toks) - 1, 0) AS n_bi,
+            len(list_distinct(list_transform(range(1, len(toks)),
+              i -> concat_ws(' ', toks[i], toks[i+1])))) AS n_dbi,
+            list_max(list_transform(list_distinct(toks),
+              tk -> len(list_filter(toks, x -> x = tk)))) AS topc
+          FROM t)
+          SELECT doc_id, n_tokens,
+            floor((CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END) * 10000 + 0.5) / 10000 AS dup_token_frac,
+            floor((CASE WHEN n_bi = 0 THEN 0.0
+                        ELSE 1.0 - CAST(n_dbi AS DOUBLE) / n_bi END) * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+            floor((CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE CAST(topc AS DOUBLE) / n_tokens END) * 10000 + 0.5) / 10000 AS top_token_frac
+          FROM f ORDER BY doc_id""",
+
+    // Winnowing replicated literally: same base-31 mod-1e9+7 k-gram
+    // hashes (k=8), same w=4 windows, same rightmost-min selection.
+    "t15_winnow" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+          c AS (SELECT doc_id,
+              CASE WHEN length(norm) = 0 THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(range(1, length(norm) + 1),
+                          i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT)) END AS codes
+            FROM n),
+          g AS (SELECT doc_id,
+              CASE WHEN len(codes) < 8 THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(range(1, len(codes) - 6),
+                          i -> list_reduce(list_slice(codes, i, i + 7),
+                                 (acc, x) -> (acc * 31 + x) % 1000000007)) END AS gh
+            FROM c),
+          w2 AS (SELECT doc_id, gh, greatest(len(gh) - 3, least(len(gh), 1)) AS nw FROM g),
+          w3 AS (SELECT doc_id,
+              list_transform(range(1, nw + 1), s -> list_slice(gh, s, s + 3)) AS wins
+            FROM w2 WHERE nw >= 1),
+          sel AS (SELECT doc_id,
+              list_transform(range(1, len(wins) + 1), s ->
+                {'pos': CAST(s + len(wins[s])
+                         - list_position(list_reverse(wins[s]), list_min(wins[s])) AS BIGINT),
+                 'fp': list_min(wins[s])}) AS fps
+            FROM w3),
+          u AS (SELECT doc_id, unnest(fps) AS sf FROM sel)
+          SELECT DISTINCT doc_id, sf.pos AS pos, sf.fp AS fp
+          FROM u ORDER BY doc_id, pos""",
 
     "t10_len_quantiles" ->
       """SELECT lang AS grp, count(*) AS n_docs,

@@ -215,6 +215,81 @@ object NativeKernels {
     UTF8String.fromBytes(out, 0, outLen)
   }
 
+  /** Winnowing fingerprint selection (the MOSS scheme) in ONE compiled
+    * O(len) pass: base-31 mod-1e9+7 rolling k-gram hashes, then a
+    * monotonic-deque sliding-window minimum with rightmost tie-break.
+    * Each selected (pos, fp) is packed as `pos·P + fp` (exact: fp < P
+    * and 1-based pos ≤ 2^33 stays within a long) — callers decode with
+    * `enc div P` / `enc % P`. Output order is strictly increasing pos,
+    * consecutive-window re-selections deduplicated.
+    *
+    * Equals the per-window HOF evaluation (min of each w-slice,
+    * rightmost occurrence) element-for-element: the `>=` pop makes the
+    * deque front the RIGHTMOST occurrence of the window minimum, and a
+    * doc with 0 < hashes < w emits its single short window at the end.
+    * Input contract: an already-normalized (ASCII) column; non-ASCII
+    * falls back to per-code-point hashing, matching `ascii(split(s,''))`
+    * semantics.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): UnsafeArrayData = {
+    val P = 1000000007L
+    // code units: normalized text is ASCII, where bytes == codepoints;
+    // exotic input takes the codePoints path the HOF fallback computes
+    val codes: Array[Int] = {
+      val nb = s.numBytes()
+      var ascii = true
+      var i = 0
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val fast = new Array[Int](nb)
+      while (ascii && i < nb) {
+        val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+        if (b < 0) ascii = false else { fast(i) = b.toInt; i += 1 }
+      }
+      if (ascii) fast else s.toString.codePoints().toArray
+    }
+    val n = codes.length
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = n - k + 1
+    val gh = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31L + codes(i)) % P; i += 1 }
+    gh(0) = h
+    var bk1 = 1L
+    i = 0
+    while (i < k - 1) { bk1 = bk1 * 31L % P; i += 1 }
+    i = 1
+    while (i < m) {
+      h = ((h - codes(i - 1) * bk1 % P + P) % P * 31L + codes(i + k - 1)) % P
+      gh(i) = h
+      i += 1
+    }
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](math.max(m - w + 1, 1))
+    var outN = 0
+    var lastPos = -1
+    var j = 0
+    while (j < m) {
+      while (tail > head && gh(deque(tail - 1)) >= gh(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      while (deque(head) < j - w + 1) head += 1
+      if (j >= w - 1 || j == m - 1) {
+        val sel = deque(head)
+        if (sel != lastPos) {
+          out(outN) = (sel + 1).toLong * P + gh(sel)
+          outN += 1
+          lastPos = sel
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
+  }
+
   /** First-seen-order distinct of `count` generated longs via open
     * addressing (no boxing; Long.MinValue is the empty-slot sentinel,
     * remapped if it ever occurs as a value).
@@ -387,6 +462,27 @@ case class MinhashExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinhashExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_winnow(string, k, w) -> array<bigint>` — packed winnowing
+  * fingerprints `pos·1000000007 + fp`, strictly increasing pos.
+  */
+case class WinnowExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    NativeKernels.winnow(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) =>
+      s"${ev.value} = graft.functions.NativeKernels.winnow($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** `graft_hyperplane_sig(array<float>, array<double>, dim) -> bigint` */

@@ -69,6 +69,107 @@ object TextAnalysis {
         text.rollingHashOfNormalized(col("norm")).as("rolling_fp"),
         length(col("norm")).cast("long").as("norm_len"))
 
+  /** Per-document repetition signals — the Gopher-style "is this doc
+    * mostly the same thing over and over" diagnostics a quality
+    * filter reads: duplicate-token fraction, duplicate-bigram
+    * fraction, and the share of the doc taken by its single most
+    * frequent token. All are pure per-row column math over a staged
+    * token array (map-only, no shuffle); the most-frequent-token scan
+    * is O(distinct·tokens) per doc, which is the right trade below
+    * ~10⁴ tokens/doc — beyond that, explode + per-(doc,token) count
+    * is the same answer with one extra shuffle.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val staged = docs
+      .select(col(idCol).as("doc_id"), Native.normOf(docs)(col(textCol)).as("norm"))
+      .select(col("doc_id"), text.tokens(col("norm")).as("toks"))
+    val n = size(col("toks")).cast("double")
+    val nDistinct = size(array_distinct(col("toks"))).cast("double")
+    val nBigrams = greatest(size(col("toks")) - 1, lit(0)).cast("double")
+    val nDistinctBigrams = size(text.wordNgramsOfTokens(col("toks"), 2)).cast("double")
+    val topCount = array_max(transform(array_distinct(col("toks")),
+      t => size(filter(col("toks"), x => x === t))))
+    staged.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      fround(when(n === 0, 0.0).otherwise(lit(1.0) - nDistinct / n), 4)
+        .as("dup_token_frac"),
+      fround(when(nBigrams === 0, 0.0).otherwise(lit(1.0) - nDistinctBigrams / nBigrams), 4)
+        .as("dup_bigram_frac"),
+      fround(when(n === 0, 0.0).otherwise(topCount.cast("double") / n), 4)
+        .as("top_token_frac"))
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme): per-position k-gram
+    * rolling hashes, then for every window of `w` consecutive hashes
+    * keep the minimum (rightmost on ties), deduplicated by position.
+    * Winnowing guarantees any match of length >= w+k-1 between two
+    * docs shares a selected fingerprint, while storing only
+    * ~2/(w+1) of the positions — the local-sampling fingerprint
+    * family member beside t4 (whole-doc md5) and t12 (whole-doc
+    * rolling hash).
+    *
+    * Hashes are the same engine-portable base-31 mod-1e9+7 polynomial
+    * as [[text.rollingHashOfNormalized]], so a DuckDB oracle
+    * reproduces every selected (pos, fp) digit-for-digit. Map-only:
+    * each doc is processed independently (explode at the end), no
+    * shuffle anywhere. Every HOF lambda reads staged attribute
+    * columns (codes/gh/wins), never an embedded subtree — the
+    * re-evaluation trap measured in round 1.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val P = text.RollingMod
+    // Native path: one compiled O(len) pass per doc (rolling hash +
+    // monotonic-deque window min) emitting pos·P + fp packed longs —
+    // the nested-HOF fallback below runs interpreted (HOFs don't
+    // codegen) and is O(len·k·w), measured 35× slower at sf0.01.
+    // Decode stays in exact integer math (`div`, `%`).
+    if (Native.enabled(docs, "graft_winnow")) {
+      return docs
+        .select(col(idCol).as("doc_id"), Native.normOf(docs)(col(textCol)).as("norm"))
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow", col("norm"), lit(k), lit(w))).as("enc"))
+        .select(col("doc_id"),
+          expr(s"enc div ${P}L").as("pos"),
+          (col("enc") % lit(P)).as("fp"))
+    }
+    val codes = docs
+      .select(col(idCol).as("doc_id"), Native.normOf(docs)(col(textCol)).as("norm"))
+      .select(col("doc_id"),
+        transform(split(col("norm"), ""), ch => ascii(ch).cast("long")).as("codes"))
+    // per-position k-gram hash: fold over an O(k) slice of the staged
+    // char-code array (slice of an array attribute is O(k), unlike
+    // substr's O(i) boundary scan — round-1 rule)
+    val gh = codes.select(col("doc_id"),
+      when(size(col("codes")) < k, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(1), size(col("codes")) - lit(k - 1)), i =>
+          aggregate(slice(col("codes"), i, lit(k)), lit(0L),
+            (acc, x) => (acc * lit(31L) + x) % lit(P)))).as("gh"))
+    // windows of w consecutive hashes; a doc with 0 < |gh| < w gets a
+    // single short window (slice clamps), so short docs still emit.
+    // nw < 1 must short-circuit BEFORE sequence(): sequence(1, 0) is
+    // a DESCENDING sequence in Spark, not empty.
+    val nw = greatest(size(col("gh")) - lit(w - 1), least(size(col("gh")), lit(1)))
+    val wins = gh.select(col("doc_id"), col("gh"), nw.as("nw"))
+      .filter(col("nw") >= 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), col("nw")), s => slice(col("gh"), s, lit(w))).as("wins"))
+    // rightmost-min selection per window: pos = window start + offset
+    // of the LAST occurrence of the min (first occurrence in the
+    // reversed slice); dedup by (pos, fp) is winnowing's output set
+    val sel = array_distinct(transform(sequence(lit(1), size(col("wins"))), s => {
+      val sl = element_at(col("wins"), s)
+      val m = array_min(sl)
+      struct(
+        (s + size(sl) - array_position(reverse(sl), m)).cast("long").as("pos"),
+        m.as("fp"))
+    }))
+    wins.select(col("doc_id"), explode(sel).as("sf"))
+      .select(col("doc_id"), col("sf.pos").as("pos"), col("sf.fp").as("fp"))
+  }
+
   /** Per-group length-distribution quantiles (p25/p50/p75/p95) +
     * min/max/count — the corpus-shape profile a curation pipeline
     * reads before setting length filters.

@@ -40,7 +40,9 @@ class FallbackSpec extends AnyFunSuite {
       Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
         .orderBy("query_id", "rank").collect().mkString("|"),
       Similarity.ivfTopK(emb, probes, "embedding", "vec_id", 5)
-        .orderBy("query_id", "rank").collect().mkString("|"))
+        .orderBy("query_id", "rank").collect().mkString("|"),
+      graft.ops.TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+        .orderBy("doc_id", "pos").collect().mkString("|"))
   }
 
   test("fallback expression paths match native kernel results exactly") {

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Graph, TextAnalysis}
+
+/** Round-3 operators: connected-components cluster dedup, repetition
+  * signals, winnowing fingerprints.
+  */
+class GraphWinnowSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  // ---------- connected components ----------
+
+  test("connectedComponents finds min-id components across transitive chains") {
+    // chain 1-2-3-4-5-6-7-8 (diameter 7 → several propagation rounds),
+    // a 2-cycle-free pair, and an isolated edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (100L, 101L),
+      (50L, 60L), (60L, 55L)).toDF("id1", "id2")
+    val got = Graph.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val expected = (1L to 8L).map(_ -> 1L) ++
+      Seq(50L -> 50L, 55L -> 50L, 60L -> 50L, 100L -> 100L, 101L -> 100L)
+    assert(got == expected)
+  }
+
+  test("clusterDedup keeps exactly one canonical doc per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Graph.clusterDedup(pairs, "id1", "id2").orderBy("id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 1L, 3L, 1), Row(2L, 1L, 3L, 0), Row(3L, 1L, 3L, 0),
+      Row(10L, 10L, 2L, 1), Row(11L, 10L, 2L, 0)))
+    // one keeper per component, always the min id
+    val keepers = got.filter(_.getInt(3) == 1).map(_.getLong(0))
+    assert(keepers == Seq(1L, 10L))
+  }
+
+  test("connectedComponents is partitioning-invariant") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (3L, 5L))
+      .toDF("id1", "id2")
+    val a = Graph.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id").collect().toSeq
+    val b = Graph.connectedComponents(pairs.repartition(7), "id1", "id2")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---------- repetition signals ----------
+
+  test("repetitionSignals computes dup-token/bigram and top-token fractions") {
+    val docs = Seq(
+      (1L, "a b a b a"),          // 5 toks, 2 distinct; bigrams 4 total 2 distinct; top 'a'=3
+      (2L, "x y z"),              // all distinct
+      (3L, "w w w w"),            // fully repeated
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 5L, 0.6, 0.5, 0.6),
+      Row(2L, 3L, 0.0, 0.0, 0.3333),
+      Row(3L, 4L, 0.75, 0.6667, 1.0),
+      Row(4L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  // ---------- winnowing ----------
+
+  /** Reference winnowing over an already-normalized string. */
+  private def winnowRef(s: String, k: Int, w: Int): Set[(Long, Long)] = {
+    if (s.length < k) return Set.empty
+    val gh = (0 to s.length - k).map { i =>
+      s.substring(i, i + k).foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    }
+    val nw = math.max(gh.length - w + 1, 1)
+    (1 to nw).map { st =>
+      val sl = gh.slice(st - 1, math.min(st - 1 + w, gh.length))
+      val mn = sl.min
+      ((st + sl.lastIndexOf(mn)).toLong, mn)
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the reference algorithm (incl. ties + short docs)") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "abababababababab",          // heavy hash ties → rightmost-min rule exercised
+      3L -> "aaaaaaaaaaaa",              // all k-grams identical
+      4L -> "short",                     // len < k → no rows
+      5L -> "exactly8",                  // len == k → single hash, single window
+      6L -> "nine char")                 // 0 < |gh| < w → one short window
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "text", "doc_id", k = 8, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    // reference normalize (mirrors text.normalize semantics)
+    def norm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val expected = texts.map { case (id, t) =>
+      id -> winnowRef(norm(t), 8, 4)
+    }.filter(_._2.nonEmpty).toMap
+    assert(got == expected)
+  }
+
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    // any common substring of length >= w+k-1 (= 11) must yield a
+    // common selected fingerprint VALUE
+    val common = "identical stretch of text preserved verbatim"
+    val docs = Seq(
+      (1L, s"prefix alpha $common"),
+      (2L, s"totally different opening words $common and a tail")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("winnowing density: selected positions cover every window of w hashes") {
+    val docs = Seq((1L, "a reasonably long sentence used to check the gap bound of winnowing"))
+      .toDF("doc_id", "text")
+    val poss = TextAnalysis.winnowFingerprints(docs, "text", "doc_id", k = 8, w = 4)
+      .orderBy("pos").collect().map(_.getLong(1))
+    // winnowing picks one hash per window → consecutive picks gap <= w
+    poss.sliding(2).foreach {
+      case Array(a, b) => assert(b - a <= 4, s"gap $a -> $b exceeds w")
+      case _ =>
+    }
+  }
+}
