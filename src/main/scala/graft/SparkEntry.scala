@@ -200,18 +200,24 @@ object SparkEntry {
 
     "q14_revenue_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
-      // Pre-aggregate the fact side BEFORE the join: revenue needs only
-      // lineitem, so the join then moves one row per order instead of
-      // one per lineitem — at scale this halves the shuffle volume.
+      // Pre-aggregate AND pre-rank the fact side BEFORE the join:
+      // revenue is a function of lineitem alone, so the global top-10
+      // is decided before orders is touched. orderBy+limit plans
+      // TakeOrderedAndProject (each task forwards ≤10 rows — no range
+      // exchange, no full sort), and the orders join then broadcasts
+      // 10 rows instead of shuffling one row per order. Equivalent to
+      // joining first because every l_orderkey references an order
+      // (FK) and the join is 1:1 — the top-10 set is unchanged.
       val rev = t.lineitem.groupBy(col("l_orderkey"))
         .agg(num.fround(sum(col("l_extendedprice").cast("decimal(18,6)")
             * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double"), 2).as("revenue"))
-      rev.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+      broadcast(rev).join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").cast("string").as("order_date"),
           col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
     }),
 
     "q15_market_share" -> ((s, dir) => {
@@ -306,9 +312,12 @@ object SparkEntry {
     "d7_cluster_dedup" -> ((s, dir) => {
       // pairs → transitive clusters → one canonical survivor per
       // cluster: the step that turns a near-dup PAIR list into an
-      // actionable keep/drop verdict (A~B, B~C must drop two of three)
+      // actionable keep/drop verdict (A~B, B~C must drop two of
+      // three). Threshold 0.35 (vs d5's 0.3) yields the structure the
+      // operator exists for — many small tight clusters (sf0.1: 262
+      // components, max size 7) rather than one loose hairball.
       val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
-        "embedding", "vec_id", "label", 0.3)
+        "embedding", "vec_id", "label", 0.35)
       Graph.clusterDedup(pairs, "id1", "id2").orderBy("id")
     }),
 
@@ -420,6 +429,11 @@ object SparkEntry {
 
     "t14_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionSignals(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t16_quality_filter" -> ((s, dir) => {
+      Curation.qualityFilter(Tables(s, dir).documents, "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -720,7 +734,7 @@ object SparkEntry {
            SELECT a.vec_id AS id1, b.vec_id AS id2
            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            WHERE list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
          ed AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
          nodes AS (SELECT DISTINCT a AS id FROM ed),
          walk(id, comp) AS (
@@ -975,6 +989,40 @@ object SparkEntry {
             floor((CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE CAST(topc AS DOUBLE) / n_tokens END) * 10000 + 0.5) / 10000 AS top_token_frac
           FROM f ORDER BY doc_id""",
+
+    "t16_quality_filter" ->
+      s"""WITH f AS (
+            SELECT doc_id, text AS txt, ${toksSql("text")} AS toks FROM documents),
+          s AS (
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / len(toks) END AS mwl,
+              COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS maxw,
+              len(list_filter(${toksSql("lower(txt)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS stop,
+              CASE WHEN length(txt) = 0 THEN 0.0
+                   ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE)
+                        / length(txt) END AS dr
+            FROM f),
+          b AS (
+            SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r_len,
+              CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1 ELSE 0 END AS r_word_len,
+              CASE WHEN stop >= 1 THEN 1 ELSE 0 END AS r_stop,
+              CASE WHEN dr < 0.3 THEN 1 ELSE 0 END AS r_digit,
+              CASE WHEN maxw <= 30 THEN 1 ELSE 0 END AS r_max_word
+            FROM s)
+          SELECT doc_id, n_tokens,
+            CAST(r_len AS INTEGER) AS r_len,
+            CAST(r_word_len AS INTEGER) AS r_word_len,
+            CAST(r_stop AS INTEGER) AS r_stop,
+            CAST(r_digit AS INTEGER) AS r_digit,
+            CAST(r_max_word AS INTEGER) AS r_max_word,
+            CAST(CASE WHEN r_len + r_word_len + r_stop + r_digit + r_max_word = 5
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+          FROM b ORDER BY doc_id""",
 
     // Winnowing replicated literally: same base-31 mod-1e9+7 k-gram
     // hashes (k=8), same w=4 windows, same rightmost-min selection.

@@ -184,6 +184,49 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** C4/Gopher-style composable quality filter: per-document rule
+    * verdicts plus the conjunctive keep decision. Each rule is a
+    * named, documented predicate over cheap column stats; emitting
+    * the per-rule bits (not just `keep`) is what makes the filter
+    * auditable — corpus reports read the bit columns to see WHY mass
+    * was dropped. Pure map-only codegen'd column math; thresholds are
+    * the caller's contract.
+    *
+    * Rules (1 = pass): `r_len` token count in [minTokens, maxTokens];
+    * `r_word_len` mean token length in [minMeanWordLen,
+    * maxMeanWordLen]; `r_stop` at least minStopwords stopword hits;
+    * `r_digit` digit chars below maxDigitRatio of all chars;
+    * `r_max_word` longest token at most maxWordLen chars (catches
+    * unbroken blobs/base64).
+    */
+  def qualityFilter(df: DataFrame, textCol: String, idCol: String,
+                    minTokens: Long = 10, maxTokens: Long = 100000,
+                    minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                    minStopwords: Long = 1, maxDigitRatio: Double = 0.3,
+                    maxWordLen: Long = 30): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      text.tokens(col(textCol)).as("toks"))
+    val n = size(col("toks")).cast("long")
+    val meanWordLen = when(n === 0, 0.0)
+      .otherwise(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / n)
+    val maxWord = coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+    val digitRatio = when(length(col("txt")) === 0, 0.0)
+      .otherwise(text.digitCount(col("txt")).cast("double") / length(col("txt")))
+    val bit = (c: Column) => when(c, 1).otherwise(0)
+    toksed.select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        bit(n >= minTokens && n <= maxTokens).as("r_len"),
+        bit(meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen).as("r_word_len"),
+        bit(text.markerHits(col("txt"), text.EnMarkers) >= minStopwords).as("r_stop"),
+        bit(digitRatio < maxDigitRatio).as("r_digit"),
+        bit(maxWord <= maxWordLen).as("r_max_word"))
+      .withColumn("keep",
+        when(col("r_len") + col("r_word_len") + col("r_stop")
+          + col("r_digit") + col("r_max_word") === 5, 1).otherwise(0))
+  }
+
   /** Token-budget sequence packing (concatenate-and-chunk): documents
     * are laid out in `idCol` order within each shard, and `pack_id` is
     * the chunk of `budgetTokens` tokens in which a document STARTS
