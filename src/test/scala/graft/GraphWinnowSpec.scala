@@ -49,6 +49,48 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connectedComponents on an empty pair set returns an empty frame") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Graph.connectedComponents(pairs, "id1", "id2").count() == 0L)
+    assert(Graph.clusterDedup(pairs, "id1", "id2").count() == 0L)
+  }
+
+  test("clusterDedup composes with minhashPairs (pairs from any dedup family)") {
+    // three exact copies + one unrelated doc: minhash pairs (a,b),
+    // (a,c), (b,c) must collapse to ONE kept canonical
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9L, "completely unrelated content about spark physical plans")).toDF("doc_id", "text")
+    val pairs = ops.Dedup.minhashPairs(docs, "text", "doc_id", persistIntermediate = false)
+    val clusters = Graph.clusterDedup(pairs, "id1", "id2").orderBy("id").collect().toSeq
+    assert(clusters.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))) ==
+      Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0)))
+  }
+
+  // ---------- quality filter ----------
+
+  test("qualityFilter emits per-rule bits and the conjunctive keep") {
+    val good = ("the cat and the dog sat in a field of green grass " * 3).trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "short"),                               // fails r_len (< 10 tokens)
+      (3L, good + " " + ("x" * 40)),               // fails r_max_word
+      (4L, "the of 111 222 333 444 555 666 777 888 999 000"), // digit-heavy
+      (5L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff")). // no stopwords
+      toDF("doc_id", "text")
+    val got = ops.Curation.qualityFilter(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+      .toMap
+    assert(got(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(got(2L)._1 == 0 && got(2L)._6 == 0)          // r_len fails → keep 0
+    assert(got(3L)._5 == 0 && got(3L)._6 == 0)          // r_max_word fails
+    assert(got(4L)._4 == 0 && got(4L)._6 == 0)          // r_digit fails
+    assert(got(5L)._3 == 0 && got(5L)._6 == 0)          // r_stop fails
+  }
+
   // ---------- repetition signals ----------
 
   test("repetitionSignals computes dup-token/bigram and top-token fractions") {
