@@ -475,13 +475,14 @@ object SparkEntry {
 
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same table names, same column names, same
-  // rounding. Omitted only for d3 (simhash = chained xxhash64, not
-  // reproducible in DuckDB; covered by RobustSpec's brute-force
-  // banding equivalence instead). d2's oracle is the EXACT all-pairs
-  // shingle-Jaccard set — it asserts LSH recall 1.0 at the test SF on
-  // top of value parity. s2/s3 oracles replicate the bucketing
-  // (hyperplane literals / portable affine-hash centroid sample), so
-  // candidate generation itself is oracle-checked.
+  // rounding. Every declared query has an oracle. d2's and d3's
+  // oracles are EXACT all-pairs sets (shingle Jaccard / fingerprint
+  // hamming) — they assert banding recall 1.0 at the test SF on top
+  // of value parity (d3's fingerprints are reproducible because token
+  // hashes are the portable md5-fold, hashing.portableElementHashes).
+  // s2/s3 oracles replicate the bucketing (hyperplane literals /
+  // portable affine-hash centroid sample), so candidate generation
+  // itself is oracle-checked.
   // ---------------------------------------------------------------
 
   /** The s2 hyperplanes as DuckDB list literals — Double.toString is
@@ -697,6 +698,30 @@ object SparkEntry {
                           ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 AS jaccard
             FROM pairs)
           SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    // SimHash replicated literally: portable md5-fold token hashes →
+    // 60-bit majority-vote fingerprint → EXACT all-pairs hamming ≤ 3
+    // (so banding recall 1.0 is asserted on top of value parity).
+    "d3_simhash" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          h AS (
+            SELECT doc_id,
+              list_transform(toks, tk ->
+                list_reduce(list_transform(range(1, 16),
+                  i -> CAST(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1 AS BIGINT)),
+                  (acc, d) -> acc * 16 + d)) AS hs
+            FROM t WHERE len(toks) > 0),
+          f AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 60), b ->
+                CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> CAST(b AS INTEGER)) & 1 = 1)) > len(hs)
+                     THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END)) AS BIGINT) AS fp
+            FROM h)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+          ORDER BY id1, id2""",
 
     "d4_ngram_jaccard" ->
       s"""WITH prep AS (

@@ -17,6 +17,22 @@ object hashing {
     */
   def elementHashes(elems: Column): Column = transform(elems, e => xxhash64(e))
 
+  /** 60-bit ENGINE-PORTABLE element hash: integer fold of the first
+    * 15 hex chars of md5(e) — exact BIGINT math that any engine with
+    * md5 reproduces digit-for-digit (DuckDB: list_reduce over hex
+    * digits; Spark: conv+cast). 15 hex digits keep the value < 2^60,
+    * inside BIGINT range on engines that error on overflow.
+    *
+    * Used where operator OUTPUT depends on hash VALUES and therefore
+    * needs a cross-engine oracle (d3's simhash fingerprints);
+    * xxhash64 stays the default wherever output is hash-agnostic
+    * (Jaccard counts, banding keys), since md5 costs a few× more per
+    * token. Top 4 bits are always 0 — consumers treating this as a
+    * 64-bit hash see constant-zero bits 60-63.
+    */
+  def portableElementHashes(elems: Column): Column =
+    transform(elems, e => conv(substring(md5(e), 1, 15), 16, 10).cast("long"))
+
   /** Distinct hashes of the character k-shingles of an
     * ALREADY-NORMALIZED string column, without materializing shingle
     * strings: split to chars once (let-bound via the single-element

@@ -176,6 +176,14 @@ object Dedup {
   /** (id, simhash) per doc. Native compiled vote loop when available;
     * otherwise staged so the 64 per-bit probes in votesToSimhash read
     * a materialized votes column instead of re-running the aggregate.
+    *
+    * Token hashes are the PORTABLE md5-fold (60-bit), not xxhash64:
+    * simhash output depends on hash values directly, so a portable
+    * hash is what makes the d3 fingerprints (and its pair set)
+    * reproducible by the DuckDB oracle digit-for-digit. The cost is
+    * an md5 per token on the map side; bits 60-63 of every
+    * fingerprint are constant 0, which only thins the last banding
+    * block (exact hamming verify is unaffected).
     */
   def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // zero-token docs are dropped, not fingerprinted: an all-zero-vote
@@ -183,7 +191,7 @@ object Dedup {
     // which is evidence-free — same rationale as minhash's
     // empty-shingle drop
     val hashed = docs.select(col(idCol).as("id"),
-        hashing.elementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
+        hashing.portableElementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
       .filter(size(col("th")) > 0)
     if (Native.enabled(docs, "graft_simhash64"))
       hashed.select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))
