@@ -83,6 +83,21 @@ object Graph {
     labels
   }
 
+  /** The deduped corpus itself: every document that is NOT a
+    * non-canonical member of some near-dup cluster. This is the
+    * pipeline's end use — pair generators (d2-d5) feed
+    * [[clusterDedup]], and the left-anti join drops all but one doc
+    * per transitive cluster while untouched docs pass through.
+    * Scale shape: one anti-join on the id, broadcast-able because the
+    * drop list is bounded by the duplicate count, not the corpus.
+    */
+  def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   srcCol: String, dstCol: String): DataFrame = {
+    val drop = clusterDedup(pairs, srcCol, dstCol)
+      .filter(col("keep") === 0).select(col("id").as("__drop_id"))
+    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Cluster-level dedup verdict from a pair table: every vertex with
     * its component, the component size, and keep = 1 for the one
     * canonical (min-id) member. Component sizes come from a window

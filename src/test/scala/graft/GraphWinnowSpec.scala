@@ -67,6 +67,10 @@ class GraphWinnowSpec extends AnyFunSuite {
     val clusters = Graph.clusterDedup(pairs, "id1", "id2").orderBy("id").collect().toSeq
     assert(clusters.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))) ==
       Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0)))
+    // end-to-end: corpus in → deduped corpus out (canonical + untouched)
+    val kept = Graph.dropNearDups(docs, "doc_id", pairs, "id1", "id2")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 9L))
   }
 
   // ---------- quality filter ----------
@@ -106,6 +110,20 @@ class GraphWinnowSpec extends AnyFunSuite {
       Row(2L, 3L, 0.0, 0.0, 0.3333),
       Row(3L, 4L, 0.75, 0.6667, 1.0),
       Row(4L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("round-3 ops are null/empty safe") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "some ok text here"))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rep.length == 3 && rep(0).getLong(1) == 0L && rep(1).getLong(1) == 0L)
+    // null/empty docs yield no k-grams → no fingerprints, no NPE
+    val wf = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+    assert(wf.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val qf = ops.Curation.qualityFilter(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(qf.length == 3 && qf.forall(_.getInt(7) == 0)) // all fail r_len
   }
 
   // ---------- winnowing ----------
