@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // tier (c): whole-operator extension — the as-of join planned as a
+    // first-class physical operator (graft.plans.AsofJoin*)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_vector_dot"),
       info("graft_vector_dot",
         "graft_vector_dot(a, b) - dot product of two float arrays in double"),

@@ -257,6 +257,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q19_asof_planned" -> ((s, dir) => {
+      // the PLAN-BACKED as-of join (custom LogicalPlan + Strategy +
+      // SparkPlan, graft.plans.AsofJoin*): q16's semantics executed as
+      // one streaming merge over co-partitioned sorted children —
+      // checked here against DuckDB's native ASOF JOIN
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochMs(col("ts")).as("ts_ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ms")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms")).distinct()
+      Asof.asofJoin(purchases, views, Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+        .select(col("event_id"), col("ts_ms"), col("ts_ms_r").as("last_view_ms"))
+        .orderBy("event_id")
+    }),
+
     "q17_dim_upsert" -> ((s, dir) => {
       val t = Tables(s, dir)
       // the reference's geocode-cache pattern: a partial dim ("cache")
@@ -655,6 +672,18 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ms
            FROM ve)
          WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q19_asof_planned" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.ts_ms, v.ts_ms AS last_view_ms
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
+         ORDER BY p.event_id""",
 
     "q17_dim_upsert" ->
       """WITH dim AS (

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Asof
+import graft.tables.Tables
+
+/** The tier-(c) extension: as-of join as a custom LogicalPlan +
+  * Strategy + SparkPlan (graft.plans.AsofJoin*), exercised on the
+  * real events table and checked against a compositional ground
+  * truth (join + groupBy max), which is itself the q16 semantic.
+  */
+class AsofPlanSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  private def sides() = {
+    val e = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_ms")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms")).distinct()
+    (purchases, views)
+  }
+
+  test("plan-backed as-of join matches the compositional ground truth") {
+    val (purchases, views) = sides()
+    val got = Asof.asofJoin(purchases, views,
+        Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+      .select(col("event_id"), col("ts_ms_r").as("last_view_ms"))
+      .orderBy("event_id").collect().toSeq
+    val expected = purchases
+      .join(views.select(col("user_id").as("vuid"), col("ts_ms").as("vts")),
+        col("user_id") === col("vuid") && col("vts") <= col("ts_ms"), "left")
+      .groupBy("event_id").agg(max("vts").as("last_view_ms"))
+      .orderBy("event_id").collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("plans as AsofJoinExec (sort-merge requirements, no union/window)") {
+    val (purchases, views) = sides()
+    val df = Asof.asofJoin(purchases, views,
+      Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"custom exec missing from plan:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("as-of join is partitioning-invariant") {
+    val (purchases, views) = sides()
+    val a = Asof.asofJoin(purchases, views, Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+      .select("event_id", "ts_ms_r").orderBy("event_id").collect().toSeq
+    val b = Asof.asofJoin(purchases.repartition(13), views.repartition(5),
+        Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+      .select("event_id", "ts_ms_r").orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("null keys never match; empty right side yields all-null attachments") {
+    val left = Seq((Some(1L), 10L, 100L), (None, 11L, 100L), (Some(2L), 12L, 50L))
+      .toDF("k", "id", "t")
+    val right = Seq((Some(1L), 90L), (None, 95L)).toDF("k", "t")
+    val got = Asof.asofJoin(left, right, Seq(("k", "k")), "t", "t")
+      .select("id", "t_r").orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // id 10: k=1, right(1, 90) <= 100 → 90; id 11: null key → no match;
+    // id 12: k=2, no right group → no match
+    assert(got == Seq(10L -> 90L, 11L -> -1L, 12L -> -1L))
+    val emptyRight = Seq.empty[(Option[Long], Long)].toDF("k", "t")
+    val got2 = Asof.asofJoin(left, emptyRight, Seq(("k", "k")), "t", "t")
+      .select("t_r").collect()
+    assert(got2.length == 3 && got2.forall(_.isNullAt(0)))
+  }
+
+  test("ties on time are inclusive and the latest right row wins") {
+    val left = Seq((1L, 100L, 100L)).toDF("k", "id", "t")
+    val right = Seq((1L, 50L, 7L), (1L, 100L, 8L), (1L, 101L, 9L)).toDF("k", "t", "v")
+    val got = Asof.asofJoin(left, right, Seq(("k", "k")), "t", "t")
+      .select("t_r", "v_r").head()
+    assert(got.getLong(0) == 100L && got.getLong(1) == 8L)
+  }
+}
