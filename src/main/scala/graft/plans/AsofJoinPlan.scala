@@ -94,6 +94,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val rTimeB = rightTime
     val timeType = leftTime.dataType
     val keyTypes = leftKeys.map(_.dataType)
+    val outputB = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
@@ -103,6 +104,11 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
+      // downstream operators may require UnsafeRow — project the
+      // JoinedRow through the standard unsafe output projection.
+      // MUST bind against `output` (right side nullability-widened),
+      // or the projection reads unmatched null slots as garbage zeros.
+      val resultProj = UnsafeProjection.create(outputB, outputB)
 
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastKey: InternalRow = null   // key of lastMatch (copied)
@@ -120,7 +126,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
         if (anyKeyNull(lk)) {
-          joined(lRow, nullRight)
+          resultProj(joined(lRow, nullRight))
         } else {
           val lt = lTimeProj(lRow).get(0, timeType)
           // advance the right side while it is not ahead of (lk, lt);
@@ -147,9 +153,9 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             }
           }
           if (lastMatch != null && keyOrd.compare(lastKey, lk) == 0) {
-            joined(lRow, lastMatch)
+            resultProj(joined(lRow, lastMatch))
           } else {
-            joined(lRow, nullRight)
+            resultProj(joined(lRow, nullRight))
           }
         }
       }

@@ -67,8 +67,13 @@ object Sources {
     * a TABLE (saveAsTable), not a bare path.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, mode: String = "overwrite"): Unit = {
+                    numBuckets: Int, mode: String = "overwrite",
+                    sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    // `sortCols` may extend beyond the bucket key — e.g. (key, time)
+    // for the as-of layout, where the scan's reported ordering lets
+    // AsofJoinExec run with neither exchange NOR sort.
+    val sc = if (sortCols.isEmpty) bucketCols else sortCols
     // repartition on the bucket columns first: without it every input
     // task writes its own file per bucket (file count = tasks ×
     // buckets at scale), and Spark only reports a bucket's sort order
@@ -78,7 +83,7 @@ object Sources {
     df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sc.head, sc.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

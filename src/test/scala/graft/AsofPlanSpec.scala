@@ -74,6 +74,29 @@ class AsofPlanSpec extends AnyFunSuite {
     assert(got2.length == 3 && got2.forall(_.isNullAt(0)))
   }
 
+  test("bucketed (key, time)-sorted inputs as-of join with no exchange") {
+    val (purchases, views) = sides()
+    for (t <- Seq("asof_p", "asof_v")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    graft.sources.Sources.writeBucketed(purchases, "asof_p", Seq("user_id"), 4,
+      sortCols = Seq("user_id", "ts_ms"))
+    graft.sources.Sources.writeBucketed(views, "asof_v", Seq("user_id"), 4,
+      sortCols = Seq("user_id", "ts_ms"))
+    val df = Asof.asofJoin(spark.table("asof_p"), spark.table("asof_v"),
+      Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed as-of join still exchanges:\n$p")
+    // same rows as the unbucketed path
+    val a = df.select("event_id", "ts_ms_r").orderBy("event_id").collect().toSeq
+    val b = Asof.asofJoin(purchases, views, Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+      .select("event_id", "ts_ms_r").orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("ties on time are inclusive and the latest right row wins") {
     val left = Seq((1L, 100L, 100L)).toDF("k", "id", "t")
     val right = Seq((1L, 50L, 7L), (1L, 100L, 8L), (1L, 101L, 9L)).toDF("k", "t", "v")
