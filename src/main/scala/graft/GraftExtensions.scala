@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tier (c): whole-operator extension — the as-of join planned as a
     // first-class physical operator (graft.plans.AsofJoin*)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // tier (c): optimizer rule — window row_number top-k rewritten to
+    // the bounded graft_topk aggregate when provably row-identical
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((FunctionIdentifier("graft_vector_dot"),
       info("graft_vector_dot",
         "graft_vector_dot(a, b) - dot product of two float arrays in double"),

@@ -274,6 +274,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q20_topk_rewrite" -> ((s, dir) => {
+      // written in the PLAIN window row_number idiom on purpose — the
+      // injected optimizer rule (graft.plans.TopKRewriteRule) replans
+      // it as the bounded graft_topk aggregate + posexplode
+      // (TopKRewriteSpec asserts no WindowExec survives); the oracle
+      // runs the same window SQL in DuckDB, so the rewrite itself is
+      // oracle-verified end-to-end. coalesce makes score/id
+      // non-nullable, the rule's opt-in contract.
+      val scored = Tables(s, dir).lineitem.select(
+        col("l_suppkey").as("suppkey"),
+        coalesce(num.fround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2),
+          lit(0.0)).as("score"),
+        coalesce(col("l_orderkey") * 10 + col("l_linenumber"), lit(-1L))
+          .cast("bigint").as("id"))
+      val w = Window.partitionBy("suppkey").orderBy(col("score").desc, col("id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("suppkey", "rn")
+    }),
+
     "q17_dim_upsert" -> ((s, dir) => {
       val t = Tables(s, dir)
       // the reference's geocode-cache pattern: a partial dim ("cache")
@@ -684,6 +704,20 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
          ORDER BY p.event_id""",
+
+    "q20_topk_rewrite" ->
+      """WITH scored AS (
+           SELECT l_suppkey AS suppkey,
+             coalesce(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100,
+               0.0) AS score,
+             coalesce(l_orderkey * 10 + l_linenumber, -1) AS id
+           FROM lineitem)
+         SELECT suppkey, score, id, rn FROM (
+           SELECT suppkey, score, id,
+             row_number() OVER (PARTITION BY suppkey
+                                ORDER BY score DESC, id ASC) AS rn
+           FROM scored)
+         WHERE rn <= 5 ORDER BY suppkey, rn""",
 
     "q17_dim_upsert" ->
       """WITH dim AS (
