@@ -479,6 +479,12 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "t17_bm25_search" -> ((s, dir) => {
+      TextAnalysis.bm25Search(Tables(s, dir).documents, "text", "doc_id",
+          Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "t11_strat_sample" -> ((s, dir) => {
       Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
           "doc_id", "source", "smp",
@@ -538,6 +544,19 @@ object SparkEntry {
   private def toksSql(src: String) =
     s"(CASE WHEN trim($src) = '' OR $src IS NULL THEN CAST([] AS VARCHAR[]) " +
     s"ELSE regexp_split_to_array(trim($src), '\\s+') END)"
+
+  /** t17's fixed query set, shared by the Spark query and the oracle
+    * (q4 has terms absent from the corpus: df=0 terms contribute 0).
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark window merge",
+    1L -> "customer join filter",
+    2L -> "vector stream",
+    3L -> "slow scan big table",
+    4L -> "quantum flux data")
+
+  private def bm25QueriesValuesSql: String =
+    Bm25Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1150,6 +1169,43 @@ object SparkEntry {
          floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS p75,
          floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) * 10000 + 0.5) / 10000 AS p95
          FROM documents GROUP BY lang ORDER BY grp""",
+
+    "t17_bm25_search" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          lens AS (
+            SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+          q(query_id, qtext) AS (VALUES $bm25QueriesValuesSql),
+          qt AS (
+            SELECT DISTINCT query_id, term FROM (
+              SELECT query_id, unnest(${toksSql("qtext")}) AS term FROM q)),
+          matched AS (
+            SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, dl, unnest(toks) AS term FROM lens) p
+            WHERE term IN (SELECT DISTINCT term FROM qt)
+            GROUP BY term, doc_id, dl),
+          dfs AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM matched GROUP BY term),
+          contrib AS (
+            SELECT qt.query_id, m.doc_id,
+              (floor(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1000000.0 + 0.5)
+                 / 1000000.0)
+                * m.tf * 2.2
+                / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+            FROM matched m JOIN dfs f USING (term) JOIN qt USING (term)
+            CROSS JOIN stats s),
+          scores AS (
+            SELECT query_id, doc_id,
+              floor(sum(c) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM contrib GROUP BY query_id, doc_id)
+          SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scores)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "t11_strat_sample" ->
       """WITH b AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.text
 import org.apache.spark.sql.Column
@@ -197,5 +198,81 @@ object TextAnalysis {
         fround(q(0.50), 4).as("p50"),
         fround(q(0.75), 4).as("p75"),
         fround(q(0.95), 4).as("p95"))
+  }
+
+  /** BM25 ranked retrieval over an on-the-fly inverted index — the
+    * keyword-search twin of the ANN operators (reference analog: the
+    * ad-hoc analysis scans in `src/pipeline/temp.py`, generalized to
+    * scored retrieval).
+    *
+    * score(q, D) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    * with the Lucene idf  idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: the exploded token stream is filtered to the QUERY
+    * vocabulary by a broadcast join BEFORE the tf aggregation, so the
+    * only corpus-wide shuffle carries postings of query terms — at
+    * 100 TB that is O(matched postings), not O(all tokens). Corpus
+    * stats (N, avgdl) ride a broadcast 1-row cross join (no driver
+    * collect); df and per-query term tables are broadcast (≤ query
+    * vocabulary rows). The final per-query top-k is WRITTEN in the
+    * row_number window idiom — the injected TopKRewriteRule replans it
+    * as the bounded graft_topk aggregate (shuffle O(k·queries), not
+    * O(scored docs)), and an extension-less session still runs the
+    * window form unchanged.
+    *
+    * FP determinism: idf is floor-rounded to 6dp (ln may differ by an
+    * ulp across libm implementations); per-(query, doc) contributions
+    * sum ≤|q| doubles so the final 4dp floor-round is order-stable.
+    * Query terms are deduplicated (set semantics, standard BM25).
+    */
+  def bm25Search(docs: DataFrame, textCol: String, idCol: String,
+                 queries: Seq[(Long, String)], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = Native.normOf(docs)
+
+    val lens = docs
+      .withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        text.tokens(col("graft_norm")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(text.tokens(text.normalize(col("qtext")))).as("term"))
+      .distinct()
+    val qvocab = qterms.select("term").distinct()
+
+    // postings of query terms only: broadcast-filter the exploded
+    // stream BEFORE the tf groupBy so the shuffle is O(matched)
+    val matched = lens
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qvocab), "term")
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val contrib = matched
+      .join(broadcast(dfs), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", fround(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scores = contrib.groupBy("query_id", "doc_id")
+      .agg(fround(sum("contrib"), 4).as("bm25"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scores.select(col("query_id"),
+        coalesce(col("bm25"), lit(0.0)).as("score"),
+        coalesce(col("doc_id"), lit(-1L)).cast("long").as("id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("score"), col("rank"))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextAnalysis
+import graft.tables.Tables
+
+/** BM25 ranked retrieval (t17): semantics on planted corpora plus the
+  * scale-shape plan assertions (broadcast query vocabulary before the
+  * tf aggregation; top-k via the rewritten graft_topk aggregate).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  test("a document saturated with the query term ranks first") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha"),
+      (3L, "beta gamma delta epsilon"),
+      (4L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, "text", "doc_id",
+        Seq(0L -> "alpha"), k = 10)
+      .orderBy("rank").collect()
+    // docs 1 and 2 contain 'alpha'; 2 has higher tf at equal length
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(got.head.getDouble(2) > got.last.getDouble(2))
+  }
+
+  test("terms absent from the corpus contribute nothing; absent-only queries return no rows") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val both = TextAnalysis.bm25Search(docs, "text", "doc_id",
+      Seq(0L -> "alpha missingterm", 1L -> "missingterm"), k = 5).collect()
+    assert(both.forall(_.getLong(0) == 0L), "absent-only query must yield no rows")
+    val clean = TextAnalysis.bm25Search(docs, "text", "doc_id",
+      Seq(0L -> "alpha"), k = 5).collect()
+    // the df=0 term changes nothing for the query that also has a real term
+    assert(both.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      clean.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("rarer terms outscore common ones at equal tf (idf ordering)") {
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common other"), (3L, "common filler"),
+      (4L, "common words"), (5L, "unrelated stuff")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, "text", "doc_id",
+        Seq(0L -> "rare", 1L -> "common"), k = 1)
+      .orderBy("query_id").collect()
+    assert(got(0).getDouble(2) > got(1).getDouble(2),
+      s"rare-term hit should outscore common-term hit: ${got.toSeq}")
+  }
+
+  test("plan: query vocabulary broadcast before tf agg; top-k replanned as graft_topk") {
+    val df = TextAnalysis.bm25Search(Tables(spark, sfDir).documents, "text",
+      "doc_id", Seq(0L -> "spark window", 1L -> "customer join"), k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in plan:\n$p")
+    assert(p.contains("partial_graft_topk"), s"top-k not rewritten to graft_topk:\n$p")
+    assert(!p.contains("Window"), s"window survived in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+}
