@@ -479,6 +479,17 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "t18_lm_score" -> ((s, dir) => {
+      // unigram LM trained on the t8 deterministic train split, scoring
+      // the WHOLE corpus — the perplexity-style quality signal
+      val docs = Tables(s, dir).documents
+      val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      TextAnalysis.lmScore(split.filter(col("split") === "train"), docs,
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t17_bm25_search" -> ((s, dir) => {
       TextAnalysis.bm25Search(Tables(s, dir).documents, "text", "doc_id",
           Bm25Queries, k = 10)
@@ -1169,6 +1180,29 @@ object SparkEntry {
          floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS p75,
          floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) * 10000 + 0.5) / 10000 AS p95
          FROM documents GROUP BY lang ORDER BY grp""",
+
+    "t18_lm_score" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          p AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term),
+          train AS (
+            SELECT term, sum(tf) AS cnt FROM p
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+            GROUP BY term),
+          stats AS (
+            SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM train),
+          scored AS (
+            SELECT p.doc_id, p.tf,
+              floor(ln((coalesce(t.cnt, 0.0) + 0.5)
+                       / (s.total + 0.5 * (s.vocab + 1.0))) * 1000000.0 + 0.5)
+                / 1000000.0 AS logp
+            FROM p LEFT JOIN train t USING (term) CROSS JOIN stats s)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            floor((-sum(tf * logp) / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "t17_bm25_search" ->
       s"""WITH d AS (

@@ -200,6 +200,50 @@ object TextAnalysis {
         fround(q(0.95), 4).as("p95"))
   }
 
+  /** Unigram-LM mean negative log-likelihood per document — the
+    * CCNet/KenLM-style "how surprising is this text under an in-domain
+    * language model" quality signal, with the model reduced to unigram
+    * statistics so it is exactly reproducible by the SQL oracle.
+    *
+    * The model is trained on `train` (term counts + add-α smoothing):
+    * P(t) = (cnt(t) + α) / (total + α·(V+1)), unseen terms get the
+    * +α numerator. Each scored doc gets
+    * mean_nll = −(Σ_t tf·ln P(t)) / Σ_t tf over its tokens — low =
+    * in-domain fluent, high = out-of-domain/garbled, the usual
+    * keep/drop axis. Docs with zero tokens produce no row.
+    *
+    * Scale shape: both sides reduce to (doc, term, tf) postings via
+    * partial-agg groupBys; the model table is O(vocab) and joins the
+    * scored postings broadcast (set `broadcastModel = false` past
+    * broadcast size, where AQE plans the shuffle join on term);
+    * corpus totals ride a 1-row broadcast cross join. ln P is
+    * floor-rounded at 6dp per distinct term so libm differences
+    * cannot leak into the 4dp doc scores.
+    */
+  def lmScore(train: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+              alpha: Double = 0.5, broadcastModel: Boolean = true): DataFrame = {
+    val norm = Native.normOf(docs)
+    def postings(df: DataFrame) = df
+      .withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(text.tokens(col("graft_norm"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+
+    val model = postings(train).groupBy("term").agg(sum("tf").as("cnt"))
+    val stats = model.agg(sum("cnt").as("total"),
+      count(lit(1)).cast("double").as("vocab"))
+
+    postings(docs)
+      .join(if (broadcastModel) broadcast(model) else model, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp", fround(log(
+        (coalesce(col("cnt"), lit(0.0)) + lit(alpha)) /
+          (col("total") + lit(alpha) * (col("vocab") + lit(1.0)))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_toks"), sum(col("tf") * col("logp")).as("ll"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_tokens"),
+        fround(-col("ll") / col("n_toks"), 4).as("mean_nll"))
+  }
+
   /** BM25 ranked retrieval over an on-the-fly inverted index — the
     * keyword-search twin of the ANN operators (reference analog: the
     * ad-hoc analysis scans in `src/pipeline/temp.py`, generalized to

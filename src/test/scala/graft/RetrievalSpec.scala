@@ -52,6 +52,40 @@ class RetrievalSpec extends AnyFunSuite {
       s"rare-term hit should outscore common-term hit: ${got.toSeq}")
   }
 
+  test("lmScore: out-of-domain text scores higher nll than in-domain text") {
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat")).toDF("doc_id", "text")
+    val docs = Seq((10L, "the cat sat"), (11L, "zx qq vv ww")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(train, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val inDomain = got(0).getDouble(2)
+    val outDomain = got(1).getDouble(2)
+    assert(outDomain > inDomain,
+      s"unseen-vocab doc must be more surprising: $outDomain vs $inDomain")
+    assert(inDomain > 0.0 && got(0).getLong(1) == 3L && got(1).getLong(1) == 4L)
+  }
+
+  test("lmScore: unseen tokens get the smoothed floor probability, not -inf") {
+    val train = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val docs = Seq((10L, "gamma gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(train, docs, "text", "doc_id").collect()
+    // P(unseen) = 0.5 / (2 + 0.5*3) = 1/7 → nll = ln 7
+    assert(got.length == 1)
+    assert(math.abs(got(0).getDouble(2) - math.log(7.0)) < 1e-3)
+  }
+
+  test("lmScore: empty/whitespace docs produce no row; model join respects broadcastModel=false") {
+    val train = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = Seq((10L, "alpha"), (11L, "   "), (12L, "")).toDF("doc_id", "text")
+    val broad = TextAnalysis.lmScore(train, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(broad.map(_.getLong(0)).toSeq == Seq(10L))
+    val shuffled = TextAnalysis.lmScore(train, docs, "text", "doc_id",
+      broadcastModel = false).orderBy("doc_id").collect()
+    assert(broad.map(_.toString).toSeq == shuffled.map(_.toString).toSeq)
+  }
+
   test("plan: query vocabulary broadcast before tf agg; top-k replanned as graft_topk") {
     val df = TextAnalysis.bm25Search(Tables(spark, sfDir).documents, "text",
       "doc_id", Seq(0L -> "spark window", 1L -> "customer join"), k = 5)
