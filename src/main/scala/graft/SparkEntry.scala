@@ -358,6 +358,17 @@ object SparkEntry {
       Graph.clusterDedup(pairs, "id1", "id2").orderBy("id")
     }),
 
+    "d8_embed_lsh" -> ((s, dir) => {
+      // the LABEL-LESS embedding near-dup form: blocking comes from the
+      // corpus itself (s2's hyperplane band keys), not a caller column —
+      // the shape a real unlabeled corpus needs. The oracle replicates
+      // the 24-plane/6-band bucketing literally, so candidate
+      // generation AND the exact-cosine verify are both checked.
+      Dedup.embeddingNearDupPairsLsh(Tables(s, dir).embeddings,
+          "embedding", "vec_id", threshold = 0.4, dim = 64)
+        .orderBy("id1", "id2")
+    }),
+
     // ----- similarity search -----
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -539,12 +550,20 @@ object SparkEntry {
   // itself is oracle-checked.
   // ---------------------------------------------------------------
 
-  /** The s2 hyperplanes as DuckDB list literals — Double.toString is
+  /** Hyperplanes as DuckDB list literals — Double.toString is
     * shortest-round-trip, so DuckDB parses bit-identical values.
     */
-  private lazy val planeSqlLits: Seq[String] =
-    ops.Similarity.hyperplanes(16, 64)
+  private def planeLits(numPlanes: Int): Seq[String] =
+    ops.Similarity.hyperplanes(numPlanes, 64)
       .map(_.map(_.toString).mkString("[", ",", "]"))
+  /** s2's 16 planes; d8 uses the 24-plane/6-band dedup layout. */
+  private lazy val planeSqlLits: Seq[String] = planeLits(16)
+
+  /** SQL term reconstructing the hyperplane signature bit-for-bit. */
+  private def sigTermsSql(numPlanes: Int): String =
+    planeLits(numPlanes).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Shared SQL fragment: normalized text (must mirror text.normalize). */
   private val normSql =
@@ -865,6 +884,31 @@ object SparkEntry {
            CAST(CASE WHEN id = component THEN 1 ELSE 0 END AS INTEGER) AS keep
          FROM cc ORDER BY id""",
 
+    // d8's 24-plane/6x4-bit-band bucketing replicated literally: the
+    // candidate set (agree on >= 1 band) AND the exact-cosine verify
+    // are both reproduced, so banding itself is oracle-checked.
+    "d8_embed_lsh" -> {
+      val sigTerms = sigTermsSql(24)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2)
+          SELECT id1, id2, round(cos, 4) AS cosine FROM scored
+          WHERE cos >= 0.4 ORDER BY id1, id2"""
+    },
+
     "s1_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -884,9 +928,7 @@ object SparkEntry {
     // same 16 hyperplanes (embedded as literals), 4-bit bands, probe
     // side expanded to hamming<=1 band values (multi-probe radius 1).
     "s2_ann_lsh" -> {
-      val sigTerms = planeSqlLits.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+      val sigTerms = sigTermsSql(16)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           sigs AS (SELECT vec_id, v, CAST($sigTerms AS BIGINT) AS sig FROM e),
           cb AS (

@@ -26,6 +26,14 @@ object Asof {
                leftTimeCol: String, rightTimeCol: String,
                rightSuffix: String = "_r"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    // suffixed right names must not collide with left names, or the
+    // output would carry duplicate columns and downstream select(name)
+    // dies on ambiguity
+    val clash = right.columns.map(_ + rightSuffix).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"as-of right suffix '$rightSuffix' collides with left column(s) " +
+        s"${clash.mkString(", ")} — pass a different rightSuffix")
     require(left.sparkSession.sessionState.planner.strategies
         .exists(_ eq graft.plans.AsofJoinStrategy) ||
         left.sparkSession.sessionState.experimentalMethods.extraStrategies

@@ -106,20 +106,28 @@ object Curation {
     * order decorrelated from ingest order (the "shuffle the corpus
     * before training" step), with no RNG and no global sort.
     *
-    * Order = (bucket, pos): bucket is the first 2 hex chars of
-    * md5(key:salt) (256 buckets), pos is the rank within the bucket
-    * by the full hash. Consumers read buckets in order — the
-    * concatenation is the global shuffled order. Scale shape: the
-    * window partitions by bucket, so no single-partition global
-    * window exists anywhere; 256 bounded sorts instead of one
-    * corpus-wide sort.
+    * Order = (bucket, pos): bucket is the first `hexPrefixLen` hex
+    * chars of md5(key:salt) (16^hexPrefixLen buckets), pos is the rank
+    * within the bucket by the full hash. Consumers read buckets in
+    * order — the concatenation is the global shuffled order, and it is
+    * IDENTICAL for every hexPrefixLen (the bucket is a prefix of the
+    * hash, so (bucket, hash) sorts exactly like the hash alone; the
+    * prefix length only decides how the one global sort is cut into
+    * bounded per-bucket sorts). Scale shape: the window partitions by
+    * bucket, so no single-partition global window exists anywhere;
+    * size hexPrefixLen so corpus/16^hexPrefixLen rows fit one
+    * executor's sort buffer (2 → 256 buckets is fine to ~100 GB
+    * corpora; 100 TB wants 4 → 65536 buckets of ~1.5 GB).
     */
-  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String): DataFrame = {
+  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String,
+                           hexPrefixLen: Int = 2): DataFrame = {
+    require(hexPrefixLen >= 1 && hexPrefixLen <= 8,
+      s"hexPrefixLen must be in [1,8], got $hexPrefixLen")
     val h = md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt)))
     val w = Window.partitionBy("bucket").orderBy(col("h"), col(keyCol))
     df.where(col(keyCol).isNotNull)
       .withColumn("h", h)
-      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("bucket", substring(col("h"), 1, hexPrefixLen))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("h")
   }

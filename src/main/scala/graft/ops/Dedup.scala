@@ -324,4 +324,72 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Embedding-cosine near-dup pairs with SELF-DERIVED blocking: the
+    * random-hyperplane band keys of the ANN path (s2) stand in for the
+    * caller-provided block column [[embeddingNearDupPairs]] requires —
+    * the label-less-corpus form, since a real training corpus has no
+    * block labels. Candidates are pairs agreeing on at least one of
+    * `bands` (numPlanes/bands)-bit signature bands (union over bands,
+    * deduped), then exact-cosine verified.
+    *
+    * Recall is the standard LSH trade: a pair at cosine c agrees on a
+    * given band with probability (1 − θ(c)/π)^bitsPerBand, and on at
+    * least one of the bands with 1 − (1 − p)^bands — near-dup pairs
+    * (c ≥ 0.9) are caught with p ≥ 0.95 at the 24-plane/6-band
+    * default, while distant pairs rarely collide (DedupJoinSpec
+    * measures recall against the blocked ground truth). Precision is
+    * 1.0 by construction (exact verify).
+    *
+    * Scale shape: identical to d2's — band explode (`bands` slim rows
+    * per doc) → equi-join on the band key → pair dedup → size-gated
+    * verify join bringing vectors to candidates. No all-pairs product
+    * anywhere; bucket population is O(N / 2^bitsPerBand) per band
+    * value under the hashing assumption.
+    */
+  def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
+                               threshold: Double, dim: Int,
+                               numPlanes: Int = 24, bands: Int = 6,
+                               seed: Long = 42L,
+                               persistIntermediate: Boolean = true,
+                               verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    require(numPlanes % bands == 0 && numPlanes <= 63,
+      s"numPlanes ($numPlanes) must be a multiple of bands ($bands) and <= 63")
+    import graft.functions.vectors
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val bitsPerBand = numPlanes / bands
+    val dotOf = Native.dotOf(embs)
+    val sigOf: Column => Column =
+      if (Native.enabled(embs, "graft_hyperplane_sig"))
+        v => call_function("graft_hyperplane_sig", v, lit(planes.flatten.toArray), lit(dim))
+      else v => vectors.hyperplaneSig(v, planes)
+    val preparedPlan = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dotOf(col(vecCol), col(vecCol))).as("nrm"))
+      .withColumn("sig", sigOf(col("v")))
+    // feeds both band-join sides and the two verify sides
+    val prepared =
+      if (persistIntermediate)
+        preparedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else preparedPlan
+    val bandCols = (0 until bands).map { bn =>
+      struct(lit(bn).as("b"),
+        shiftrightunsigned(col("sig"), bn * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1).as("v"))
+    }
+    // only (id, band) travels through the candidate join — never vectors
+    val banded = prepared.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val vecs = prepared.select(col("id"), col("v"), col("nrm"))
+    val nn = col("h1.nrm") * col("h2.nrm")
+    candidates
+      .join(verifyHinted(vecs, verifyBroadcast).as("h1"), col("id1") === col("h1.id"))
+      .join(verifyHinted(vecs, verifyBroadcast).as("h2"), col("id2") === col("h2.id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dotOf(col("h1.v"), col("h2.v")) / nn))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+  }
 }

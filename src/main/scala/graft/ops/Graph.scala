@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -24,63 +24,154 @@ object Graph {
     * materialized with ONE action (`localCheckpoint`): Spark executes
     * the whole block as one job, so the per-round cost is a pipeline
     * stage, not a scheduled job — driver round-trip latency is paid
-    * once per block instead of once per round (measured 3-10× on the
+    * once per block instead of once per round (measured 3-10x on the
     * sf0.1 near-dup graph, where per-round actions dominated).
     *
-    * Labels only decrease and a zero-change block implies a stable
-    * labeling (label(v) = min over closed neighborhood ⇒ labels are
-    * constant along every path ⇒ label = component min), so the
-    * convergence check — one cheap filter+count on the checkpointed
-    * block result — is exact, never heuristic.
+    * The pair input is materialized ONCE up front (`localCheckpoint`):
+    * the generating subtree (e.g. d5's cosine-verified pair join) feeds
+    * both the vertex and edge tables and must not re-execute per
+    * consumer — before this the d5 subtree ran twice inside the first
+    * block (measured ~2x the whole CC cost at sf0.1).
+    *
+    * Convergence is EXACT and detected WITHIN a block, at zero extra
+    * actions: every round's plan carries a `Dataset.observe` metric
+    * counting vertices whose label shrank that round (the self-loop
+    * message doubles as the previous label, so no join against the
+    * block-entry labels is needed). All blockRounds metrics are
+    * collected by the block's single checkpoint action; labels only
+    * decrease and a zero-change round implies a stable labeling
+    * (label(v) = min over closed neighborhood ⇒ labels constant along
+    * every path ⇒ label = component min), so the first round observing
+    * zero changes ends the loop — no trailing "did anything change"
+    * block, no per-block count() job.
     *
     * Scale shape: total rounds = graph diameter; near-dup graphs are
-    * piles of small dense clusters (diameter 2-4 — one block), and
-    * even the chattiest sf0.1 graph converges in ~3 blocks. Each
-    * round shuffles O(edges). `localCheckpoint` per block keeps
-    * lineage O(blockRounds), bounded across iterations. For
-    * adversarial chain graphs, raise `maxRounds`; the block structure
-    * keeps even 100-round convergence at ~13 jobs.
+    * piles of small dense clusters (diameter 2-4 — one block), so the
+    * whole computation is typically ONE job. Each round shuffles
+    * O(edges). `localCheckpoint` per block keeps lineage
+    * O(blockRounds), bounded across iterations. For adversarial chain
+    * graphs (diameter O(n)) use [[connectedComponentsAlternating]],
+    * the O(log n)-round large-star/small-star form.
     *
     * Returns (id, component) for every vertex that appears in
     * `pairs`; `component` = min vertex id reachable from `id`.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 64, blockRounds: Int = 8): DataFrame = {
-    val half = pairs.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-    // undirected (both directions) PLUS a self-loop per vertex: the
-    // self-loop folds "keep my own label" into the same join, so each
-    // unrolled round references the running labels EXACTLY ONCE — a
-    // `cur.union(msgs(cur))` formulation references it twice, which
-    // doubles the lazy plan per level and recomputes round 1 2^blockRounds
-    // times (measured: 83 s vs 1.5 s at sf0.1). Pre-partitioning by the
-    // join key means every round's join reuses this layout; only the
-    // slim label table reshuffles per round.
+    val half = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint(true)
     val verts = half.select(col("a").as("id")).union(half.select(col("b").as("id"))).distinct()
-    val edges = half
-      .union(half.select(col("b").as("a"), col("a").as("b")))
-      .union(verts.select(col("id").as("a"), col("id").as("b")))
+    // undirected (both directions) PLUS a flagged self-loop per vertex:
+    // the self-loop folds "keep my own label" into the same join, so
+    // each unrolled round references the running labels EXACTLY ONCE —
+    // a `cur.union(msgs(cur))` formulation references it twice, which
+    // doubles the lazy plan per level and recomputes round 1
+    // 2^blockRounds times (measured: 83 s vs 1.5 s at sf0.1). The
+    // `self` flag lets each round's aggregate also surface the
+    // vertex's PREVIOUS label (the self-loop message), which is what
+    // the per-round observe() convergence metric compares against.
+    // Pre-partitioning by the join key means every round's join reuses
+    // this layout; only the slim label table reshuffles per round.
+    val edges = half.select(col("a"), col("b"), lit(false).as("self"))
+      .union(half.select(col("b").as("a"), col("a").as("b"), lit(false).as("self")))
+      .union(verts.select(col("id").as("a"), col("id").as("b"), lit(true).as("self")))
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = verts.withColumn("comp", col("id")).localCheckpoint(true)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
+      val obs = Seq.fill(blockRounds)(Observation())
       var cur = labels
-      for (_ <- 0 until blockRounds)
+      for (i <- 0 until blockRounds)
         cur = edges.join(cur, col("b") === col("id"))
+          .select(col("a"), col("comp"), col("self"))
+          .groupBy("a").agg(min("comp").as("comp"),
+            min(when(col("self"), col("comp"))).as("prev"))
+          .observe(obs(i),
+            coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)).as("changed"))
           .select(col("a").as("id"), col("comp"))
-          .groupBy("id").agg(min("comp").as("comp"))
-      val next = cur.withColumnRenamed("comp", "newcomp")
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .select(col("id"), col("newcomp").as("comp"), col("prev"))
-        .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("prev")).count()
-      labels = next.select("id", "comp")
+      labels = cur.localCheckpoint(true)
+      // a missing metric means PropagateEmptyRelation collapsed the
+      // plan (and its CollectMetrics nodes) to an empty relation —
+      // only possible when the graph is empty, where a zero-change
+      // round is trivially true
+      val perRound = obs.map(_.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L))
       rounds += blockRounds
+      changed = if (perRound.contains(0L)) 0L else perRound.last
     }
     edges.unpersist()
-    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds " +
+      "(adversarial long-chain graph? use connectedComponentsAlternating)")
     labels
+  }
+
+  /** Connected components by ALTERNATING large-star / small-star — the
+    * O(log n)-round algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14) for graphs whose diameter is
+    * NOT small: chains, lattices, adversarial inputs. Min-label
+    * propagation ([[connectedComponents]]) pays one round per unit of
+    * diameter; these two operations contract components exponentially
+    * instead.
+    *
+    * Edges are kept oriented high→low (node, parent):
+    *  - large-star: per node u, every STRICTLY LARGER neighbor is
+    *    re-pointed at m = min(N(u) ∪ {u});
+    *  - small-star: per node u (edges oriented from u to its smaller
+    *    neighbors), u and all its neighbors except the min are pointed
+    *    at m = min(N(u) ∪ {u}).
+    * Both preserve connectivity; their fixed point is one star per
+    * component centered at the component min, reached in O(log n)
+    * iterations. Each iteration is two groupBy/join rounds over
+    * O(edges) rows; convergence is an exact edge-set comparison (two
+    * anti-joins on the checkpointed sets).
+    *
+    * Same output contract as [[connectedComponents]]: (id, comp) with
+    * comp = min reachable vertex id. Used as the fallback when the
+    * propagation form would exceed its round budget.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, srcCol: String,
+                                     dstCol: String, maxIters: Int = 32): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // large-star over the undirected view: center u, m = min closed
+      // neighborhood; larger neighbors point at m
+      val dir = edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = dir.groupBy("a").agg(min("b").as("mb"))
+      val ls = dir.join(lsMin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
+        .distinct()
+      // small-star on the high→low edges: neighbors (all smaller) and
+      // the center itself point at the min neighbor
+      val ssMin = ls.groupBy("a").agg(min("b").as("m"))
+      val next = ls.join(ssMin, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
+        edges.join(next, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+      iters += 1
+    }
+    require(converged,
+      s"connectedComponentsAlternating did not converge in $maxIters iterations")
+    // fixed point = star per component: every non-min vertex carries an
+    // edge to its component min; roots label themselves
+    edges.select(col("a").as("id"), col("b").as("comp"))
+      .union(edges.select(col("b").as("id"), col("b").as("comp")))
+      .distinct()
   }
 
   /** The deduped corpus itself: every document that is NOT a

@@ -272,10 +272,7 @@ object TextAnalysis {
   def bm25Search(docs: DataFrame, textCol: String, idCol: String,
                  queries: Seq[(Long, String)], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val norm = Native.normOf(docs)
-
     val lens = docs
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"),
@@ -284,12 +281,7 @@ object TextAnalysis {
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
 
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(text.tokens(text.normalize(col("qtext")))).as("term"))
-      .distinct()
-    val qvocab = qterms.select("term").distinct()
-
+    val (qterms, qvocab) = queryTerms(docs, queries)
     // postings of query terms only: broadcast-filter the exploded
     // stream BEFORE the tf groupBy so the shuffle is O(matched)
     val matched = lens
@@ -297,8 +289,74 @@ object TextAnalysis {
       .join(broadcast(qvocab), "term")
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    scoreMatched(matched, stats, qterms, k, k1, b)
+  }
 
+  /** The persisted-index form of [[bm25Search]]: the corpus-dependent
+    * work — tokenize, tf aggregation, doc lengths, corpus stats — is
+    * factored into [[bm25Index]] and paid ONCE; each query workload
+    * then reads the postings instead of re-scanning the corpus. Write
+    * the postings with `Sources.writeBucketed(postings, table,
+    * bucketCols = Seq("term"), ...)`: the per-term df aggregation (the
+    * only corpus-sized shuffle left at query time) then plans with NO
+    * exchange on the postings side — the batch analog of a search
+    * engine's inverted index (RetrievalSpec asserts the exchange-free
+    * plan and score-identity with the on-the-fly form).
+    */
+  def bm25SearchIndexed(postings: DataFrame, stats: DataFrame,
+                        queries: Seq[(Long, String)], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (qterms, qvocab) = queryTerms(postings, queries)
+    val matched = postings.join(broadcast(qvocab), "term")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    scoreMatched(matched, stats, qterms, k, k1, b)
+  }
+
+  /** Builds the persistable BM25 inverted index: `postings`
+    * (term, doc_id, tf, dl) and the 1-row `stats` (n_docs, avgdl).
+    * Stats come from the full doc table (zero-token docs count toward
+    * n_docs/avgdl exactly as in [[bm25Search]] even though they emit
+    * no postings). One explode + one partial-agg shuffle — the index
+    * build is the same cost as a single ad-hoc search's corpus pass.
+    */
+  def bm25Index(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val norm = Native.normOf(docs)
+    val lens = docs
+      .withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        text.tokens(col("graft_norm")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val postings = lens
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    (postings, stats)
+  }
+
+  /** Normalized, deduplicated query terms: (query_id, term) and the
+    * distinct term vocabulary (both broadcast-sized by contract).
+    */
+  private def queryTerms(session: DataFrame,
+                         queries: Seq[(Long, String)]): (DataFrame, DataFrame) = {
+    val spark = session.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(text.tokens(text.normalize(col("qtext")))).as("term"))
+      .distinct()
+    (qterms, qterms.select("term").distinct())
+  }
+
+  /** Shared BM25 scoring tail over matched postings (term, doc_id, dl,
+    * tf): df per term, idf, per-(query, doc) contribution sum, top-k.
+    * See [[bm25Search]] for the FP-determinism notes.
+    */
+  private def scoreMatched(matched: DataFrame, stats: DataFrame, qterms: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val contrib = matched
       .join(broadcast(dfs), "term")
       .join(broadcast(qterms), "term")

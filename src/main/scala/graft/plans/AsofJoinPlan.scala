@@ -140,7 +140,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               rHead = if (rIter.hasNext) rIter.next() else null
             } else if (c == 0 && !anyKeyNull(rk)) {
               val rt = rTimeProj(rHead).get(0, timeType)
-              if (lt != null && rt != null &&
+              if (rt == null) {
+                // a null right time can never satisfy rt <= lt, and the
+                // required Ascending/NullsFirst ordering sorts such rows
+                // to the HEAD of their key group — stopping here would
+                // permanently block the group (every left row would get
+                // null attachments). Skip past them instead.
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (lt != null &&
                   timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) <= 0) {
                 lastKey = rk.copy()
                 lastMatch = rHead.copy()

@@ -63,14 +63,39 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.topkRewrite.enabled"
 
+  /** `rn` itself, or the analyzer-inserted widening cast the comparison
+    * against a bigint literal wraps it in (`rn <= 3L` analyzes to
+    * `Cast(rn as bigint) <= 3L`) — widening to LongType is lossless, so
+    * the bound semantics are unchanged.
+    */
+  private def isRn(e: Expression, rn: Attribute): Boolean = e match {
+    case a: Attribute => a.semanticEquals(rn)
+    case c: Cast => c.dataType == LongType && (c.child match {
+      case a: Attribute => a.semanticEquals(rn)
+      case _ => false
+    })
+    case _ => false
+  }
+
+  /** Integer value of an int/bigint literal bound, when it fits an Int
+    * (a bound beyond Int.MaxValue rows is left unrecognized — the
+    * rewrite then bails, which is correctness-safe).
+    */
+  private def litK(e: Expression): Option[Int] = e match {
+    case Literal(k: Int, IntegerType) => Some(k)
+    case Literal(k: Long, LongType) if k >= Int.MinValue.toLong && k <= Int.MaxValue.toLong =>
+      Some(k.toInt)
+    case _ => None
+  }
+
   /** rank-bound conjunct on `rn` → max rank k (None = not a bound). */
   private def rankBound(e: Expression, rn: Attribute): Option[Int] = e match {
-    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k - 1)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
-    case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case LessThanOrEqual(a, l) if isRn(a, rn) => litK(l)
+    case LessThan(a, l) if isRn(a, rn) => litK(l).filter(_ > Int.MinValue).map(_ - 1)
+    case GreaterThanOrEqual(l, a) if isRn(a, rn) => litK(l)
+    case GreaterThan(l, a) if isRn(a, rn) => litK(l).filter(_ > Int.MinValue).map(_ - 1)
+    case EqualTo(a, l) if isRn(a, rn) && litK(l).contains(1) => Some(1)
+    case EqualTo(l, a) if isRn(a, rn) && litK(l).contains(1) => Some(1)
     case _ => None
   }
 

@@ -97,6 +97,40 @@ class AsofPlanSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("null right times are skipped, never block their key group") {
+    // NullsFirst ordering sorts null-time right rows to the HEAD of
+    // each key group; the merge must skip them (null can't satisfy
+    // rt <= lt), not stop — stopping would null out every left row of
+    // the group even when later right rows match
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 10L, 200L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, Option.empty[Long]), (1L, Some(5L)), (1L, Some(15L)),
+        (2L, Option.empty[Long]))
+      .toDF("k", "ts")
+    val got = Asof.asofJoin(left, right, Seq(("k", "k")), "ts", "ts")
+      .select(col("lid"), col("ts_r"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(got == Seq((100L, Some(5L)), (101L, Some(15L)), (200L, None)))
+    // nullable LEFT time: a null left time matches nothing
+    val leftN = Seq((1L, Option.empty[Long], 300L), (1L, Some(20L), 301L))
+      .toDF("k", "ts", "lid")
+    val gotN = Asof.asofJoin(leftN, right, Seq(("k", "k")), "ts", "ts")
+      .select(col("lid"), col("ts_r"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(gotN == Seq((300L, None), (301L, Some(15L))))
+  }
+
+  test("right-suffix collisions with left columns are rejected up front") {
+    val left = Seq((1L, 10L, 5L)).toDF("k", "ts", "ts_r")
+    val right = Seq((1L, 5L)).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Asof.asofJoin(left, right, Seq(("k", "k")), "ts", "ts")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("ties on time are inclusive and the latest right row wins") {
     val left = Seq((1L, 100L, 100L)).toDF("k", "id", "t")
     val right = Seq((1L, 50L, 7L), (1L, 100L, 8L), (1L, 101L, 9L)).toDF("k", "t", "v")

@@ -196,4 +196,16 @@ class CurationSpec extends AnyFunSuite {
     assert(c.orderBy("bucket", "pos").limit(20).select("doc_id")
       .collect().map(_.getLong(0)).toSeq != first)
   }
+
+  test("deterministicShuffle global order is invariant to the bucket count") {
+    // the bucket is a PREFIX of the hash, so (bucket, pos) concatenated
+    // across buckets sorts exactly like the full hash — 256 (len 2) and
+    // 4096 (len 3) buckets must yield the identical global order
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
+    def order(len: Int): Seq[Long] =
+      Curation.deterministicShuffle(docs, "doc_id", "x", hexPrefixLen = len)
+        .orderBy("bucket", "pos").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(order(2) == order(3))
+  }
 }

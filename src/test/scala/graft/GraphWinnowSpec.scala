@@ -73,6 +73,31 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 9L))
   }
 
+  test("alternating large-star/small-star CC converges in O(log n) rounds on a 10^4 chain") {
+    // the adversarial case for min-propagation (diameter = n): the
+    // alternating form must converge within its 32-iteration budget
+    // (propagation would need ~10^4 rounds) and label every vertex
+    // with the chain min
+    val n = 10000L
+    val pairs = spark.range(n - 1).select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val labels = Graph.connectedComponentsAlternating(pairs, "id1", "id2")
+    assert(labels.count() == n)
+    assert(labels.filter(col("comp") =!= 0L).count() == 0L,
+      "every chain vertex must label to the component min (0)")
+  }
+
+  test("alternating CC labels equal min-propagation labels on mixed graphs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (100L, 101L),
+      (50L, 60L), (60L, 55L)).toDF("id1", "id2")
+    val prop = Graph.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val alt = Graph.connectedComponentsAlternating(pairs, "id1", "id2")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prop == alt)
+  }
+
   // ---------- quality filter ----------
 
   test("qualityFilter emits per-rule bits and the conjunctive keep") {

@@ -86,6 +86,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(broad.map(_.toString).toSeq == shuffled.map(_.toString).toSeq)
   }
 
+  test("persisted bucketed index: scores identical to ad-hoc search; postings side exchange-free") {
+    val docs = Tables(spark, sfDir).documents
+    val queries = Seq(0L -> "spark window merge", 1L -> "customer join filter")
+    val (postings, stats) = TextAnalysis.bm25Index(docs, "text", "doc_id")
+    graft.sources.Sources.writeBucketed(postings, "bm25_idx_t", Seq("term"), 8)
+    try {
+      val table = graft.sources.Sources.readTable(spark, "bm25_idx_t")
+      val indexed = TextAnalysis.bm25SearchIndexed(table, stats, queries, k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      val adhoc = TextAnalysis.bm25Search(docs, "text", "doc_id", queries, k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      assert(indexed.nonEmpty && indexed == adhoc)
+      // the per-term df aggregation — the only corpus-sized shuffle
+      // left at query time — plans with NO exchange over the bucketed
+      // postings: repeated query workloads never reshuffle the index
+      val dfs = table.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      dfs.collect()
+      val p = dfs.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"df aggregation over bucketed postings must not shuffle:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS bm25_idx_t")
+  }
+
   test("plan: query vocabulary broadcast before tf agg; top-k replanned as graft_topk") {
     val df = TextAnalysis.bm25Search(Tables(spark, sfDir).documents, "text",
       "doc_id", Seq(0L -> "spark window", 1L -> "customer join"), k = 5)

@@ -87,6 +87,43 @@ class RobustSpec extends AnyFunSuite {
     info(f"IVF cell coverage: recall ${r0}%.3f (nProbe=4) -> ${r8}%.3f (nProbe=8)")
   }
 
+  test("LSH-blocked embedding dedup: precision 1.0, measured recall vs all-pairs truth") {
+    // ground truth: exact all-pairs cosine >= threshold (feasible at
+    // test SF only — the operator exists precisely because this cross
+    // join does not scale)
+    val threshold = 0.4
+    val prep = embs.select(col("vec_id").as("id"), col("embedding").as("v"),
+      sqrt(graft.functions.vectors.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val truthRows = prep.as("a").join(prep.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        graft.functions.vectors.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val truth = truthRows.map(_._1).toSet
+    val got = Dedup.embeddingNearDupPairsLsh(embs, "embedding", "vec_id",
+        threshold, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction: every emitted pair is exact-verified
+    assert(got.subsetOf(truth), "LSH-blocked dedup emitted a below-threshold pair")
+    assert(truth.nonEmpty, "degenerate corpus: no true pairs at the test threshold")
+    val recall = truth.count(got.contains).toDouble / truth.size
+    // random-hyperplane theory: a pair at cosine c collides on one
+    // 4-bit band w.p. p(c)^4 with p(c) = 1 - acos(c)/pi, and on >= 1
+    // of 6 bands w.p. 1 - (1 - p^4)^6 — measured recall must sit in a
+    // band around the per-pair mean of that expectation (this corpus
+    // only has BORDERLINE pairs, max cosine ~0.5, so expected recall
+    // is ~0.6-0.7 here; true near-dups at c >= 0.9 collide w.p. > 0.99)
+    val expected = truthRows.map { case (_, c) =>
+      val p = 1.0 - math.acos(math.min(c, 1.0)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, 4.0), 6.0)
+    }.sum / truthRows.length
+    info(f"d8 recall vs all-pairs truth: $recall%.3f (${got.size}/${truth.size}), theory $expected%.3f")
+    assert(math.abs(recall - expected) <= 0.15,
+      f"d8 recall $recall%.3f outside theory band around $expected%.3f")
+    assert(recall >= 0.5, f"d8 recall $recall%.3f collapsed")
+  }
+
   test("ivf with nProbe = numCentroids equals brute force exactly") {
     val probes = embs.filter(col("vec_id") % 100 === 0)
     val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)

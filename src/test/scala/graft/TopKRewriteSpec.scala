@@ -62,6 +62,22 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("bigint rank bound (analyzer-inserted cast on rn) still rewrites") {
+    // `rn <= 3L` analyzes to Cast(rn as bigint) <= 3L — the bound must
+    // be recognized through the widening cast, not silently bailed on
+    def q() = {
+      val w = Window.partitionBy("suppkey").orderBy(col("score").desc, col("id").asc)
+      scored().withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= lit(3L)).orderBy("suppkey", "rn")
+    }
+    val p = withRule(enabled = true)(planOf(q()))
+    assert(p.contains("partial_graft_topk"), s"bigint bound not rewritten:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    val got = withRule(enabled = true)(rows(q()))
+    val expected = withRule(enabled = false)(rows(q()))
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("global top-k (empty partition) rewrites and matches, even on empty input") {
     def q(src: DataFrame) = {
       val w = Window.orderBy(col("score").desc, col("id").asc)
