@@ -213,11 +213,16 @@ object SparkEntry {
             * (lit(1) - col("l_discount").cast("decimal(18,6)"))).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+      // the final orderBy carries .limit(10) (a no-op on the 10-row
+      // result) so it plans TakeOrderedAndProject instead of a range
+      // exchange — a bare orderBy's partition-bounds sampling pass
+      // re-executes the join subtree (measured +0.2 s at sf0.1)
       broadcast(rev).join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").cast("string").as("order_date"),
           col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
     }),
 
     "q15_market_share" -> ((s, dir) => {
