@@ -49,15 +49,19 @@ object Graph {
     * piles of small dense clusters (diameter 2-4 — one block), so the
     * whole computation is typically ONE job. Each round shuffles
     * O(edges). `localCheckpoint` per block keeps lineage
-    * O(blockRounds), bounded across iterations. For adversarial chain
-    * graphs (diameter O(n)) use [[connectedComponentsAlternating]],
-    * the O(log n)-round large-star/small-star form.
+    * O(blockRounds), bounded across iterations. If the graph turns out
+    * to be long-diameter (the round budget runs out), the computation
+    * DEGRADES rather than dies: it restarts as
+    * [[connectedComponentsAlternating]] — O(log n) rounds — over the
+    * already-checkpointed pair table (set `fallbackToAlternating =
+    * false` to get the old fail-fast contract).
     *
     * Returns (id, component) for every vertex that appears in
     * `pairs`; `component` = min vertex id reachable from `id`.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 64, blockRounds: Int = 8): DataFrame = {
+                          maxRounds: Int = 64, blockRounds: Int = 8,
+                          fallbackToAlternating: Boolean = true): DataFrame = {
     val half = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)
@@ -102,6 +106,11 @@ object Graph {
       changed = if (perRound.contains(0L)) 0L else perRound.last
     }
     edges.unpersist()
+    if (changed != 0 && fallbackToAlternating)
+      // diameter exceeded the propagation budget — restart on the
+      // O(log n) algorithm; `half` is checkpointed, so the pair
+      // generator does not re-execute
+      return connectedComponentsAlternating(half, "a", "b")
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds " +
       "(adversarial long-chain graph? use connectedComponentsAlternating)")
     labels

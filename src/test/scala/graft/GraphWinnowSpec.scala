@@ -86,6 +86,22 @@ class GraphWinnowSpec extends AnyFunSuite {
       "every chain vertex must label to the component min (0)")
   }
 
+  test("propagation CC degrades to the alternating algorithm when the round budget runs out") {
+    // a 100-chain needs 99 propagation rounds; with maxRounds = 8 the
+    // propagation form must hand off to large-star/small-star and
+    // still return correct labels
+    val chain = spark.range(99).select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val got = Graph.connectedComponents(chain, "id1", "id2",
+      maxRounds = 8, blockRounds = 4)
+    assert(got.count() == 100L && got.filter(col("comp") =!= 0L).count() == 0L)
+    // fail-fast contract preserved on request
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, "id1", "id2",
+        maxRounds = 8, blockRounds = 4, fallbackToAlternating = false).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("alternating CC labels equal min-propagation labels on mixed graphs") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
