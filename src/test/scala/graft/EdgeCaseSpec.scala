@@ -57,6 +57,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(groups.count() >= 4)
   }
 
+  test("embeddingNearDupPairsLsh tolerates empty input and zero-norm vectors") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairsLsh(empty, "embedding", "vec_id",
+      0.5, dim = 4, numPlanes = 8, bands = 2).count() == 0L)
+    // zero-norm vectors score cosine 0 against everything — never a pair
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsLsh(vecs, "embedding", "vec_id",
+        0.9, dim = 4, numPlanes = 8, bands = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bm25 indexed search over an empty or unmatched corpus returns no rows") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val (postings, stats) = TextAnalysis.bm25Index(docs, "text", "doc_id")
+    // zero-token docs emit no postings but count toward the stats
+    assert(postings.filter(col("doc_id") === 2L).count() == 0L)
+    assert(stats.collect().head.getDouble(0) == 2.0)
+    assert(TextAnalysis.bm25SearchIndexed(postings, stats,
+      Seq(0L -> "missingterm"), k = 5).count() == 0L)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (p2, s2) = TextAnalysis.bm25Index(emptyDocs, "text", "doc_id")
+    assert(TextAnalysis.bm25SearchIndexed(p2, s2, Seq(0L -> "alpha"), k = 5).count() == 0L)
+  }
+
   test("curation ops tolerate null/empty text") {
     import graft.ops.Curation
     val cds = Seq((1L, null.asInstanceOf[String], "train"), (2L, "", "eval"),
