@@ -43,7 +43,11 @@ object Graph {
     * (label(v) = min over closed neighborhood ⇒ labels constant along
     * every path ⇒ label = component min), so the first round observing
     * zero changes ends the loop — no trailing "did anything change"
-    * block, no per-block count() job.
+    * block, no per-block count() job. `blockRounds` trades per-block
+    * stage overhead against wasted post-convergence rounds: 6
+    * measured best on near-dup graphs (diameter ≤ 5 converges AND is
+    * detected inside one block; every round costs ~2 scheduled stages
+    * even when AQE coalesces the tiny shuffles).
     *
     * Scale shape: total rounds = graph diameter; near-dup graphs are
     * piles of small dense clusters (diameter 2-4 — one block), so the
@@ -60,7 +64,7 @@ object Graph {
     * `pairs`; `component` = min vertex id reachable from `id`.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 64, blockRounds: Int = 8,
+                          maxRounds: Int = 64, blockRounds: Int = 6,
                           fallbackToAlternating: Boolean = true): DataFrame = {
     val half = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
