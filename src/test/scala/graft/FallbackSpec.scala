@@ -35,6 +35,8 @@ class FallbackSpec extends AnyFunSuite {
         .orderBy("id1", "id2").collect().mkString("|"),
       Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", "label", 0.3)
         .orderBy("id1", "id2").collect().mkString("|"),
+      Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.4, dim = 64)
+        .orderBy("id1", "id2").collect().mkString("|"),
       Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
         .orderBy("query_id", "rank").collect().mkString("|"),
       Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
