@@ -90,4 +90,23 @@ object Sources {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Header + tab-separated rows of a (small) result to a stream —
+    * the reference's stdout dump of the final enriched table
+    * (`src/pipeline/main.py:19-46` `_output_incidents`: a header line,
+    * then one f-string TSV line per row, nulls printed as empty).
+    * This is a debugging/report surface, not a sink: `maxRows` caps
+    * the driver-side collect by construction; bulk export at scale is
+    * [[writeCsv]] (distributed, no driver materialization).
+    */
+  def printTsv(df: DataFrame, maxRows: Int = 1000,
+               out: java.io.PrintStream = System.out): Unit = {
+    val cols = df.columns
+    out.println(cols.mkString("\t"))
+    df.limit(maxRows).collect().foreach { r =>
+      out.println(cols.indices
+        .map(i => if (r.isNullAt(i)) "" else String.valueOf(r.get(i)))
+        .mkString("\t"))
+    }
+  }
 }

@@ -46,6 +46,16 @@ class SourcesSpec extends AnyFunSuite {
       s"expected partition pruning in plan:\n$physical")
   }
 
+  test("printTsv emits header + tab-separated rows with empty nulls, capped") {
+    import graft.SparkHarness.spark.implicits._
+    val df = Seq((1L, Some("a b"), 1.5), (2L, None, 2.0), (3L, Some("c"), 3.0))
+      .toDF("id", "txt", "v")
+    val buf = new java.io.ByteArrayOutputStream()
+    Sources.printTsv(df.orderBy("id"), maxRows = 2, new java.io.PrintStream(buf, true, "UTF-8"))
+    val lines = buf.toString("UTF-8").split("\n").toSeq
+    assert(lines == Seq("id\ttxt\tv", "1\ta b\t1.5", "2\t\t2.0"))
+  }
+
   test("bucketed tables join and aggregate with no exchange") {
     import graft.sources.Sources
     val e = Tables(spark, sfDir).events
