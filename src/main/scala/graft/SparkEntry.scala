@@ -299,6 +299,43 @@ object SparkEntry {
         .orderBy("suppkey", "rn")
     }),
 
+    "q21_rollup" -> ((s, dir) => {
+      // multi-dimensional aggregation (ROLLUP): per (type, hour),
+      // per-type subtotals, and the grand total in ONE pass — Spark
+      // plans this as Expand + a single partial-agg-friendly
+      // aggregation, so at scale it costs one shuffle, not one scan
+      // per granularity. grouping() flags disambiguate subtotal rows
+      // from genuine NULL group values (same semantics in DuckDB).
+      val e = Tables(s, dir).events
+        .withColumn("hb_ms", epochMs(date_trunc("hour", col("ts"))))
+      e.rollup(col("event_type"), col("hb_ms"))
+        .agg(count(lit(1)).as("n"),
+          num.fround(sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(col("value")), 4).as("avg_value"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("hb_ms")).cast("int").as("g_hour"))
+        .orderBy(col("g_type"), col("g_hour"), col("event_type"), col("hb_ms"))
+    }),
+
+    "q22_moving_avg" -> ((s, dir) => {
+      // frame-based window aggregation: trailing 4-event moving
+      // average per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) —
+      // the running-metric family beside q12's gap sessions and q16's
+      // unbounded as-of window. Exact-decimal sum / non-null count in
+      // the frame keeps the 4dp floor-round engine-identical; a frame
+      // of all-NULL values yields NULL in both engines.
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      e.withColumn("mov_avg", num.fround(
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / count(col("value")).over(w), 4))
+        .select(col("event_id"), col("ts_ms"), col("mov_avg"))
+        .orderBy("event_id")
+    }),
+
     "q17_dim_upsert" -> ((s, dir) => {
       val t = Tables(s, dir)
       // the reference's geocode-cache pattern: a partial dim ("cache")
@@ -772,6 +809,27 @@ object SparkEntry {
                                 ORDER BY score DESC, id ASC) AS rn
            FROM scored)
          WHERE rn <= 5 ORDER BY suppkey, rn""",
+
+    "q21_rollup" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hb_ms,
+         count(*) AS n,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) * 10000 + 0.5) / 10000 AS avg_value,
+         CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         CAST(GROUPING(epoch_ms(date_trunc('hour', ts))) AS INTEGER) AS g_hour
+         FROM events
+         GROUP BY ROLLUP (event_type, epoch_ms(date_trunc('hour', ts)))
+         ORDER BY g_type, g_hour, event_type, hb_ms""",
+
+    "q22_moving_avg" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(value)
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           * 10000 + 0.5) / 10000 AS mov_avg
+         FROM events ORDER BY event_id""",
 
     "q17_dim_upsert" ->
       """WITH dim AS (
