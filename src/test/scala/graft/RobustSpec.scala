@@ -37,6 +37,12 @@ class RobustSpec extends AnyFunSuite {
     assert(d2.distinct.size == 1, "minhashPairs diverges across join strategies")
     assert(d4.distinct.size == 1, "ngramJaccardPairs diverges across join strategies")
     assert(d2.head.nonEmpty && d4.head.nonEmpty)
+    val d8 = strategies.map(strat =>
+      Dedup.embeddingNearDupPairsLsh(embs, "embedding", "vec_id", 0.4, dim = 64,
+          persistIntermediate = false, verifyBroadcast = strat)
+        .orderBy("id1", "id2").collect().mkString("|"))
+    assert(d8.distinct.size == 1, "embeddingNearDupPairsLsh diverges across join strategies")
+    assert(d8.head.nonEmpty)
   }
 
   test("simhash block banding emits exactly the brute-force hamming<=3 pair set") {
