@@ -67,6 +67,65 @@ object EventStream {
         (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
   }
 
+  case class ValEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class RunState(pending: List[(Long, Long, Double)], tail: List[Double])
+  case class RunOut(user_id: Long, event_id: Long, ts_ms: Long, mov_avg: Double)
+
+  /** Watermark-ordered trailing moving average (streaming
+    * q22_moving_avg). Running metrics are ORDER-SENSITIVE and a stream
+    * delivers rows out of order within the allowed lateness — so each
+    * key's rows are BUFFERED until the watermark passes their event
+    * time, then emitted in (ts, event_id) order carrying the average
+    * of the trailing `window` values. Emission is deterministic w.r.t.
+    * the data (replays emit identical rows), the same contract as
+    * [[sessionize]]'s event-time timeout.
+    *
+    * State per key = the not-yet-emittable buffer (bounded by
+    * rate × lateness — the watermark constantly drains it) plus
+    * `window−1` trailing values; a key idle past `evictAfterMs` of
+    * event time is evicted. Batch mode emits everything in order (the
+    * exact q22 semantics, minus q22's null-value handling — this typed
+    * twin takes non-null doubles).
+    */
+  def runningAvg(events: Dataset[ValEvent], window: Int = 4,
+                 watermarkDelay: String = "10 minutes",
+                 evictAfterMs: Long = 3600 * 1000L): Dataset[RunOut] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+
+    def fround4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[RunState]) =>
+          val prev = state.getOption.getOrElse(RunState(Nil, Nil))
+          val pending = (prev.pending ++ rows.map(e =>
+              (e.ts.getTime, e.event_id, e.value))).sortBy(p => (p._1, p._2))
+          // batch mode has no watermark — everything is emittable
+          val emitTs = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (ready, rest) = pending.partition(_._1 <= emitTs)
+          var tail = prev.tail // most-recent-first trailing values
+          val out = ready.map { case (tsMs, id, v) =>
+            val frame = v :: tail.take(window - 1)
+            tail = (v :: tail).take(window - 1)
+            RunOut(user, id, tsMs, fround4(frame.sum / frame.length))
+          }
+          if (state.hasTimedOut && rest.isEmpty) state.remove()
+          else {
+            state.update(RunState(rest, tail))
+            // un-emitted rows flush as soon as the watermark passes
+            // them; idle keys evict after evictAfterMs of event time
+            if (streaming) state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                if (rest.nonEmpty) rest.head._1 else emitTs + evictAfterMs))
+          }
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit state (streaming
     * q12_sessionize): a session closes `gapMs` of EVENT TIME after its
     * last event — the timeout is the watermark passing session end +

@@ -278,6 +278,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 900L, 100L, 60000L)), s"batch got $batch")
   }
 
+  test("runningAvg: watermark-ordered emission equals the batch trailing average") {
+    import spark.implicits._
+    import graft.streaming.EventStream._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, ms: Long, v: Double) =
+      ValEvent(u, id, new java.sql.Timestamp(ms), v)
+    val t0 = 1700000000000L
+    val all = Seq(
+      ev(1, 1, t0, 2.0), ev(1, 2, t0 + 60000, 4.0), ev(1, 3, t0 + 120000, 6.0),
+      ev(1, 4, t0 + 180000, 8.0), ev(1, 5, t0 + 240000, 10.0),
+      ev(2, 10, t0, 1.0), ev(2, 11, t0 + 30000, 3.0))
+    // batch path: everything emitted, trailing-4 average in order
+    val batch = runningAvg(all.toDS()).collect().sortBy(r => (r.user_id, r.event_id))
+    assert(batch.map(_.mov_avg).toSeq == Seq(2.0, 3.0, 4.0, 5.0, 7.0, 1.0, 2.0))
+    // streaming path: rows arrive OUT OF ORDER across batches within
+    // the lateness; emitted rows must match the batch result exactly
+    val ms = MemoryStream[ValEvent]
+    val q = runningAvg(ms.toDS(), watermarkDelay = "2 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("run_avg").start()
+    try {
+      ms.addData(ev(1, 2, t0 + 60000, 4.0), ev(1, 1, t0, 2.0))   // out of order
+      q.processAllAvailable()
+      ms.addData(ev(1, 3, t0 + 120000, 6.0), ev(2, 10, t0, 1.0)) // wm -> t0
+      q.processAllAvailable()
+      ms.addData(ev(1, 4, t0 + 180000, 8.0), ev(2, 11, t0 + 30000, 3.0))
+      q.processAllAvailable()
+      ms.addData(ev(1, 5, t0 + 240000, 10.0))                    // wm -> t0+120s
+      q.processAllAvailable()
+      ms.addData(ev(9, 99, t0 + 3600 * 1000, 0.0))               // push wm far ahead
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM run_avg").as[RunOut].collect()
+        .sortBy(r => (r.user_id, r.event_id))
+      val expectUsers12 = batch.filter(_.user_id <= 2)
+      assert(got.filter(_.user_id <= 2).toSeq == expectUsers12.toSeq,
+        s"streaming emission diverged: got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: event-time timeout emits after watermark; late out-of-order event merges") {
     import spark.implicits._
     import graft.streaming.EventStream._
