@@ -549,6 +549,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "t19_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabStats(Tables(s, dir).documents, "text", "lang")
+        .orderBy("grp")
+    }),
+
     "t11_strat_sample" -> ((s, dir) => {
       Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
           "doc_id", "source", "smp",
@@ -1345,6 +1350,13 @@ object SparkEntry {
                                  ORDER BY score DESC, doc_id ASC) AS rank
             FROM scores)
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "t19_vocab" ->
+      s"""SELECT lang AS grp,
+          count(DISTINCT token) AS n_vocab,
+          count(*) AS n_tokens
+          FROM (SELECT lang, unnest(${toksSql(normSql)}) AS token FROM documents)
+          GROUP BY lang ORDER BY grp""",
 
     "t11_strat_sample" ->
       """WITH b AS (

@@ -58,6 +58,27 @@ object TextAnalysis {
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), text.langId(col(textCol)).as("lang_pred"))
 
+  /** Per-group vocabulary stats: exact distinct-token count beside the
+    * raw token count — the count-distinct aggregation family. Exact
+    * `countDistinct` plans as a two-phase aggregation whose state is
+    * O(distinct values) per group; at the scale where a group's
+    * vocabulary no longer fits executor memory, pass `exact = false`
+    * for `approx_count_distinct` (HLL++ sketch: fixed memory,
+    * partial-agg mergeable, ±rsd relative error — no engine-exact
+    * oracle exists for the sketch, which is why the CORRECTNESS query
+    * runs the exact form).
+    */
+  def vocabStats(docs: DataFrame, textCol: String, groupCol: String,
+                 exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    val tokens = docs.select(col(groupCol).as("grp"),
+      explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("token"))
+    val distinctAgg =
+      if (exact) countDistinct(col("token"))
+      else approx_count_distinct(col("token"), rsd)
+    tokens.groupBy("grp")
+      .agg(distinctAgg.as("n_vocab"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Rolling-hash fingerprints (Rabin-Karp polynomial fold over the
     * normalized text) alongside the md5 content hash — the
     * incremental-fingerprint family for pipelines that maintain

@@ -197,6 +197,21 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq != first)
   }
 
+  test("vocabStats: exact distinct counts; HLL approx within tolerance") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val exact = graft.ops.TextAnalysis.vocabStats(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.ops.TextAnalysis.vocabStats(docs, "text", "lang", exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (g, (nVocab, nTokens)) =>
+      assert(nVocab > 0 && nTokens >= nVocab)
+      val a = approx(g)
+      assert(math.abs(a - nVocab).toDouble / nVocab < 0.15,
+        s"$g: approx $a too far from exact $nVocab")
+    }
+  }
+
   test("deterministicShuffle global order is invariant to the bucket count") {
     // the bucket is a PREFIX of the hash, so (bucket, pos) concatenated
     // across buckets sorts exactly like the full hash — 256 (len 2) and
