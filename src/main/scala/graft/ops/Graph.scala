@@ -69,6 +69,12 @@ object Graph {
     val half = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)
+    // empty graph: converged by definition. Short-circuit BEFORE any
+    // observe-based block — an empty plan collapses under
+    // PropagateEmptyRelation and takes its CollectMetrics nodes with
+    // it, so the convergence metrics must never be relied on here.
+    if (half.isEmpty)
+      return half.select(col("a").as("id"), col("a").as("comp"))
     val verts = half.select(col("a").as("id")).union(half.select(col("b").as("id"))).distinct()
     // undirected (both directions) PLUS a flagged self-loop per vertex:
     // the self-loop folds "keep my own label" into the same join, so
@@ -101,10 +107,6 @@ object Graph {
             coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)).as("changed"))
           .select(col("a").as("id"), col("comp"))
       labels = cur.localCheckpoint(true)
-      // a missing metric means PropagateEmptyRelation collapsed the
-      // plan (and its CollectMetrics nodes) to an empty relation —
-      // only possible when the graph is empty, where a zero-change
-      // round is trivially true
       val perRound = obs.map(_.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L))
       rounds += blockRounds
       changed = if (perRound.contains(0L)) 0L else perRound.last
@@ -146,17 +148,25 @@ object Graph {
     */
   def connectedComponentsAlternating(pairs: DataFrame, srcCol: String,
                                      dstCol: String, maxIters: Int = 32): DataFrame = {
-    var edges = pairs
+    // canonicalize ONCE (and checkpoint: the generating subtree must
+    // not re-execute); keep the full vertex set before dropping
+    // self-pairs so vertices that appear ONLY as (v, v) still get a
+    // label row — same output contract as the propagation form
+    val base = pairs
       .select(greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    val verts = base.select(col("a").as("id")).union(base.select(col("b").as("id"))).distinct()
+    var edges = base.filter(col("a") =!= col("b")).localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       // large-star over the undirected view: center u, m = min closed
-      // neighborhood; larger neighbors point at m
+      // neighborhood; larger neighbors point at m. Checkpointed: the
+      // small-star step reads it twice (ssMin + the join), and an
+      // unmaterialized ls would run its join+distinct subtree once
+      // per consumer.
       val dir = edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b")))
       val lsMin = dir.groupBy("a").agg(min("b").as("mb"))
@@ -164,6 +174,7 @@ object Graph {
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
         .distinct()
+        .localCheckpoint(true)
       // small-star on the high→low edges: neighbors (all smaller) and
       // the center itself point at the min neighbor
       val ssMin = ls.groupBy("a").agg(min("b").as("m"))
@@ -181,10 +192,14 @@ object Graph {
     require(converged,
       s"connectedComponentsAlternating did not converge in $maxIters iterations")
     // fixed point = star per component: every non-min vertex carries an
-    // edge to its component min; roots label themselves
-    edges.select(col("a").as("id"), col("b").as("comp"))
+    // edge to its component min; roots label themselves — and vertices
+    // with no non-self edge are their own singleton components
+    val star = edges.select(col("a").as("id"), col("b").as("comp"))
       .union(edges.select(col("b").as("id"), col("b").as("comp")))
       .distinct()
+    star.union(
+      verts.join(star.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
   }
 
   /** The deduped corpus itself: every document that is NOT a

@@ -68,7 +68,8 @@ object EventStream {
   }
 
   case class ValEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
-  case class RunState(pending: List[(Long, Long, Double)], tail: List[Double])
+  case class RunState(pending: List[(Long, Long, Double)], tail: List[Double],
+                      lastTs: Long)
   case class RunOut(user_id: Long, event_id: Long, ts_ms: Long, mov_avg: Double)
 
   /** Watermark-ordered trailing moving average (streaming
@@ -101,7 +102,7 @@ object EventStream {
       .flatMapGroupsWithState[RunState, RunOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[ValEvent], state: GroupState[RunState]) =>
-          val prev = state.getOption.getOrElse(RunState(Nil, Nil))
+          val prev = state.getOption.getOrElse(RunState(Nil, Nil, Long.MinValue))
           val pending = (prev.pending ++ rows.map(e =>
               (e.ts.getTime, e.event_id, e.value))).sortBy(p => (p._1, p._2))
           // batch mode has no watermark — everything is emittable
@@ -113,14 +114,23 @@ object EventStream {
             tail = (v :: tail).take(window - 1)
             RunOut(user, id, tsMs, fround4(frame.sum / frame.length))
           }
-          if (state.hasTimedOut && rest.isEmpty) state.remove()
+          val lastTs = if (ready.nonEmpty) ready.last._1 else prev.lastTs
+          // the trailing tail must SURVIVE a buffer drain — a key is
+          // evicted only once the watermark is evictAfterMs of event
+          // time past its last emitted row, so an on-time event after
+          // a quiet spell still averages against its true predecessors
+          val idle = rest.isEmpty &&
+            lastTs != Long.MinValue && emitTs >= lastTs + evictAfterMs
+          if (state.hasTimedOut && idle) state.remove()
           else {
-            state.update(RunState(rest, tail))
+            state.update(RunState(rest, tail, lastTs))
             // un-emitted rows flush as soon as the watermark passes
-            // them; idle keys evict after evictAfterMs of event time
+            // them; drained keys time out at their eviction deadline
             if (streaming) state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs() + 1,
-                if (rest.nonEmpty) rest.head._1 else emitTs + evictAfterMs))
+                if (rest.nonEmpty) rest.head._1
+                else if (lastTs != Long.MinValue) lastTs + evictAfterMs
+                else emitTs + evictAfterMs))
           }
           out.iterator
       }

@@ -317,6 +317,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningAvg: the trailing tail survives a buffer drain (no premature eviction)") {
+    import spark.implicits._
+    import graft.streaming.EventStream._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, ms: Long, v: Double) =
+      ValEvent(u, id, new java.sql.Timestamp(ms), v)
+    val t0 = 1700000000000L
+    val ms = MemoryStream[ValEvent]
+    val q = runningAvg(ms.toDS(), watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("run_avg2").start()
+    try {
+      // user 1's first burst; then OTHER users drive the watermark far
+      // past it, draining user 1's buffer and firing its flush timeout
+      ms.addData(ev(1, 1, t0, 2.0), ev(1, 2, t0 + 1000, 4.0))
+      q.processAllAvailable()
+      ms.addData(ev(9, 90, t0 + 10 * 60000, 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(9, 91, t0 + 11 * 60000, 0.0))  // timeout fires for user 1
+      q.processAllAvailable()
+      // an ON-TIME event for user 1 well after the drain (but inside
+      // evictAfterMs): its frame must still include the earlier values
+      ms.addData(ev(1, 3, t0 + 12 * 60000, 6.0))
+      q.processAllAvailable()
+      ms.addData(ev(9, 92, t0 + 30 * 60000, 0.0))  // flush user 1's event
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM run_avg2 WHERE user_id = 1").as[RunOut]
+        .collect().sortBy(_.event_id)
+      assert(got.map(_.mov_avg).toSeq == Seq(2.0, 3.0, 4.0),
+        s"tail lost across drain: got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: event-time timeout emits after watermark; late out-of-order event merges") {
     import spark.implicits._
     import graft.streaming.EventStream._

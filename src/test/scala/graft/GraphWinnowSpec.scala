@@ -103,15 +103,19 @@ class GraphWinnowSpec extends AnyFunSuite {
   }
 
   test("alternating CC labels equal min-propagation labels on mixed graphs") {
+    // includes a SELF-PAIR-ONLY vertex (77,77): both forms must emit
+    // its singleton label, not drop it
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
       (100L, 101L),
+      (77L, 77L),
       (50L, 60L), (60L, 55L)).toDF("id1", "id2")
     val prop = Graph.connectedComponents(pairs, "id1", "id2")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val alt = Graph.connectedComponentsAlternating(pairs, "id1", "id2")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(prop == alt)
+    assert(alt.contains((77L, 77L)), "self-pair-only vertex must keep its singleton label")
   }
 
   // ---------- quality filter ----------
