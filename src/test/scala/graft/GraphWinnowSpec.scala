@@ -53,6 +53,19 @@ class GraphWinnowSpec extends AnyFunSuite {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Graph.connectedComponents(pairs, "id1", "id2").count() == 0L)
     assert(Graph.clusterDedup(pairs, "id1", "id2").count() == 0L)
+    assert(Graph.connectedComponentsAlternating(pairs, "id1", "id2").count() == 0L)
+  }
+
+  test("fallback path preserves self-pair-only vertices") {
+    // a chain long enough to exhaust the propagation budget PLUS a
+    // self-pair-only vertex: the automatic alternating fallback must
+    // still label it
+    val chain = spark.range(99).select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      .union(Seq((777L, 777L)).toDF("id1", "id2"))
+    val got = Graph.connectedComponents(chain, "id1", "id2",
+        maxRounds = 8, blockRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 101 && got(777L) == 777L && got(99L) == 0L)
   }
 
   test("clusterDedup composes with minhashPairs (pairs from any dedup family)") {
