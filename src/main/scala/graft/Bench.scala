@@ -9,10 +9,15 @@ object Bench {
     // JVM/codegen paths cheaply so the heavy pairwise ops are not
     // charged the session's one-time costs.
     val familyRank = Map('q' -> 0, 't' -> 1, 'm' -> 2, 's' -> 3, 'd' -> 4)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (familyRank.getOrElse(name.head, 9),
-        name.drop(1).takeWhile(_.isDigit).toInt)
-    }
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the run (sf1 headline set)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (familyRank.getOrElse(name.head, 9),
+          name.drop(1).takeWhile(_.isDigit).toInt)
+      }
     // Untimed warmup: absorbs one-time session costs (parquet reader
     // init, codegen compiler, JIT) so per-query numbers are steady.
     // The pairwise ops run once on a tiny slice to JIT their native

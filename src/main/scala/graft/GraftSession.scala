@@ -23,14 +23,22 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+  /** `extensions = false` builds the PORTABILITY session: no
+    * GraftExtensions, so every operator runs its pure-built-in
+    * fallback (the `functionExists` probes all miss). Verify honors
+    * `SPARK_GRAFT_NO_EXT=1` with this, proving the full oracle gate
+    * extension-less end-to-end.
+    */
+  def builder(master: String, shufflePartitions: Int,
+              extensions: Boolean = true): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    if (extensions) b.config("spark.sql.extensions", "graft.GraftExtensions") else b
+  }
 
   /** The reader conf the events table needs; `Tables.events` checks it
     * rather than mutating session state as a load side effect.

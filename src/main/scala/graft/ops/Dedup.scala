@@ -44,19 +44,95 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
+  /** Default LSH banding derived from the Jaccard threshold: the
+    * FEWEST bands (longest rows-per-band — steepest, furthest-right
+    * s-curve) whose collision-probability midpoint (1/b)^(b/numPerm)
+    * still sits at least `margin` below the threshold, so pairs AT the
+    * threshold collide with well over 0.5 probability per the s-curve
+    * and measured recall stays 1.0 (RobustSpec). A fixed bands=32 is
+    * tuned for t=0.5 (midpoint 0.42); at t=0.8 it makes every pair
+    * above 0.42 a candidate — quadratic candidate volume the caller
+    * never asked for. Derived: t=0.5 → 32 (unchanged), t=0.8 → 16
+    * (midpoint 0.71), so high-threshold callers get ~an order of
+    * magnitude fewer candidates by default.
+    */
+  def defaultBands(numPerm: Int, threshold: Double, margin: Double = 0.05): Int =
+    (1 to numPerm).filter(numPerm % _ == 0)
+      .find(b => math.pow(1.0 / b, b.toDouble / numPerm) <= threshold - margin)
+      .getOrElse(numPerm)
+
   /** MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
     *
     * Scale shape: map (shingle → minhash sig → band keys) is pure
     * codegen; `explode` over `bands` keys; one shuffle to co-locate
     * band buckets; within-bucket self-join emits candidates; exact
     * verify touches only candidates. No full cross join anywhere.
+    *
+    * `bands` <= 0 (the default) derives the banding from
+    * `jaccardThreshold` via [[defaultBands]] — at the 0.5 default
+    * threshold this is the long-standing 32; higher thresholds get
+    * fewer bands and so avoid paying t=0.5-sized candidate volume.
+    *
+    * `persistIntermediate` pins the doc→hashes and band tables
+    * (MEMORY_AND_DISK) for the SESSION lifetime — the result is lazy,
+    * so the op cannot know when its consumer is done with them.
+    * Callers running many ops in one long-lived session should
+    * `spark.catalog.clearCache()` between pipelines (as Verify/Bench
+    * do) or pass persistIntermediate = false.
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   numPerm: Int = 128, bands: Int = 32, shingleK: Int = 5,
+                   numPerm: Int = 128, bands: Int = 0, shingleK: Int = 5,
                    jaccardThreshold: Double = 0.5,
                    persistIntermediate: Boolean = true,
                    verifyBroadcast: Option[Boolean] = None): DataFrame = {
-    val rowsPerBand = numPerm / bands
+    val (hashed, candidates) = minhashStaged(docs, textCol, idCol, numPerm,
+      bands, shingleK, jaccardThreshold, persistIntermediate)
+    // The verify joins bring the doc→hashes table to the candidate
+    // pairs; strategy is size-gated via verifyHinted (AQE runtime
+    // stats by default — broadcast only when it actually fits).
+    candidates
+      .join(verifyHinted(hashed, verifyBroadcast).as("h1"), col("id1") === col("h1.id"))
+      .join(verifyHinted(hashed, verifyBroadcast).as("h2"), col("id2") === col("h2.id"))
+      .select(col("id1"), col("id2"),
+        col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
+      .withColumn("inter", Dedup.intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
+      // floor-round (num.fround), NOT round(): integer-ratio jaccards
+      // land exactly on .xxxx5 boundaries where engine round()
+      // semantics diverge from the DuckDB oracle's floor form (same
+      // rule as d4)
+      .withColumn("jaccard", graft.functions.num.fround(
+        when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
+          .otherwise(col("inter") /
+            (size(col("sh1")).cast("double") + size(col("sh2")).cast("double") - col("inter"))), 4))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** The (id1, id2) LSH candidate set [[minhashPairs]] verifies —
+    * exposed because candidate volume IS the dominant cost of the op
+    * (d2's sf0.1 profile: band join 0.45 s of 1.9 s total, verify
+    * 0.12 s), so banding policies are judged by measuring it
+    * (RobustSpec asserts the threshold-derived default cuts candidates
+    * >= 4x at t=0.8 vs the fixed t=0.5 banding).
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        numPerm: Int = 128, bands: Int = 0, shingleK: Int = 5,
+                        jaccardThreshold: Double = 0.5,
+                        persistIntermediate: Boolean = true): DataFrame =
+    minhashStaged(docs, textCol, idCol, numPerm, bands, shingleK,
+      jaccardThreshold, persistIntermediate)._2
+
+  /** Shared staging for [[minhashPairs]]/[[minhashCandidates]]:
+    * returns (doc→sorted-shingle-hashes, deduped candidate pairs).
+    */
+  private def minhashStaged(docs: DataFrame, textCol: String, idCol: String,
+                            numPerm: Int, bands: Int, shingleK: Int,
+                            jaccardThreshold: Double,
+                            persistIntermediate: Boolean): (DataFrame, DataFrame) = {
+    val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
+    require(numPerm % nBands == 0,
+      s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
+    val rowsPerBand = numPerm / nBands
     // Staged: normalize → shingle → hash, each as its own column, so
     // the per-element lambdas see attributes (see wordNgramsOfTokens
     // scaladoc). One string-hash pass per shingle; signatures and the
@@ -95,14 +171,14 @@ object Dedup {
           .select(col("id"), size(col("hs")).as("n"),
             call_function("graft_minhash", col("hs"), lit(numPerm)).as("sig"))
         sigs.select(col("id"), col("n"),
-          explode(hashing.bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+          explode(hashing.bandKeys(col("sig"), nBands, rowsPerBand)).as("band"))
       } else {
         val sigCols = count(lit(1)).as("n") +: (0 until numPerm).map { seed =>
           min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
         }
         val sigs = hashed.select(col("id"), explode(col("hs")).as("h"))
           .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-        val bandKeyCols = (0 until bands).map { b =>
+        val bandKeyCols = (0 until nBands).map { b =>
           xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
             col(s"m${b * rowsPerBand + r}"))): _*)
         }
@@ -127,25 +203,7 @@ object Dedup {
           greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // The verify joins bring the doc→hashes table to the candidate
-    // pairs; strategy is size-gated via verifyHinted (AQE runtime
-    // stats by default — broadcast only when it actually fits).
-    candidates
-      .join(verifyHinted(hashed, verifyBroadcast).as("h1"), col("id1") === col("h1.id"))
-      .join(verifyHinted(hashed, verifyBroadcast).as("h2"), col("id2") === col("h2.id"))
-      .select(col("id1"), col("id2"),
-        col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
-      .withColumn("inter", Dedup.intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
-      // floor-round (num.fround), NOT round(): integer-ratio jaccards
-      // land exactly on .xxxx5 boundaries where engine round()
-      // semantics diverge from the DuckDB oracle's floor form (same
-      // rule as d4)
-      .withColumn("jaccard", graft.functions.num.fround(
-        when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
-          .otherwise(col("inter") /
-            (size(col("sh1")).cast("double") + size(col("sh2")).cast("double") - col("inter"))), 4))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("id1", "id2", "jaccard")
+    (hashed, candidates)
   }
 
   /** Intersection size of two sorted hash arrays: native two-pointer
@@ -346,6 +404,12 @@ object Dedup {
     * verify join bringing vectors to candidates. No all-pairs product
     * anywhere; bucket population is O(N / 2^bitsPerBand) per band
     * value under the hashing assumption.
+    *
+    * `persistIntermediate` pins the prepared (id, v, nrm, sig) table
+    * for the SESSION lifetime (the lazy result can't know when its
+    * consumer is done) — long-lived sessions should
+    * `spark.catalog.clearCache()` between pipelines or pass false,
+    * same contract as [[minhashPairs]].
     */
   def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, dim: Int,
@@ -353,6 +417,10 @@ object Dedup {
                                seed: Long = 42L,
                                persistIntermediate: Boolean = true,
                                verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    // bands is validated FIRST: the modulo below would otherwise throw
+    // a bare ArithmeticException (/ by zero) for bands = 0 instead of
+    // the intended message
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numPlanes % bands == 0 && numPlanes <= 63,
       s"numPlanes ($numPlanes) must be a multiple of bands ($bands) and <= 63")
     import graft.functions.vectors

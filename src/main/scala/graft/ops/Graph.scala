@@ -107,7 +107,14 @@ object Graph {
             coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)).as("changed"))
           .select(col("a").as("id"), col("comp"))
       labels = cur.localCheckpoint(true)
-      val perRound = obs.map(_.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L))
+      // A missing metric is ANOMALOUS here (the empty-input case — the
+      // one legitimate way a CollectMetrics node disappears — was
+      // short-circuited above), so it must not read as "0 changes =
+      // converged": default to a -1 sentinel, which never matches the
+      // contains(0L) convergence test and so routes the run to the
+      // alternating fallback / the non-convergence require instead of
+      // silently returning unstable labels.
+      val perRound = obs.map(_.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(-1L))
       rounds += blockRounds
       changed = if (perRound.contains(0L)) 0L else perRound.last
     }
@@ -139,8 +146,14 @@ object Graph {
     * Both preserve connectivity; their fixed point is one star per
     * component centered at the component min, reached in O(log n)
     * iterations. Each iteration is two groupBy/join rounds over
-    * O(edges) rows; convergence is an exact edge-set comparison (two
-    * anti-joins on the checkpointed sets).
+    * O(edges) rows; convergence is an exact edge-set comparison folded
+    * INTO the iteration's own checkpoint action (same design as the
+    * propagation form's in-block observe): the next edge set is
+    * left-joined against the previous one and the checkpoint's
+    * `observe` collects |next| and |next \ edges| — fresh = 0 means
+    * next ⊆ edges, and |next| = |edges| then forces set equality, so
+    * the test is exact at ZERO extra jobs (previously two anti-join
+    * `isEmpty` actions per iteration on top of the two checkpoints).
     *
     * Same output contract as [[connectedComponents]]: (id, comp) with
     * comp = min reachable vertex id. Used as the fallback when the
@@ -158,9 +171,16 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val verts = base.select(col("a").as("id")).union(base.select(col("b").as("id"))).distinct()
-    var edges = base.filter(col("a") =!= col("b")).localCheckpoint(true)
+    // the initial edge count rides the materializing checkpoint via
+    // observe (no separate count job); -1 = metric missing (anomalous
+    // for this non-empty-source plan) → recover with an explicit count
+    val obs0 = Observation()
+    var edges = base.filter(col("a") =!= col("b"))
+      .observe(obs0, count(lit(1)).as("n")).localCheckpoint(true)
+    var edgeCount = obs0.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (edgeCount < 0) edgeCount = edges.count()
     var iters = 0
-    var converged = false
+    var converged = edgeCount == 0L
     while (!converged && iters < maxIters) {
       // large-star over the undirected view: center u, m = min closed
       // neighborhood; larger neighbors point at m. Checkpointed: the
@@ -176,16 +196,34 @@ object Graph {
         .distinct()
         .localCheckpoint(true)
       // small-star on the high→low edges: neighbors (all smaller) and
-      // the center itself point at the min neighbor
+      // the center itself point at the min neighbor. The convergence
+      // comparison rides this plan: mark which next-edges already exist
+      // (left join against the checkpointed previous set — distinct, so
+      // no row multiplication) and let the checkpoint's observe count
+      // them; the marker column is projected away before the checkpoint
+      // result is reused.
       val ssMin = ls.groupBy("a").agg(min("b").as("m"))
+      val obs = Observation()
       val next = ls.join(ssMin, "a")
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .union(ssMin.select(col("a"), col("m").as("b")))
         .distinct()
+        .join(edges.select(col("a"), col("b"), lit(true).as("__old")),
+          Seq("a", "b"), "left_outer")
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(when(col("__old").isNull, 1L)), lit(0L)).as("fresh"))
+        .select(col("a"), col("b"))
         .localCheckpoint(true)
-      converged = next.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
-        edges.join(next, Seq("a", "b"), "left_anti").isEmpty
+      // missing metrics (anomalous: the source is a materialized
+      // checkpoint, never a provably-empty relation) read as the -1
+      // sentinel → "not converged", recovered by an explicit count, so
+      // an anomalous run iterates/faults loudly instead of converging
+      // silently with unstable edges
+      val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
+      val fresh = obs.get.get("fresh").map(_.asInstanceOf[Long]).getOrElse(-1L)
+      converged = n >= 0 && fresh == 0L && n == edgeCount
+      edgeCount = if (n >= 0) n else next.count()
       edges = next
       iters += 1
     }

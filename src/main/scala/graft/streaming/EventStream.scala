@@ -105,9 +105,15 @@ object EventStream {
           val prev = state.getOption.getOrElse(RunState(Nil, Nil, Long.MinValue))
           val pending = (prev.pending ++ rows.map(e =>
               (e.ts.getTime, e.event_id, e.value))).sortBy(p => (p._1, p._2))
-          // batch mode has no watermark — everything is emittable
+          // batch mode has no watermark — everything is emittable.
+          // STRICTLY below the watermark: Spark's late-data filter only
+          // drops rows strictly older than the watermark, so a row at
+          // exactly the watermark can still arrive in a later batch —
+          // emitting its (ts, event_id) position now could put an
+          // already-emitted larger event_id ahead of it. Boundary rows
+          // wait one batch; emission stays deterministic under replay.
           val emitTs = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
-          val (ready, rest) = pending.partition(_._1 <= emitTs)
+          val (ready, rest) = pending.partition(_._1 < emitTs)
           var tail = prev.tail // most-recent-first trailing values
           val out = ready.map { case (tsMs, id, v) =>
             val frame = v :: tail.take(window - 1)

@@ -53,4 +53,44 @@ class FallbackSpec extends AnyFunSuite {
     for (((n, f), i) <- native.zip(fallback).zipWithIndex)
       assert(n == f, s"op $i diverges between native and fallback")
   }
+
+  test("asofJoin composed fallback matches the planned physical operator row-for-row") {
+    // the q19 shape: purchases as-of matched to the user's latest
+    // distinct view time — planned via AsofJoinExec with extensions,
+    // composed via union + last-non-null window without them
+    def asof(): String = {
+      val e = Tables(spark, sfDir).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ms")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms")).distinct()
+      graft.ops.Asof.asofJoin(purchases, views,
+          Seq(("user_id", "user_id")), "ts_ms", "ts_ms")
+        .select(col("event_id"), col("ts_ms"), col("ts_ms_r"))
+        .orderBy("event_id").collect().mkString("|")
+    }
+    val planned = asof()
+    val composed = withFallback(asof())
+    assert(planned == composed,
+      "composed as-of fallback diverges from the planned operator")
+    // null semantics parity: null right times never match, a left row
+    // with no candidate gets nulls, a null left time matches nothing
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 5L), (2L, 20L, 100L))
+      .toDF("k", "lid", "lt")
+      .union(Seq((3L, 30L)).toDF("k", "lid").withColumn("lt", lit(null).cast("long")))
+    val right = Seq((1L, 50L), (1L, 90L), (2L, 200L))
+      .toDF("k", "rt")
+      .union(Seq(2L).toDF("k").withColumn("rt", lit(null).cast("long")))
+    def run2(): String = graft.ops.Asof.asofJoin(left, right,
+        Seq(("k", "k")), "lt", "rt")
+      .orderBy("lid").collect().mkString("|")
+    val p2 = run2()
+    assert(p2 == withFallback(run2()))
+    assert(p2.contains("[1,10,100,1,90]"), s"latest-at-or-before missing: $p2")
+    assert(p2.contains("[1,11,5,null,null]"), s"no-candidate nulls missing: $p2")
+    assert(p2.contains("[3,30,null,null,null]"), s"null left time must match nothing: $p2")
+  }
 }

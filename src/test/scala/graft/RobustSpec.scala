@@ -130,6 +130,63 @@ class RobustSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"d8 recall $recall%.3f collapsed")
   }
 
+  test("threshold-derived LSH banding: t=0.5 unchanged, t=0.8 cuts candidates >= 4x with recall 1.0") {
+    // the derivation itself: the long-standing t=0.5 banding is the
+    // fixed point (nothing changes for existing callers), and higher
+    // thresholds get steeper, further-right s-curves
+    assert(Dedup.defaultBands(128, 0.5) == 32)
+    assert(Dedup.defaultBands(128, 0.8) == 16)
+    assert(Dedup.defaultBands(128, 0.9) == 16)
+
+    // candidate volume at t=0.8: the derived banding must prune >= 4x
+    // vs the fixed t=0.5 banding (candidates ARE the op's cost)
+    val fixed = Dedup.minhashCandidates(docs, "text", "doc_id",
+      bands = 32, jaccardThreshold = 0.8, persistIntermediate = false).count()
+    val derived = Dedup.minhashCandidates(docs, "text", "doc_id",
+      jaccardThreshold = 0.8, persistIntermediate = false).count()
+    info(s"t=0.8 candidates: bands=32 -> $fixed, derived bands=16 -> $derived")
+    assert(derived * 4 <= fixed,
+      s"derived banding pruned ${fixed}->${derived}, less than 4x")
+
+    // recall stays 1.0 at t=0.8: every brute-force pair at jaccard >=
+    // 0.8 survives the derived banding (near-exact pairs agree on
+    // nearly all minhash slots, so they collide on an 8-row band with
+    // prob >= the 4-row band's — banding only got SAFER for them)
+    val brute = bruteJaccardPairs(0.8)
+    val banded = Dedup.minhashPairs(docs, "text", "doc_id",
+        jaccardThreshold = 0.8, persistIntermediate = false)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "degenerate corpus: no pairs at jaccard >= 0.8")
+    assert(brute == banded,
+      s"derived banding lost pairs: ${(brute -- banded).take(5)}")
+
+    // and the t=0.5 default result is byte-identical to the explicit
+    // bands=32 call (the derived default IS 32 there)
+    val a = Dedup.minhashPairs(docs, "text", "doc_id", persistIntermediate = false)
+      .orderBy("id1", "id2").collect().mkString("|")
+    val b = Dedup.minhashPairs(docs, "text", "doc_id", bands = 32,
+        persistIntermediate = false)
+      .orderBy("id1", "id2").collect().mkString("|")
+    assert(a == b)
+  }
+
+  /** Brute-force shingle-jaccard pairs at `threshold` — O(N²), test SF
+    * only.
+    */
+  private def bruteJaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    val hashed = docs.select(col("doc_id").as("id"),
+      array_sort(graft.functions.hashing.charShingleHashes(
+        graft.functions.text.normalize(col("text")), 5)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    hashed.as("a").join(hashed.as("b"), col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.hs"), col("b.hs"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("a.hs")) + size(col("b.hs")) - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   test("ivf with nProbe = numCentroids equals brute force exactly") {
     val probes = embs.filter(col("vec_id") % 100 === 0)
     val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)

@@ -1,0 +1,178 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, RunOut, SessionOut, ValEvent}
+
+/** Systematic batch↔streaming parity: each of the five streaming twins
+  * must emit EXACTLY its batch analog's rows when the same data is
+  * replayed through a memory stream in multiple batches with late /
+  * out-of-order delivery (inside the allowed lateness). This is the
+  * twins' core contract — the streaming form is the batch operator
+  * made continuous, not a different operator — and it holds only
+  * because emission is driven by the event-time watermark, never by
+  * arrival order.
+  */
+class StreamParitySpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val t0 = 1700000000000L
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("parity: hourlyRollup — streamed late/out-of-order rows equal the batch rollup") {
+    // three real hours of (event_type, value), delivered out of order;
+    // 'zz_flush' sits hours ahead only to drive the watermark past the
+    // real windows (append mode emits a window once the watermark
+    // passes it) and is excluded from BOTH sides of the compare
+    val rows = Seq(
+      ("a", 1.0, t0), ("a", 3.0, t0 + 60000), ("b", 2.0, t0 + 120000),
+      ("a", 5.0, t0 + 3600000), ("b", 4.0, t0 + 3660000),
+      ("b", 6.0, t0 + 2 * 3600000))
+    val batchDf = rows.map { case (et, v, ms) => (ts(ms), et, v) }
+      .toDF("ts", "event_type", "value")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") =!= "zz_flush")
+        .select(col("window.start").cast("long"), col("event_type"), col("n"),
+          col("avg_value"))
+        .collect().map(_.toSeq).toSet
+    val batch = norm(EventStream.hourlyRollup(batchDf))
+
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.hourlyRollup(
+        ms.toDS().toDF("ts", "event_type", "value"), watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_rollup").start()
+    try {
+      ms.addData((ts(t0 + 60000), "a", 3.0), (ts(t0 + 3600000), "a", 5.0))
+      q.processAllAvailable()
+      // late, out-of-order, inside the 30 min lateness
+      ms.addData((ts(t0), "a", 1.0), (ts(t0 + 120000), "b", 2.0))
+      q.processAllAvailable()
+      ms.addData((ts(t0 + 3660000), "b", 4.0), (ts(t0 + 2 * 3600000), "b", 6.0))
+      q.processAllAvailable()
+      ms.addData((ts(t0 + 9 * 3600000), "zz_flush", 0.0))
+      q.processAllAvailable()
+      val streamed = norm(spark.table("par_rollup"))
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("parity: dedupKeyed — streamed duplicates across batches equal batch dropDuplicates") {
+    // exact duplicate rows (same key ⇒ identical payload), so "keep
+    // the first" is the same row in both modes; dups arrive in LATER
+    // batches and out of order
+    val evs = Seq(
+      Event(1, 10, ts(t0)), Event(2, 20, ts(t0 + 1000)),
+      Event(3, 30, ts(t0 + 2000)), Event(4, 40, ts(t0 + 3000)))
+    val batch = EventStream.dedupKeyed(evs.toDS().toDF(), Seq("event_id"), "ts")
+      .collect().map(_.toSeq).toSet
+
+    val ms = MemoryStream[Event]
+    val q = EventStream.dedupKeyed(ms.toDS().toDF(), Seq("event_id"), "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_dedup").start()
+    try {
+      ms.addData(evs(1), evs(0))                    // out of order
+      q.processAllAvailable()
+      ms.addData(evs(0), evs(2), evs(1))            // dups of batch-1 rows
+      q.processAllAvailable()
+      ms.addData(evs(3), evs(2), evs(0))
+      q.processAllAvailable()
+      val streamed = spark.table("par_dedup").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("parity: sessionize — streamed gap sessions equal the batch sessions") {
+    // every REAL session is closed by a later same-user event (the
+    // trailing opener never closes in either mode: batch discards open
+    // state, streaming's timeout stays beyond the final watermark), so
+    // emitted rows must match exactly. The t0+30s event is delivered
+    // LATE (after t0+60s) and must merge identically.
+    // the two closing events sit 60 s apart so the FINAL watermark
+    // (max ts − 5 min) stays below both trailing sessions' end + gap —
+    // no trailing-session timeout fires to break parity with batch
+    val evs = Seq(
+      Event(1, 1, ts(t0)), Event(1, 2, ts(t0 + 60000)), Event(1, 3, ts(t0 + 30000)),
+      Event(1, 4, ts(t0 + 2 * 3600000)),     // gap: closes session 1
+      Event(2, 10, ts(t0 + 1000)), Event(2, 11, ts(t0 + 300000)),
+      Event(2, 12, ts(t0 + 2 * 3600000 + 60000)))  // gap: closes user 2's session
+    val batch = EventStream.sessionize(evs.toDS()).collect().toSet
+
+    val ms = MemoryStream[Event]
+    val q = EventStream.sessionize(ms.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_sess").start()
+    try {
+      ms.addData(evs(0), evs(1), evs(4))
+      q.processAllAvailable()
+      ms.addData(evs(2), evs(5))              // evs(2) late + out of order
+      q.processAllAvailable()
+      ms.addData(evs(3), evs(6))              // the gap events close both
+      q.processAllAvailable()
+      val streamed = spark.table("par_sess").as[SessionOut].collect().toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("parity: viewPurchaseJoin — streamed interval join equals the batch join") {
+    val views = Seq(
+      Event(1, 100, ts(t0)), Event(1, 101, ts(t0 - 2 * 3600000)),
+      Event(2, 200, ts(t0 + 30000)), Event(2, 201, ts(t0 + 90000)))
+    val purchases = Seq(
+      Event(1, 900, ts(t0 + 60000)), Event(2, 901, ts(t0 + 120000)))
+    val batch = EventStream.viewPurchaseJoin(views.toDS(), purchases.toDS())
+      .collect().map(_.toSeq).toSet
+
+    val vs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = EventStream.viewPurchaseJoin(vs.toDS(), ps.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_vp").start()
+    try {
+      vs.addData(views(2), views(0))          // out of order
+      ps.addData(purchases(0))
+      q.processAllAvailable()
+      vs.addData(views(1), views(3))          // stale view + late view
+      ps.addData(purchases(1))
+      q.processAllAvailable()
+      val streamed = spark.table("par_vp").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("parity: runningAvg — streamed watermark-ordered emission equals the batch averages") {
+    // user 9 exists only to push the watermark past every real row; it
+    // is excluded from the compare (its own row never flushes — nothing
+    // advances the watermark past it)
+    val evs = Seq(
+      ValEvent(1, 1, ts(t0), 2.0), ValEvent(1, 2, ts(t0 + 60000), 4.0),
+      ValEvent(1, 3, ts(t0 + 120000), 6.0), ValEvent(2, 10, ts(t0 + 1000), 1.0),
+      ValEvent(2, 11, ts(t0 + 61000), 3.0),
+      ValEvent(9, 99, ts(t0 + 3600000), 0.0))
+    val batch = EventStream.runningAvg(evs.take(5).toDS()).collect().toSet
+
+    val ms = MemoryStream[ValEvent]
+    val q = EventStream.runningAvg(ms.toDS(), watermarkDelay = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_ravg").start()
+    try {
+      ms.addData(evs(1), evs(3))              // out of order (evs(0) later)
+      q.processAllAvailable()
+      ms.addData(evs(0), evs(4))              // late row before the watermark
+      q.processAllAvailable()
+      ms.addData(evs(2))
+      q.processAllAvailable()
+      ms.addData(evs(5))                      // watermark past all real rows
+      q.processAllAvailable()
+      val streamed = spark.table("par_ravg").as[RunOut].collect().toSet
+        .filter(_.user_id != 9)
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+}
