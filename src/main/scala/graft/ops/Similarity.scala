@@ -165,6 +165,23 @@ object Similarity {
     * P(Binomial(bits, 1-p) <= radius) (measured on the test corpus:
     * recall 0.44 -> ~0.9 at radius 1 with 4x4-bit bands).
     */
+  /** Bits per band that hold the expected bucket population at
+    * `targetBucket` rows for an `nRows` corpus: 2^bits ≈ nRows /
+    * targetBucket. THE scale knob for [[lshTopK]]: with bits fixed,
+    * buckets grow linearly with the corpus and candidate volume
+    * quadratically (measured on the sf1 proof-point: 10× corpus at
+    * the sf0.1-tuned 16-plane banding = 35× wall); with bits derived,
+    * candidate volume per probe stays ~targetBucket × bands at any
+    * corpus size, and the cost moves to the probe-side multi-probe
+    * explode (linear: `bits` extra keys per band at radius 1). Capped
+    * so numPlanes = bands × bits stays in a 63-bit signature.
+    */
+  def autoBandBits(nRows: Long, bands: Int = 4, targetBucket: Int = 64): Int = {
+    val bits = math.ceil(math.log(math.max(nRows, 1L).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.min(math.max(bits, 2), 63 / bands)
+  }
+
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int,
               numPlanes: Int = 16, bands: Int = 4,

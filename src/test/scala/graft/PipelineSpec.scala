@@ -91,4 +91,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed.filter(col("pack_offset") >= 2048 || col("pack_offset") < 0).count() == 0)
     assert(packed.count() > 0, "pipeline must not degenerate to empty")
   }
+
+  test("near-dup dedup chain composes: pairs (d2) -> clusters (d7) -> kept corpus, one job graph") {
+    import graft.ops.{Dedup, Graph}
+    // the end-to-end "dedup a corpus" story, verified piecewise by the
+    // d2/d7 oracles, here run COMPOSED: minhash pairs feed connected
+    // components feed the keep/drop anti-join, corpus in → deduped
+    // corpus out, all as one lazy plan until the final actions
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val n0 = docs.count()
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      persistIntermediate = false)
+    val clusters = Graph.clusterDedup(pairs, "id1", "id2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = Graph.dropNearDups(docs, "doc_id", pairs, "id1", "id2")
+
+    // every cluster loses all but its canonical member
+    val clustered = clusters.count()
+    val dropped = clusters.filter(col("keep") === 0).count()
+    val canonical = clustered - dropped
+    assert(clustered > 0 && dropped > 0, "corpus must contain near-dup clusters")
+    assert(kept.count() == n0 - dropped,
+      "kept corpus = corpus minus non-canonical cluster members")
+    // the survivors of each cluster are exactly its min-id members
+    val keptIds = kept.select(col("doc_id").as("id"))
+    assert(clusters.filter(col("keep") === 1).join(keptIds, "id").count() == canonical,
+      "every canonical member survives")
+    assert(clusters.filter(col("keep") === 0).join(keptIds, "id").count() == 0,
+      "no dropped member survives")
+    // idempotence: re-running the chain on the deduped corpus drops nothing
+    val pairs2 = Dedup.minhashPairs(kept, "text", "doc_id",
+      persistIntermediate = false)
+    assert(Graph.clusterDedup(pairs2, "id1", "id2")
+      .filter(col("keep") === 0).count() == 0,
+      "dedup chain must be idempotent: second pass finds no drops")
+    clusters.unpersist()
+  }
 }

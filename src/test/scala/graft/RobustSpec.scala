@@ -187,6 +187,31 @@ class RobustSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("autoBandBits tracks corpus size; auto-banded lshTopK stays score-exact") {
+    import graft.ops.Similarity.autoBandBits
+    // 2^bits ~ corpus/targetBucket, floor 2, capped to the 63-bit sig
+    assert(autoBandBits(2000) == 5)
+    assert(autoBandBits(20000) == 9)
+    assert(autoBandBits(20000000) == 15, "capped at 63/bands bits")
+    assert(autoBandBits(10) == 2, "floor of 2 bits")
+    // monotone: a bigger corpus never gets fewer bits
+    val seq = Seq(100L, 1000L, 10000L, 100000L, 10000000L).map(autoBandBits(_))
+    assert(seq == seq.sorted)
+    // the auto-derived banding produces valid results on the test
+    // corpus: every emitted neighbor carries its exact brute-force
+    // cosine (precision 1.0 on scores — recall is the tuned trade)
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    val bits = autoBandBits(embs.count())
+    val auto = Similarity.lshTopK(embs, probes, "embedding", "vec_id", 5, 64,
+      numPlanes = 4 * bits, bands = 4)
+    val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 1000)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cos"))
+    val wrong = auto.join(bf, Seq("query_id", "neighbor_id"), "left_outer")
+      .filter(col("bf_cos").isNull || col("bf_cos") =!= col("cosine")).count()
+    assert(wrong == 0, "auto-banded lshTopK emitted a non-exact cosine")
+    assert(auto.count() > 0)
+  }
+
   test("ivf with nProbe = numCentroids equals brute force exactly") {
     val probes = embs.filter(col("vec_id") % 100 === 0)
     val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""sf1 correctness check for d2_minhash_lsh (construction-based).
+
+The d2 DuckDB oracle is a brute-force all-pairs shingle-Jaccard — O(N²)
+in corpus size, ~45 min at sf0.1 and ~75 h at sf1. That cost is WHY the
+LSH operator exists, so at sf1 the check decomposes into exact,
+linear-cost invariants that together pin the result to the construction
+of the sf1 dataset (10 Caesar-rotated shards of sf0.1, see gen_sf1.py):
+
+ 1. SHARD LOCALITY — every emitted pair stays inside one shard: the
+    rotation makes cross-shard near-dups impossible, so any cross-shard
+    pair is a wrong answer.
+ 2. SHARD-0 ANCHOR — shard 0 is byte-identical to sf0.1 (ids included),
+    so the shard-0 slice of the sf1 result must equal the sf0.1 result
+    that the full brute-force oracle verified (CORRECTNESS r04 gate).
+ 3. PRECISION (exact, every pair) — recompute the exact shingle Jaccard
+    in DuckDB for JUST the emitted pairs (linear in output size): the
+    value must match to 4dp and clear the 0.5 threshold.
+ 4. RECALL FLOOR (exact dups, every shard) — docs with identical
+    normalized text have identical MinHash signatures and MUST pair;
+    the exact-duplicate pair set per shard is computed by a hash
+    group-by (linear) and must be a subset of the result.
+
+Usage: check_sf1_d2.py <sf1Dir> <d2OutDir> <sparkSf01ResultDir>
+  <d2OutDir>            Verify output dir containing d2_minhash_lsh/
+  <sparkSf01ResultDir>  Verify output dir at sf0.1 containing
+                        d2_minhash_lsh/ (the oracle-anchored baseline)
+"""
+import glob
+import sys
+
+import duckdb
+import pandas as pd
+
+SHARD = 100000
+NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))")
+
+
+def load(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    assert files, f"no result parquet under {outdir}/{name}"
+    return pd.concat([pd.read_parquet(f) for f in files]).reset_index(drop=True)
+
+
+def main(sf1dir, outdir, sf01dir):
+    got = load(outdir, "d2_minhash_lsh").sort_values(["id1", "id2"]).reset_index(drop=True)
+    print(f"sf1 d2 pairs: {len(got)}")
+    con = duckdb.connect()
+
+    # 1. shard locality
+    cross = got[(got.id1 // SHARD) != (got.id2 // SHARD)]
+    assert cross.empty, f"cross-shard pairs emitted:\n{cross.head()}"
+    print("1. shard locality OK (0 cross-shard pairs)")
+
+    # 2. shard-0 anchor == the oracle-verified sf0.1 result
+    base = load(sf01dir, "d2_minhash_lsh").sort_values(["id1", "id2"]).reset_index(drop=True)
+    s0 = got[(got.id1 < SHARD) & (got.id2 < SHARD)].reset_index(drop=True)
+    assert s0.astype(str).values.tolist() == base.astype(str).values.tolist(), \
+        f"shard-0 slice ({len(s0)}) != sf0.1 oracle-verified result ({len(base)})"
+    print(f"2. shard-0 anchor OK ({len(s0)} pairs == sf0.1 result)")
+
+    # 3. exact precision on every emitted pair
+    con.execute("CREATE TABLE pairs AS SELECT * FROM got")
+    exact = con.sql(f"""
+        WITH prep AS (
+          SELECT doc_id,
+            CASE WHEN length({NORM}) >= 5
+                 THEN list_distinct(list_transform(range(1, length({NORM}) - 3),
+                        i -> substr({NORM}, i, 5)))
+                 ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM '{sf1dir}/documents.parquet'
+          WHERE doc_id IN (SELECT id1 FROM pairs UNION SELECT id2 FROM pairs)),
+        j AS (
+          SELECT p.id1, p.id2, p.jaccard,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS szsum
+          FROM pairs p JOIN prep a ON a.doc_id = p.id1
+                       JOIN prep b ON b.doc_id = p.id2)
+        SELECT id1, id2, jaccard,
+          floor((CASE WHEN szsum - inter = 0 THEN 0
+                      ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 AS truth
+        FROM j WHERE jaccard <> truth OR truth < 0.5""").df()
+    assert exact.empty, f"emitted pairs with wrong/below-threshold jaccard:\n{exact.head()}"
+    print(f"3. precision OK (all {len(got)} jaccards exact, >= 0.5)")
+
+    # 4. exact-duplicate recall floor per shard
+    dups = con.sql(f"""
+        WITH n AS (SELECT doc_id, md5({NORM}) AS fp
+                   FROM '{sf1dir}/documents.parquet' WHERE length({NORM}) >= 5)
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM n a JOIN n b ON a.fp = b.fp AND a.doc_id < b.doc_id""").df()
+    have = set(zip(got.id1, got.id2))
+    missing = [p for p in zip(dups.id1, dups.id2) if p not in have]
+    assert not missing, f"exact-dup pairs missing from d2: {missing[:5]}"
+    per_shard = dups.assign(s=dups.id1 // SHARD).groupby("s").size()
+    print(f"4. recall floor OK ({len(dups)} exact-dup pairs all present; "
+          f"per-shard {per_shard.min()}..{per_shard.max()})")
+    print("\nd2 @ sf1: all 4 construction checks PASS")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3])
