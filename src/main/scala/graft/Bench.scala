@@ -35,7 +35,14 @@ object Bench {
       graft.ops.Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", "label", 0.3).count()
       graft.ops.Similarity.lshTopK(emb, emb.limit(4), "embedding", "vec_id", 5, 64).count()
       docs.unpersist(); emb.unpersist()
-    } catch { case _: Throwable => }
+    } catch {
+      // a warmup failure is not a result (the timed runs surface real
+      // errors in the JSON), but it must not be silent either: a cold
+      // first query would read as a regression
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup failed (timings may include " +
+          s"one-time costs): ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
     // Two timed runs per query, min reported: steady-state latency,
     // robust to one-off GC/compilation hiccups. A query that throws is
     // NOT silently timed as fast: its error surfaces in the JSON.
