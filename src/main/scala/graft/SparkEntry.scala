@@ -434,6 +434,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s4_ann_lsh_auto" -> ((s, dir) => {
+      // the SCALE form of s2: banding bits derived from the corpus
+      // size (autoBandBits — bucket population held ~constant as the
+      // corpus grows; s2's fixed 16-plane banding measured 37x wall at
+      // 10x corpus, SURVEY §6). The oracle derives bits from count(*)
+      // with the same integer rule and reads the same shared-prefix
+      // hyperplanes, so candidate generation is oracle-checked at
+      // every SF, not just the one the banding was tuned on.
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val bits = Similarity.autoBandBits(emb.count())
+      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64,
+          numPlanes = 4 * bits, bands = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ----- text analysis -----
     "t1_lang_profile" -> ((s, dir) => {
       TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")
@@ -1009,6 +1025,51 @@ object SparkEntry {
                   FROM sigs, (SELECT unnest(range(4)) AS b)
                   WHERE vec_id % 100 = 0) pbase,
                  (SELECT unnest([-1, 0, 1, 2, 3]) AS f) flips),
+          cand AS (
+            SELECT DISTINCT query_id, neighbor_id, qv, cv
+            FROM cb JOIN pb USING (b, bv)
+            WHERE query_id <> neighbor_id),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) = 0 THEN 0
+                   ELSE list_dot_product(qv,cv) / (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv))) END AS cos
+            FROM cand),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // s2's banding with the BITS DERIVED FROM count(*): the `params`
+    // CTE runs autoBandBits' integer rule (smallest b in [2,15] with
+    // 2^b * 64 >= corpus rows); the 60-plane signature is computed
+    // once and each band reads only its low-bit slice, which matches
+    // the Spark side exactly because hyperplanes(4*bits) is a PREFIX
+    // of hyperplanes(60) (same seeded draw order). Multi-probe flips
+    // expand with the derived bits (range(-1, bits): -1 = exact).
+    "s4_ann_lsh_auto" -> {
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 15) AS bits
+            FROM (SELECT unnest(range(2, 16)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, v, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          cb AS (
+            SELECT vec_id AS neighbor_id, v AS cv, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(4)) AS b), params),
+          pb AS (
+            SELECT query_id, qv, b,
+              CASE WHEN f = -1 THEN bv ELSE xor(bv, CAST(2 ** f AS BIGINT)) END AS bv
+            FROM (SELECT vec_id AS query_id, v AS qv, b,
+                    (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+                  FROM sigs, (SELECT unnest(range(4)) AS b), params
+                  WHERE vec_id % 100 = 0) pbase,
+                 (SELECT unnest(range(-1, (SELECT bits FROM params))) AS f) flips),
           cand AS (
             SELECT DISTINCT query_id, neighbor_id, qv, cv
             FROM cb JOIN pb USING (b, bv)

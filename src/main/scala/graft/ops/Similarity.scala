@@ -177,9 +177,12 @@ object Similarity {
     * so numPlanes = bands × bits stays in a 63-bit signature.
     */
   def autoBandBits(nRows: Long, bands: Int = 4, targetBucket: Int = 64): Int = {
-    val bits = math.ceil(math.log(math.max(nRows, 1L).toDouble / targetBucket)
-      / math.log(2.0)).toInt
-    math.min(math.max(bits, 2), 63 / bands)
+    // integer search, not ceil(log2(...)): the SAME derivation must run
+    // inside the s4 oracle's SQL, and FP log2 at exact-power boundaries
+    // could round differently across engines — "smallest b with
+    // 2^b * targetBucket >= n" is exact everywhere
+    val cap = 63 / bands
+    (2 to cap).find(b => (1L << b) * targetBucket >= nRows).getOrElse(cap)
   }
 
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
