@@ -194,6 +194,10 @@ class RobustSpec extends AnyFunSuite {
     assert(autoBandBits(20000) == 9)
     assert(autoBandBits(20000000) == 15, "capped at 63/bands bits")
     assert(autoBandBits(10) == 2, "floor of 2 bits")
+    // exact power-of-two boundaries: the integer rule has no FP wobble
+    // (this is why it is an integer search — the oracle SQL runs the
+    // same rule and the two engines must never round differently)
+    assert(autoBandBits(2048) == 5 && autoBandBits(2049) == 6)
     // monotone: a bigger corpus never gets fewer bits
     val seq = Seq(100L, 1000L, 10000L, 100000L, 10000000L).map(autoBandBits(_))
     assert(seq == seq.sorted)
