@@ -92,5 +92,16 @@ class FallbackSpec extends AnyFunSuite {
     assert(p2.contains("[1,10,100,1,90]"), s"latest-at-or-before missing: $p2")
     assert(p2.contains("[1,11,5,null,null]"), s"no-candidate nulls missing: $p2")
     assert(p2.contains("[3,30,null,null,null]"), s"null left time must match nothing: $p2")
+    // null KEYS never match (equi-join semantics — null != null): a
+    // null-keyed left row must get nulls even when null-keyed right
+    // rows exist at eligible times, identically in both forms
+    val lf = spark.sql("SELECT * FROM VALUES (CAST(1 AS BIGINT),CAST(10 AS BIGINT),CAST(100 AS BIGINT)),(NULL,11,100),(NULL,12,50) AS t(k,lid,lt)")
+    val rf = spark.sql("SELECT * FROM VALUES (CAST(1 AS BIGINT),CAST(90 AS BIGINT)),(NULL,40),(NULL,60) AS t(k,rt)")
+    def run3(): String = graft.ops.Asof.asofJoin(lf, rf, Seq(("k", "k")), "lt", "rt")
+      .orderBy("lid").collect().mkString("|")
+    val p3 = run3()
+    assert(p3 == withFallback(run3()))
+    assert(p3 == "[1,10,100,1,90]|[null,11,100,null,null]|[null,12,50,null,null]",
+      s"null keys must match nothing in both forms: $p3")
   }
 }
