@@ -1372,7 +1372,8 @@ object SparkEntry {
                 / 1000000.0 AS logp
             FROM p LEFT JOIN train t USING (term) CROSS JOIN stats s)
           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-            floor((-sum(tf * logp) / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
+            floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "t17_bm25_search" ->

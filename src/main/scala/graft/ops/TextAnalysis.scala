@@ -260,9 +260,16 @@ object TextAnalysis {
         (coalesce(col("cnt"), lit(0.0)) + lit(alpha)) /
           (col("total") + lit(alpha) * (col("vocab") + lit(1.0)))), 6))
       .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_toks"), sum(col("tf") * col("logp")).as("ll"))
+      // the log-likelihood sums in EXACT DECIMAL (q1/q5's recipe): the
+      // 6dp-rounded logp recovers the identical decimal in any engine,
+      // and decimal addition is order-independent — a plain double sum
+      // here diverges by an ulp per partition-order difference, which
+      // the sf1 (10×) gate measured as 4dp-boundary flips on 7 of 50 k
+      // docs. tf sums exactly as integral doubles (< 2^53).
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf").cast("decimal(9,0)") * col("logp").cast("decimal(18,6)")).as("ll"))
       .select(col("doc_id"), col("n_toks").cast("long").as("n_tokens"),
-        fround(-col("ll") / col("n_toks"), 4).as("mean_nll"))
+        fround(-col("ll").cast("double") / col("n_toks"), 4).as("mean_nll"))
   }
 
   /** BM25 ranked retrieval over an on-the-fly inverted index — the
