@@ -411,6 +411,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "d9_embed_lsh_auto" -> ((s, dir) => {
+      // d8 with CORPUS-SIZE-DERIVED banding bits (6 bands × autoBandBits):
+      // d8's fixed 24-plane layout has the same pinned-banding failure
+      // mode the sf1 proof-point measured on s2 (buckets grow with the
+      // corpus, candidates quadratically). The oracle derives the bits
+      // from count(*) with the same integer rule over shared-prefix
+      // hyperplanes, so the scaled candidate generation is verified at
+      // every SF.
+      Dedup.embeddingNearDupPairsLshAuto(Tables(s, dir).embeddings,
+          "embedding", "vec_id", threshold = 0.4, dim = 64)
+        .orderBy("id1", "id2")
+    }),
+
     // ----- similarity search -----
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -978,6 +991,37 @@ object SparkEntry {
           bb AS (
             SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
             FROM sigs, (SELECT unnest(range(6)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2)
+          SELECT id1, id2, round(cos, 4) AS cosine FROM scored
+          WHERE cos >= 0.4 ORDER BY id1, id2"""
+    },
+
+    // d8's banding with bits derived from count(*) (6 bands ×
+    // autoBandBits over shared-prefix 60-plane signatures) — the d9
+    // analog of s4: the scale knob itself is oracle-checked.
+    "d9_embed_lsh_auto" -> {
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 10) AS bits
+            FROM (SELECT unnest(range(2, 11)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b), params),
           cand AS (
             SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
             FROM bb a JOIN bb c USING (b, bv)

@@ -411,6 +411,27 @@ object Dedup {
     * `spark.catalog.clearCache()` between pipelines or pass false,
     * same contract as [[minhashPairs]].
     */
+  /** [[embeddingNearDupPairsLsh]] with the banding bits DERIVED from
+    * the corpus size (`Similarity.autoBandBits`, bands = 6): the fixed
+    * 24-plane default is tuned for the corpus size it was calibrated
+    * on — at 10× the corpus its bucket populations grow 10× and
+    * candidate volume ~100× (the same failure mode the sf1 proof-point
+    * measured on s2). One count() job derives the bits; everything
+    * else is the same banding → verify pipeline. Recall for genuine
+    * near-dups falls with bits (AND-construction) — more bands buys it
+    * back; precision stays 1.0 (exact verify).
+    */
+  def embeddingNearDupPairsLshAuto(embs: DataFrame, vecCol: String, idCol: String,
+                                   threshold: Double, dim: Int,
+                                   bands: Int = 6, seed: Long = 42L,
+                                   persistIntermediate: Boolean = true,
+                                   verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val bits = Similarity.autoBandBits(embs.count(), bands)
+    embeddingNearDupPairsLsh(embs, vecCol, idCol, threshold, dim,
+      numPlanes = bands * bits, bands = bands, seed = seed,
+      persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
+  }
+
   def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, dim: Int,
                                numPlanes: Int = 24, bands: Int = 6,
