@@ -406,8 +406,11 @@ object SparkEntry {
       // the shape a real unlabeled corpus needs. The oracle replicates
       // the 24-plane/6-band bucketing literally, so candidate
       // generation AND the exact-cosine verify are both checked.
+      // banding PINNED to the oracle-replicated 24-plane layout (the
+      // library default derives from corpus size — d9 covers that)
       Dedup.embeddingNearDupPairsLsh(Tables(s, dir).embeddings,
-          "embedding", "vec_id", threshold = 0.4, dim = 64)
+          "embedding", "vec_id", threshold = 0.4, dim = 64,
+          numPlanes = 24, bands = 6)
         .orderBy("id1", "id2")
     }),
 
@@ -435,7 +438,10 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val probes = emb.filter(col("vec_id") % 100 === 0)
-      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
+      // banding PINNED to the oracle-replicated 16-plane layout (the
+      // library default derives from corpus size — s4 covers that)
+      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64,
+          numPlanes = 16, bands = 4)
         .orderBy("query_id", "rank")
     }),
 

@@ -432,9 +432,15 @@ object Dedup {
       persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
   }
 
+  /** `numPlanes` <= 0 (the DEFAULT) derives the banding from the
+    * corpus size ([[Similarity.autoBandBits]], one count() job) — the
+    * scale-safe default; the sf1 proof-point measured the fixed
+    * 24-plane layout at 95-150× wall for 10× rows. Pass an explicit
+    * value to pin the layout, as the oracle-replicated d8 query does.
+    */
   def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, dim: Int,
-                               numPlanes: Int = 24, bands: Int = 6,
+                               numPlanes: Int = 0, bands: Int = 6,
                                seed: Long = 42L,
                                persistIntermediate: Boolean = true,
                                verifyBroadcast: Option[Boolean] = None): DataFrame = {
@@ -442,11 +448,14 @@ object Dedup {
     // a bare ArithmeticException (/ by zero) for bands = 0 instead of
     // the intended message
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    require(numPlanes % bands == 0 && numPlanes <= 63,
-      s"numPlanes ($numPlanes) must be a multiple of bands ($bands) and <= 63")
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else bands * Similarity.autoBandBits(embs.count(), bands)
+    require(nPlanes % bands == 0 && nPlanes <= 63,
+      s"numPlanes ($nPlanes) must be a multiple of bands ($bands) and <= 63")
     import graft.functions.vectors
-    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
-    val bitsPerBand = numPlanes / bands
+    val planes = Similarity.hyperplanes(nPlanes, dim, seed)
+    val bitsPerBand = nPlanes / bands
     val dotOf = Native.dotOf(embs)
     val sigOf: Column => Column =
       if (Native.enabled(embs, "graft_hyperplane_sig"))

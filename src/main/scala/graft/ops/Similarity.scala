@@ -177,6 +177,11 @@ object Similarity {
     * so numPlanes = bands × bits stays in a 63-bit signature.
     */
   def autoBandBits(nRows: Long, bands: Int = 4, targetBucket: Int = 64): Int = {
+    // validated FIRST: 63 / bands below would throw a bare
+    // ArithmeticException for bands = 0 (same contract as the
+    // embeddingNearDupPairsLsh require)
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
     // integer search, not ceil(log2(...)): the SAME derivation must run
     // inside the s4 oracle's SQL, and FP log2 at exact-power boundaries
     // could round differently across engines — "smallest b with
@@ -185,13 +190,25 @@ object Similarity {
     (2 to cap).find(b => (1L << b) * targetBucket >= nRows).getOrElse(cap)
   }
 
+  /** `numPlanes` <= 0 (the DEFAULT) derives the banding from the
+    * corpus size via [[autoBandBits]] (one count() job) — the
+    * scale-safe default, since any fixed plane count pins the bucket
+    * population to one corpus size (the sf1 proof-point measured 16
+    * planes at 37× wall for 10× rows). Pass an explicit value to pin
+    * the layout, as the oracle-replicated s2 query does.
+    */
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int,
-              numPlanes: Int = 16, bands: Int = 4,
+              numPlanes: Int = 0, bands: Int = 4,
               probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
-    val planes = hyperplanes(numPlanes, dim)
-    val bitsPerBand = numPlanes / bands
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else bands * autoBandBits(corpus.count(), bands)
+    require(bands >= 1 && nPlanes % bands == 0 && nPlanes <= 63,
+      s"numPlanes ($nPlanes) must be a multiple of bands ($bands) and <= 63")
+    val planes = hyperplanes(nPlanes, dim)
+    val bitsPerBand = nPlanes / bands
     val dot = dotOf(corpus)
     val sigOf: Column => Column =
       if (Native.enabled(corpus, "graft_hyperplane_sig"))

@@ -39,6 +39,7 @@ class RobustSpec extends AnyFunSuite {
     assert(d2.head.nonEmpty && d4.head.nonEmpty)
     val d8 = strategies.map(strat =>
       Dedup.embeddingNearDupPairsLsh(embs, "embedding", "vec_id", 0.4, dim = 64,
+          numPlanes = 24, bands = 6,
           persistIntermediate = false, verifyBroadcast = strat)
         .orderBy("id1", "id2").collect().mkString("|"))
     assert(d8.distinct.size == 1, "embeddingNearDupPairsLsh diverges across join strategies")
@@ -85,7 +86,8 @@ class RobustSpec extends AnyFunSuite {
     // (0.48-0.88 as nProbe goes 4->8 at sf0.01). Bounds are set below
     // the measured floor so a silent recall regression fails the
     // suite without making the suite flaky.
-    check("s2_ann_lsh", Similarity.lshTopK(embs, probes, "embedding", "vec_id", 5, 64), 0.8)
+    check("s2_ann_lsh", Similarity.lshTopK(embs, probes, "embedding", "vec_id", 5, 64,
+      numPlanes = 16, bands = 4), 0.8)
     val r0 = check("s3_ann_ivf(iters=0)",
       Similarity.ivfTopK(embs, probes, "embedding", "vec_id", 5), 0.4)
     val r8 = check("s3_ann_ivf(nProbe=8)",
@@ -108,7 +110,7 @@ class RobustSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val truth = truthRows.map(_._1).toSet
     val got = Dedup.embeddingNearDupPairsLsh(embs, "embedding", "vec_id",
-        threshold, dim = 64)
+        threshold, dim = 64, numPlanes = 24, bands = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // precision 1.0 by construction: every emitted pair is exact-verified
     assert(got.subsetOf(truth), "LSH-blocked dedup emitted a below-threshold pair")
@@ -201,6 +203,10 @@ class RobustSpec extends AnyFunSuite {
     // monotone: a bigger corpus never gets fewer bits
     val seq = Seq(100L, 1000L, 10000L, 100000L, 10000000L).map(autoBandBits(_))
     assert(seq == seq.sorted)
+    // degenerate band counts fail with the intended message, not / by 0
+    assert(intercept[IllegalArgumentException] {
+      autoBandBits(1000, bands = 0)
+    }.getMessage.contains("bands"))
     // the auto-derived banding produces valid results on the test
     // corpus: every emitted neighbor carries its exact brute-force
     // cosine (precision 1.0 on scores — recall is the tuned trade)
