@@ -9,9 +9,16 @@ object Bench {
     // JVM/codegen paths cheaply so the heavy pairwise ops are not
     // charged the session's one-time costs.
     val familyRank = Map('q' -> 0, 't' -> 1, 'm' -> 2, 's' -> 3, 'd' -> 4)
-    // SPARK_GRAFT_QUERIES=a,b,c restricts the run (sf1 headline set)
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the run (sf1 headline set);
+    // unknown names fail loudly — a typo must not yield a vacuous
+    // total=0 line that reads as a result
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) =>

@@ -463,9 +463,9 @@ object SparkEntry {
       // every SF, not just the one the banding was tuned on.
       val emb = Tables(s, dir).embeddings
       val probes = emb.filter(col("vec_id") % 100 === 0)
-      val bits = Similarity.autoBandBits(emb.count())
-      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64,
-          numPlanes = 4 * bits, bands = 4)
+      // lshTopK's DEFAULT is the corpus-derived banding — s4 declares
+      // exactly that default path
+      Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
         .orderBy("query_id", "rank")
     }),
 

@@ -82,6 +82,14 @@ object Asof {
                                rightSuffix: String): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = r2.columns.toSeq
+    // the composed plan adds working columns in the __asof_ namespace;
+    // a user column there would make the projection ambiguous — fail
+    // with the reason rather than an ambiguous-reference error, and
+    // only on this path (the planned operator has no such columns)
+    val reserved = (lCols ++ rCols).filter(_.startsWith("__asof_"))
+    require(reserved.isEmpty,
+      s"asofJoin composed fallback reserves the __asof_ column prefix; " +
+        s"rename: ${reserved.mkString(", ")}")
     val keyCols = keys.indices.map(i => s"__asof_k$i")
     val rStruct = struct(rCols.map(col): _*)
     val rNullStruct = {
@@ -109,7 +117,11 @@ object Asof {
     lU.union(rU)
       .withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
-      .select(lCols.map(col) ++ rCols.map(c => col(s"__asof_m.$c").as(c)): _*)
+      // getField, not the dotted col("__asof_m.c") path: a right column
+      // whose NAME contains a dot would otherwise parse as a deeper
+      // nested-field reference and fail to resolve
+      .select(lCols.map(col) ++
+        rCols.map(c => col("__asof_m").getField(c).as(c)): _*)
   }
 
   private def attr(df: DataFrame, name: String) = GraftSqlBridge.expr(df(name))

@@ -394,9 +394,11 @@ object Dedup {
     * Recall is the standard LSH trade: a pair at cosine c agrees on a
     * given band with probability (1 − θ(c)/π)^bitsPerBand, and on at
     * least one of the bands with 1 − (1 − p)^bands — near-dup pairs
-    * (c ≥ 0.9) are caught with p ≥ 0.95 at the 24-plane/6-band
-    * default, while distant pairs rarely collide (DedupJoinSpec
-    * measures recall against the blocked ground truth). Precision is
+    * (c ≥ 0.9) are caught with p ≥ 0.95 at the d8-pinned
+    * 24-plane/6-band layout, while distant pairs rarely collide
+    * (DedupJoinSpec measures recall against the blocked ground
+    * truth); higher derived bit counts trade some of that recall for
+    * bounded buckets, and more bands buy it back. Precision is
     * 1.0 by construction (exact verify).
     *
     * Scale shape: identical to d2's — band explode (`bands` slim rows
@@ -405,38 +407,19 @@ object Dedup {
     * anywhere; bucket population is O(N / 2^bitsPerBand) per band
     * value under the hashing assumption.
     *
+    * `numPlanes` <= 0 (the DEFAULT) derives the banding from the
+    * corpus size ([[Similarity.autoBandBits]], one count() job) — the
+    * scale-safe default; the sf1 proof-point measured a fixed
+    * 24-plane layout at 95-150× wall for 10× rows. Pass an explicit
+    * value to pin the layout, as the oracle-replicated d8 query does.
+    * [[embeddingNearDupPairsLshAuto]] names the default path
+    * explicitly.
+    *
     * `persistIntermediate` pins the prepared (id, v, nrm, sig) table
     * for the SESSION lifetime (the lazy result can't know when its
     * consumer is done) — long-lived sessions should
     * `spark.catalog.clearCache()` between pipelines or pass false,
     * same contract as [[minhashPairs]].
-    */
-  /** [[embeddingNearDupPairsLsh]] with the banding bits DERIVED from
-    * the corpus size (`Similarity.autoBandBits`, bands = 6): the fixed
-    * 24-plane default is tuned for the corpus size it was calibrated
-    * on — at 10× the corpus its bucket populations grow 10× and
-    * candidate volume ~100× (the same failure mode the sf1 proof-point
-    * measured on s2). One count() job derives the bits; everything
-    * else is the same banding → verify pipeline. Recall for genuine
-    * near-dups falls with bits (AND-construction) — more bands buys it
-    * back; precision stays 1.0 (exact verify).
-    */
-  def embeddingNearDupPairsLshAuto(embs: DataFrame, vecCol: String, idCol: String,
-                                   threshold: Double, dim: Int,
-                                   bands: Int = 6, seed: Long = 42L,
-                                   persistIntermediate: Boolean = true,
-                                   verifyBroadcast: Option[Boolean] = None): DataFrame = {
-    val bits = Similarity.autoBandBits(embs.count(), bands)
-    embeddingNearDupPairsLsh(embs, vecCol, idCol, threshold, dim,
-      numPlanes = bands * bits, bands = bands, seed = seed,
-      persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
-  }
-
-  /** `numPlanes` <= 0 (the DEFAULT) derives the banding from the
-    * corpus size ([[Similarity.autoBandBits]], one count() job) — the
-    * scale-safe default; the sf1 proof-point measured the fixed
-    * 24-plane layout at 95-150× wall for 10× rows. Pass an explicit
-    * value to pin the layout, as the oracle-replicated d8 query does.
     */
   def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, dim: Int,
@@ -490,4 +473,18 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** The corpus-size-derived banding path of
+    * [[embeddingNearDupPairsLsh]] under its explicit name (d9's
+    * declared form) — a pure forward to the numPlanes <= 0 default,
+    * so there is exactly ONE derivation of "auto".
+    */
+  def embeddingNearDupPairsLshAuto(embs: DataFrame, vecCol: String, idCol: String,
+                                   threshold: Double, dim: Int,
+                                   bands: Int = 6, seed: Long = 42L,
+                                   persistIntermediate: Boolean = true,
+                                   verifyBroadcast: Option[Boolean] = None): DataFrame =
+    embeddingNearDupPairsLsh(embs, vecCol, idCol, threshold, dim,
+      numPlanes = 0, bands = bands, seed = seed,
+      persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
 }

@@ -84,12 +84,29 @@ def main(sf1dir, outdir, sf01dir):
     assert exact.empty, f"emitted pairs with wrong/below-threshold jaccard:\n{exact.head()}"
     print(f"3. precision OK (all {len(got)} jaccards exact, >= 0.5)")
 
-    # 4. exact-duplicate recall floor per shard
+    # construction premise: the per-shard rotation must leave NO text
+    # identical across shards (gen_sf1 rotates letters AND digits, so
+    # only the pathological case of a doc with no rotatable characters
+    # could violate it) — verified, not assumed, so a premise failure
+    # reads as itself rather than as a confusing check-1/4 conflict
+    clash = con.sql(f"""
+        WITH n AS (SELECT doc_id, md5({NORM}) AS fp
+                   FROM '{sf1dir}/documents.parquet' WHERE length({NORM}) >= 5)
+        SELECT count(*) FROM n a JOIN n b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+           AND a.doc_id // {SHARD} <> b.doc_id // {SHARD}""").fetchone()[0]
+    assert clash == 0, (
+        f"{clash} cross-shard identical texts — the shard-disjointness "
+        "premise is broken; regenerate with tools/gen_sf1.py")
+
+    # 4. exact-duplicate recall floor per shard (same-shard pairs only —
+    # cross-shard dups cannot exist per the premise check above)
     dups = con.sql(f"""
         WITH n AS (SELECT doc_id, md5({NORM}) AS fp
                    FROM '{sf1dir}/documents.parquet' WHERE length({NORM}) >= 5)
         SELECT a.doc_id AS id1, b.doc_id AS id2
-        FROM n a JOIN n b ON a.fp = b.fp AND a.doc_id < b.doc_id""").df()
+        FROM n a JOIN n b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                          AND a.doc_id // {SHARD} = b.doc_id // {SHARD}""").df()
     have = set(zip(got.id1, got.id2))
     missing = [p for p in zip(dups.id1, dups.id2) if p not in have]
     assert not missing, f"exact-dup pairs missing from d2: {missing[:5]}"

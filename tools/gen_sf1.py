@@ -36,11 +36,16 @@ N = 10
 AZ = "abcdefghijklmnopqrstuvwxyz"
 
 def rot_expr(col, ci):
+    # letters AND digits rotate: a letter-only cipher would leave
+    # digit/space-only documents byte-identical across shards, creating
+    # true cross-shard duplicates that break the "shards are textually
+    # disjoint" construction the d2 checks rely on
     if ci == 0:
         return col
-    lo, hi = AZ, AZ.upper()
+    lo, hi, dg = AZ, AZ.upper(), "0123456789"
     rlo, rhi = lo[ci:] + lo[:ci], hi[ci:] + hi[:ci]
-    return f"translate({col}, '{lo}{hi}', '{rlo}{rhi}')"
+    rdg = dg[ci % 10:] + dg[:ci % 10]
+    return f"translate({col}, '{lo}{hi}{dg}', '{rlo}{rhi}{rdg}')"
 
 def shift_expr(col, ci, dim=64):
     k = (ci * 7) % dim
