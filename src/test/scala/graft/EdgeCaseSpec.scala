@@ -104,4 +104,16 @@ class EdgeCaseSpec extends AnyFunSuite {
       "eval", persistIntermediate = false)
     assert(pairs.count() == 0)
   }
+
+  test("asofJoin composed fallback rejects user columns in its reserved namespace") {
+    val lf = Seq((1L, 10L, 100L)).toDF("k", "__asof_t", "lt")
+    val rf = Seq((1L, 90L)).toDF("k", "rt")
+    spark.conf.set("graft.native.disabled", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Asof.asofJoin(lf, rf, Seq(("k", "k")), "lt", "rt").collect()
+      }
+      assert(e.getMessage.contains("__asof_"), s"wrong failure: ${e.getMessage}")
+    } finally spark.conf.unset("graft.native.disabled")
+  }
 }
