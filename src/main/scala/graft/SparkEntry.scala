@@ -617,6 +617,53 @@ object SparkEntry {
       Multimodal.extractRecords(docs, "payload", "doc_id",
           Multimodal.WhitespaceRecordParser)
         .orderBy("doc_id", "rec_idx")
+    }),
+
+    "q23_cube" -> ((s, dir) => {
+      // q21's ROLLUP widened to the full CUBE lattice: all four
+      // (type, hour) granularities in ONE Expand + one partial-agg
+      // shuffle — the multi-granularity dashboard scan costs one pass
+      // at any scale, not one scan per grouping set.
+      val e = Tables(s, dir).events
+        .withColumn("hb_ms", epochMs(date_trunc("hour", col("ts"))))
+      e.cube(col("event_type"), col("hb_ms"))
+        .agg(count(lit(1)).as("n"),
+          num.fround(sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(col("value")), 4).as("avg_value"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("hb_ms")).cast("int").as("g_hour"))
+        .orderBy(col("g_type"), col("g_hour"), col("event_type"), col("hb_ms"))
+    }),
+
+    "t20_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, "text", "doc_id",
+          k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "t22_ppl_bucket" -> ((s, dir) => {
+      // t18's unigram-LM NLL scores binned into 10 value-buckets —
+      // the perplexity-tier selection signal over the whole corpus
+      val docs = Tables(s, dir).documents
+      val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      TextAnalysis.nllBuckets(
+          TextAnalysis.lmScore(split.filter(col("split") === "train"), docs,
+            "text", "doc_id"),
+          buckets = 10)
+        .orderBy("bucket")
+    }),
+
+    "d10_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedupStats(Tables(s, dir).documents, "text", "doc_id",
+          chunkTokens = 20)
+        .orderBy("doc_id")
+    }),
+
+    "c1_kmeans" -> ((s, dir) => {
+      Cluster.kmeansSummary(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 4, iters = 1)
+        .orderBy("cluster_id")
     })
   )
 
@@ -1528,6 +1575,147 @@ object SparkEntry {
             FROM t)
           SELECT doc_id, rec.rec_idx AS rec_idx, rec.rec_text AS rec_text,
             rec.rec_len AS rec_len
-          FROM u ORDER BY doc_id, rec_idx"""
+          FROM u ORDER BY doc_id, rec_idx""",
+
+    "q23_cube" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hb_ms,
+         count(*) AS n,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) * 10000 + 0.5) / 10000 AS avg_value,
+         CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         CAST(GROUPING(epoch_ms(date_trunc('hour', ts))) AS INTEGER) AS g_hour
+         FROM events
+         GROUP BY CUBE (event_type, epoch_ms(date_trunc('hour', ts)))
+         ORDER BY g_type, g_hour, event_type, hb_ms""",
+
+    "t20_tfidf" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          p AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term),
+          dfs AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY term),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, term,
+              floor(tf * (floor(ln((s.n_docs + 1.0) / (df + 1.0)) * 1000000.0 + 0.5)
+                            / 1000000.0 + 1.0) * 10000.0 + 0.5) / 10000.0 AS tfidf
+            FROM p JOIN dfs USING (term) CROSS JOIN stats s)
+          SELECT doc_id, term, tfidf, rank FROM (
+            SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "t22_ppl_bucket" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          p AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term),
+          train AS (
+            SELECT term, sum(tf) AS cnt FROM p
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+            GROUP BY term),
+          stats AS (
+            SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM train),
+          scored AS (
+            SELECT p.doc_id, p.tf,
+              floor(ln((coalesce(t.cnt, 0.0) + 0.5)
+                       / (s.total + 0.5 * (s.vocab + 1.0))) * 1000000.0 + 0.5)
+                / 1000000.0 AS logp
+            FROM p LEFT JOIN train t USING (term) CROSS JOIN stats s),
+          base AS (
+            SELECT doc_id,
+              floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                     / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
+            FROM scored GROUP BY doc_id),
+          vals AS (
+            SELECT mean_nll, count(*) AS c FROM base GROUP BY mean_nll),
+          cum AS (
+            SELECT mean_nll, c,
+              coalesce(sum(c) OVER (ORDER BY mean_nll
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+              sum(c) OVER () AS n
+            FROM vals),
+          b AS (
+            SELECT mean_nll, c,
+              CAST(floor(CAST(before AS DOUBLE) * 10 / n) + 1 AS BIGINT) AS bucket
+            FROM cum)
+          SELECT bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+            min(mean_nll) AS min_nll, max(mean_nll) AS max_nll
+          FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "d10_chunk_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, toks, len(toks) AS n FROM (
+              SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents)
+            WHERE len(toks) > 0),
+          c AS (
+            SELECT doc_id,
+              unnest(list_transform(range(0, CAST(ceil(CAST(n AS DOUBLE) / 20.0) AS BIGINT)),
+                i -> {'idx': i,
+                      'h': md5(array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' ')),
+                      'n_tok': least(20, n - i*20)})) AS u
+            FROM t),
+          e AS (SELECT doc_id, u.idx AS idx, u.h AS h, u.n_tok AS n_tok FROM c),
+          f AS (
+            SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first
+            FROM e GROUP BY h),
+          m AS (
+            SELECT e.doc_id, e.n_tok,
+              ((f.first).doc_id <> e.doc_id OR (f.first).idx <> e.idx) AS dup
+            FROM e JOIN f USING (h))
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            CAST(sum(CASE WHEN dup THEN 0 ELSE n_tok END) AS BIGINT) AS n_kept_tokens
+          FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    "c1_kmeans" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM e ORDER BY vec_id LIMIT 4),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, i.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                      ELSE list_dot_product(e.v, i.c)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                 i.cid ASC) AS rn
+             FROM e CROSS JOIN init i) WHERE rn = 1),
+         comp AS (
+           SELECT cid, u.d AS d,
+             CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+           FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                   j -> struct_pack(d := j, x := v[j]))) AS u FROM a1)),
+         cent AS (
+           SELECT cid, d,
+             floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+           FROM comp GROUP BY cid, d),
+         cent2 AS (SELECT cid, list(cx ORDER BY d) AS c FROM cent GROUP BY cid),
+         a2 AS (
+           SELECT vec_id, cid, cos FROM (
+             SELECT e.vec_id, i.cid,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                    ELSE list_dot_product(e.v, i.c)
+                         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) END AS cos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                      ELSE list_dot_product(e.v, i.c)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                 i.cid ASC) AS rn
+             FROM e CROSS JOIN cent2 i) WHERE rn = 1)
+         SELECT cid AS cluster_id, count(*) AS n_points,
+           floor(CAST(sum(CAST(floor(cos * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS mean_cos
+         FROM a2 GROUP BY cid ORDER BY cid"""
   )
 }

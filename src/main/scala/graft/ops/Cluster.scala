@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.num
+
+/** K-means clustering over a dense embedding column — the corpus
+  * organization primitive behind cluster-based curation (diversity
+  * sampling, cluster-level dedup, topic balance). Reference analog:
+  * the grouping/partitioning passes in the incident pipeline's
+  * analysis step, generalized to vector space.
+  *
+  * Lloyd's algorithm, Spark-first:
+  *  - **Assignment is map-only.** Centroids (k rows, bounded driver
+  *    state by design — the same contract as [[Similarity]]'s IVF
+  *    centroid table) are folded into the projection as array
+  *    literals, so assigning a point costs k codegen'd dot products
+  *    and NO shuffle, join, or window. At 100 TB the corpus streams
+  *    through the scan once per iteration.
+  *  - **Recomputation is one partial-agg shuffle** of (cluster, dim)
+  *    keyed component sums — k·dim result rows, never a per-point
+  *    table on the driver.
+  *
+  * FP determinism (the cross-engine / cross-partition-order
+  * contract): per-dimension means accumulate in EXACT DECIMAL over
+  * 6dp floor-rounded components (a plain double sum is
+  * partition-order dependent — the t18 lesson), and the recomputed
+  * centroid components are floor-rounded to 6dp, so every engine
+  * computing the same assignment sees bit-identical centroids.
+  * Assignment argmax runs on raw cosine doubles (sequential
+  * accumulation — bit-identical across engines, the s1/d5 contract)
+  * with lower-cluster-id tie-break.
+  */
+object Cluster {
+
+  private def fround(c: Column, d: Int): Column = num.fround(c, d)
+
+  // NOT Native.dotOf: the native kernel reads float arrays, but the
+  // recomputed centroids are DOUBLE literals (6dp-rounded — float
+  // storage couldn't hold the decimal-exact values the oracle
+  // recomputes). The HOF dot casts each element to double, handling
+  // the float-vector × double-centroid mix with the same sequential
+  // accumulation DuckDB's list_dot_product uses.
+  private def cosOf: (Column, Column) => Column = {
+    val dot = graft.functions.vectors.dot _
+    (a, b) => {
+      val nn = sqrt(dot(a, a)) * sqrt(dot(b, b))
+      when(nn === 0.0, lit(0.0)).otherwise(dot(a, b) / nn)
+    }
+  }
+
+  /** Nearest-centroid id + cosine for each row, as two extra columns
+    * (`cluster_id`, `cos`). Map-only: `centroids` become literals.
+    * Tie-break: equal cosine goes to the LOWER cluster id (the
+    * (cos, -cid) struct max is lexicographic).
+    */
+  private def assign(points: DataFrame, vecCol: String,
+                     centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val cos = cosOf
+    val scored = centroids.map { case (cid, c) =>
+      struct(cos(col(vecCol), array(c.map(lit).toSeq: _*)).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    points
+      .withColumn("graft_best", array_max(array(scored: _*)))
+      .withColumn("cluster_id", -col("graft_best.ncid"))
+      .withColumn("cos", col("graft_best.cos"))
+      .drop("graft_best")
+  }
+
+  /** Decimal-exact per-cluster mean vectors of the assigned points:
+    * one shuffle keyed (cluster, dim) with partial aggregation, then
+    * a k-row collect (bounded driver state). Components floor-round
+    * to 6dp so the result is identical for any partition order.
+    */
+  private def recompute(assigned: DataFrame, vecCol: String): Seq[(Long, Array[Double])] = {
+    val perDim = assigned
+      .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("cluster_id"), col("d"),
+        fround(col("x").cast("double"), 6).cast("decimal(18,6)").as("xq"))
+      .groupBy("cluster_id", "d")
+      .agg(fround(sum(col("xq")).cast("double") / count(lit(1)), 6).as("cx"))
+    perDim.groupBy("cluster_id")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Full k-means: init = the embeddings of the `k` LOWEST ids
+    * (deterministic, engine-portable), then `iters` Lloyd refinements
+    * (assign → decimal-exact recompute), then a final assignment.
+    * Returns (id, cluster_id, cos) — cosine is to the final centroid.
+    *
+    * A cluster that captures no points in some assignment simply drops
+    * out (standard Lloyd behavior); downstream rows re-spread over the
+    * survivors.
+    */
+  def kmeansAssign(embs: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // k rows, ordered by id — bounded driver state, the IVF contract.
+    var centroids: Seq[(Long, Array[Double])] =
+      points.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case (r, i) =>
+          (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+    for (_ <- 0 until iters)
+      centroids = recompute(assign(points, "v", centroids), "v")
+    assign(points, "v", centroids)
+      .select(col("id"), col("cluster_id"), col("cos"))
+  }
+
+  /** Per-cluster summary: size and 4dp mean cosine-to-centroid
+    * (cohesion). The mean sums 6dp-rounded cosines in exact decimal —
+    * partition-order independent, engine-portable.
+    */
+  def kmeansSummary(embs: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int = 1): DataFrame =
+    kmeansAssign(embs, vecCol, idCol, k, iters)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_points"),
+        fround(sum(fround(col("cos"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 4).as("mean_cos"))
+      .select(col("cluster_id"), col("n_points"), col("mean_cos"))
+}

@@ -487,4 +487,56 @@ object Dedup {
     embeddingNearDupPairsLsh(embs, vecCol, idCol, threshold, dim,
       numPlanes = 0, bands = bands, seed = seed,
       persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
+
+  /** Sub-document (chunk-level) exact dedup stats — the
+    * boilerplate-removal pass of a training-data pipeline (CCNet-style
+    * line dedup, over fixed `chunkTokens`-token windows since the
+    * corpus has no line structure; reference analog: the record-level
+    * duplicate guard of `src/db/incidents.py:41-46`, pushed below
+    * document granularity).
+    *
+    * A chunk is a DUPLICATE iff the same chunk hash occurred at a
+    * strictly earlier (doc_id, chunk_idx) position anywhere in the
+    * corpus — the global first occurrence is kept, every repeat is
+    * flagged. Output per document: chunk counts and the surviving
+    * token count.
+    *
+    * Scale shape: explode is O(chunks) = O(tokens / chunkTokens); the
+    * first-occurrence table is a partial-agg `min(struct(doc, idx))`
+    * keyed by chunk hash, joined back on the SAME key — Catalyst
+    * reuses the exchange, so the mark-up costs one hash shuffle plus
+    * the final per-doc aggregate. No windows (a hot boilerplate chunk
+    * would buffer its whole occurrence list), no all-pairs anything.
+    */
+  def chunkDedupStats(docs: DataFrame, textCol: String, idCol: String,
+                      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    import graft.functions.text
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+    val chunks = toks
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n").cast("double") / chunkTokens).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").as("idx"), md5(col("col")).as("h"),
+        least(lit(chunkTokens), col("n") - col("pos") * chunkTokens)
+          .cast("long").as("n_tok"))
+    val firsts = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    chunks.join(firsts, "h")
+      .withColumn("dup",
+        col("first.doc_id") =!= col("doc_id") || col("first.idx") =!= col("idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_kept_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_kept_tokens"))
+  }
 }

@@ -405,4 +405,85 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("doc_id"), col("score"), col("rank"))
   }
+
+  /** Per-document top-k TF-IDF terms — the keyword/salience extraction
+    * pass of a curation pipeline (reference analog: the frequency
+    * ranks of `src/db/incidents.py:66-73`, lifted from corpus-global
+    * to per-document salience).
+    *
+    * tfidf(t, D) = tf · (idf(t) + 1),  idf = ln((N+1)/(df+1))
+    * (the smoothed form — df=N terms still score, rare terms score
+    * higher).
+    *
+    * Scale shape: postings aggregate once (partial-agg, one shuffle of
+    * O(tokens)); df is a vocabulary-sized aggregate JOINED back on
+    * term — a shuffle equi-join, NOT a window over term partitions
+    * (hot terms would buffer entire postings lists) and NOT an
+    * unconditional broadcast (vocabulary grows with the corpus).
+    * Corpus size rides a 1-row broadcast. The final per-doc top-k is
+    * the row_number window idiom the injected TopKRewriteRule replans
+    * as the bounded `graft_topk` aggregate.
+    *
+    * FP determinism: idf floor-rounds to 6dp (ln ulp guard), the
+    * tf·idf product floor-rounds to 4dp, and ranking orders by the
+    * ROUNDED score with term-ASC tie-break — engine-portable.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    val norm = Native.normOf(docs)
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(text.tokens(norm(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = postings
+      .join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        fround(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("tfidf", fround(col("tf") * (col("idf") + lit(1.0)), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+
+  /** Value-bucketed NLL histogram over [[lmScore]] output — the
+    * perplexity-binned data-selection signal (CCNet-style quality
+    * tiers). `scored` must carry (doc_id, mean_nll).
+    *
+    * Bucket definition (deliberately NOT ntile): all docs sharing a
+    * 4dp mean_nll value land in ONE bucket,
+    * bucket(v) = floor(|{rows < v}| · buckets / N) + 1 — deterministic
+    * under ties and engine-portable, where ntile splits ties by
+    * arbitrary row position.
+    *
+    * Scale shape: docs aggregate to DISTINCT 4dp score values first
+    * (a bounded-cardinality table — the 4dp grid), so the global
+    * cumulative window runs over the tiny value table, never the
+    * corpus. Two shuffles: per-value count (partial-agg) + the
+    * single-partition window over distinct values.
+    */
+  def nllBuckets(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = scored.groupBy("mean_nll").agg(count(lit(1)).as("c"))
+    // tiny table (distinct 4dp values): whole-frame windows are fine
+    val wBefore = Window.orderBy("mean_nll")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    vals
+      .withColumn("before", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("bucket",
+        (floor(col("before").cast("double") * buckets / col("n")) + 1)
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(sum(col("c")).as("n_docs"),
+        min(col("mean_nll")).as("min_nll"), max(col("mean_nll")).as("max_nll"))
+      .select(col("bucket"), col("n_docs"), col("min_nll"), col("max_nll"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Cluster, Dedup, TextAnalysis}
+import graft.tables.Tables
+
+/** K-means, chunk dedup, TF-IDF, and NLL bucketing — the round-5
+  * curation additions.
+  */
+class ClusterSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  private def embs = Tables(spark, "/root/testdata/sf0.01").embeddings
+
+  test("kmeansAssign partitions every vector exactly once") {
+    val a = Cluster.kmeansAssign(embs, "embedding", "vec_id", k = 4, iters = 1)
+    assert(a.count() == embs.count())
+    assert(a.select("id").distinct().count() == embs.count())
+    val cids = a.select("cluster_id").distinct().as[Long].collect().toSet
+    assert(cids.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
+  test("kmeans refinement does not decrease mean cohesion") {
+    // one Lloyd step can only improve (or tie) the summed similarity
+    // to the assigned centroid — a loose sanity bound on the 4dp means
+    def weightedMean(iters: Int): Double = {
+      val rows = Cluster.kmeansSummary(embs, "embedding", "vec_id",
+        k = 4, iters = iters).collect()
+      val n = rows.map(_.getLong(1)).sum.toDouble
+      rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+    }
+    assert(weightedMean(1) >= weightedMean(0) - 1e-4)
+  }
+
+  test("kmeansAssign on separable toy clusters recovers them") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.95f, 0.05f)), (5L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    // init = vec 0 (x-axis) and vec 1 (near x-axis): one refinement
+    // must pull the y-axis points onto the centroid seeded by vec 1's
+    // reassigned mass — with k=2 and these seeds both x-like, the
+    // refined centroids split by the dominant axis
+    val a = Cluster.kmeansAssign(pts, "embedding", "vec_id", k = 2, iters = 2)
+      .orderBy("id").collect()
+    val byAxis = a.map(r => (r.getLong(0), r.getLong(1))).toMap
+    // all x-axis-dominant points share one cluster, y-axis the other
+    assert(byAxis(0L) == byAxis(1L) && byAxis(1L) == byAxis(4L))
+    assert(byAxis(2L) == byAxis(3L) && byAxis(3L) == byAxis(5L))
+    assert(byAxis(0L) != byAxis(2L))
+  }
+
+  test("kmeansSummary sizes sum to the corpus and means are in [-1, 1]") {
+    val s = Cluster.kmeansSummary(embs, "embedding", "vec_id",
+      k = 4, iters = 1).collect()
+    assert(s.map(_.getLong(1)).sum == embs.count())
+    assert(s.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("chunkDedupStats flags a repeated chunk once per later occurrence") {
+    val chunk = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (21 to 40).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$chunk $other"),   // first occurrence of both chunks
+      (2L, s"$chunk unique tail here"), // chunk dup + 3-token unique chunk
+      (3L, other)               // dup of doc 1's second chunk
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupStats(docs, "text", "doc_id", chunkTokens = 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 2L, 0L, 40L),
+      Row(2L, 2L, 1L, 3L),
+      Row(3L, 1L, 1L, 0L)))
+  }
+
+  test("chunkDedupStats drops empty docs and keeps sub-chunk tails intact") {
+    val docs = Seq((1L, ""), (2L, "only three tokens")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupStats(docs, "text", "doc_id", chunkTokens = 20)
+      .collect().toSeq
+    assert(got == Seq(Row(2L, 1L, 0L, 3L)))
+  }
+
+  test("chunkDedupStats rejects a non-positive chunk size") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.chunkDedupStats(docs, "text", "doc_id", chunkTokens = 0)
+    }
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common other"),
+      (3L, "common filler words")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: tf(common)=3 beats the rare term on raw tf·idf (idf of
+    // the df=3 term is 1.0; 3·1.0 > 1·(ln(2)+1)) — but within equal
+    // tf, higher-idf terms win: doc 2's rank-2 is 'other', not a tie
+    val d1 = got.filter(_.getLong(0) == 1L).map(r => (r.getString(1), r.getInt(3)))
+    assert(d1.toSeq == Seq(("common", 1), ("rare", 2)))
+    val d2 = got.filter(_.getLong(0) == 2L).map(_.getString(1))
+    assert(d2.toSeq == Seq("common", "other"))
+    // every doc contributes at most k rows
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+
+  test("tfidfTopTerms breaks exact score ties by term order") {
+    val docs = Seq((1L, "zebra apple")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("rank").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("apple", "zebra"))
+  }
+
+  test("nllBuckets keeps ties in one bucket and covers all docs") {
+    val scored = Seq(
+      (1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 1.0),
+      (6L, 2.0), (7L, 3.0), (8L, 4.0), (9L, 5.0), (10L, 6.0)
+    ).toDF("doc_id", "mean_nll")
+    val got = TextAnalysis.nllBuckets(scored, buckets = 10)
+      .orderBy("bucket").collect()
+    // the five tied 1.0 docs all land in bucket 1 (value-bucketing,
+    // NOT ntile's positional split)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 5L)
+    assert(got.map(_.getLong(1)).sum == 10L)
+    // remaining singleton values spread over buckets 6..10
+    assert(got.tail.map(_.getLong(0)).toSeq == Seq(6L, 7L, 8L, 9L, 10L))
+  }
+}
