@@ -30,6 +30,14 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar interchange format (self-describing,
+    * predicate pushdown + column pruning at the scan, like parquet).
+    * Included so corpora landed by ORC-native producers (Hive/Trino
+    * warehouses) ingest without a rewrite pass.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   private def writer(df: DataFrame, partitionBy: Seq[String]): DataFrameWriter[Row] = {
     val w = df.write.mode("overwrite")
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
@@ -51,6 +59,13 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String,
                  partitionBy: Seq[String] = Nil): Unit =
     writer(df, partitionBy).json(path)
+
+  /** ORC sink; `partitionBy` gives hive-style partition pruning, as
+    * with [[writeParquet]].
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit =
+    writer(df, partitionBy).orc(path)
 
   /** Bucketed parquet table write — the co-located-join layout.
     *

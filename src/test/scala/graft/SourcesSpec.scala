@@ -31,6 +31,22 @@ class SourcesSpec extends AnyFunSuite {
       orig.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val orig = Tables(spark, sfDir).nation
+    val dir = tmp("graft-orc")
+    Sources.writeOrc(orig, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema == orig.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      orig.orderBy("n_nationkey").collect().toSeq)
+    // the columnar contract: predicate reaches the ORC scan
+    val filtered = back.filter(col("n_nationkey") === 3L)
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("n_nationkey"),
+      s"expected pushed filter in ORC scan:\n$physical")
+  }
+
   test("partitioned parquet write prunes partitions at the scan") {
     val orig = Tables(spark, sfDir).customer
     val dir = tmp("graft-part")
