@@ -664,6 +664,15 @@ object SparkEntry {
       Cluster.kmeansSummary(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, iters = 1)
         .orderBy("cluster_id")
+    }),
+
+    "c2_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced diversity sampling: exactly 25 per k-means
+      // cluster by deterministic hash rank, through the bounded
+      // graft_topk aggregate (window fallback extension-less)
+      Cluster.clusterSample(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 4, nPer = 25, iters = 1)
+        .orderBy("cluster_id", "rank")
     })
   )
 
@@ -1676,7 +1685,34 @@ object SparkEntry {
           FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     "c1_kmeans" ->
-      """WITH e AS (
+      s"""$kmeansA2Sql
+         SELECT cid AS cluster_id, count(*) AS n_points,
+           floor(CAST(sum(CAST(floor(cos * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS mean_cos
+         FROM a2 GROUP BY cid ORDER BY cid""",
+
+    "c2_cluster_sample" ->
+      s"""$kmeansA2Sql,
+         sel AS (
+           SELECT cid AS cluster_id, vec_id AS id,
+             row_number() OVER (PARTITION BY cid ORDER BY
+               list_reduce(list_transform(range(1, 14),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR) || ':cs'), i, 1)) - 1 AS BIGINT)),
+                 (acc, dg) -> acc * 16 + dg) ASC,
+               vec_id ASC) AS rank
+           FROM a2)
+         SELECT cluster_id, rank, id FROM sel
+         WHERE rank <= 25 ORDER BY cluster_id, rank"""
+  )
+
+  /** Shared CTE chain for the c1/c2 oracles: k-means init (4 lowest
+    * ids) → raw-cosine argmax assignment → decimal-exact 6dp centroid
+    * recomputation → final assignment `a2(vec_id, cid, cos)` —
+    * replicates `Cluster.kmeansAssign(k = 4, iters = 1)` bit-for-bit.
+    */
+  private val kmeansA2Sql: String =
+    """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          init AS (
@@ -1712,10 +1748,5 @@ object SparkEntry {
                       ELSE list_dot_product(e.v, i.c)
                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
                  i.cid ASC) AS rn
-             FROM e CROSS JOIN cent2 i) WHERE rn = 1)
-         SELECT cid AS cluster_id, count(*) AS n_points,
-           floor(CAST(sum(CAST(floor(cos * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000 AS mean_cos
-         FROM a2 GROUP BY cid ORDER BY cid"""
-  )
+             FROM e CROSS JOIN cent2 i) WHERE rn = 1)"""
 }

@@ -126,4 +126,51 @@ object Cluster {
         fround(sum(fround(col("cos"), 6).cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 4).as("mean_cos"))
       .select(col("cluster_id"), col("n_points"), col("mean_cos"))
+
+  /** Cluster-balanced deterministic sampling: exactly `nPer` rows per
+    * k-means cluster (fewer if the cluster is smaller), chosen by
+    * md5(id:salt) order — the diversity-sampling step of a curation
+    * pipeline (every topic/mode keeps representation no matter how
+    * skewed the corpus), with [[graft.ops.Curation]]'s RNG-free
+    * portability contract: same rows under any partitioning, and
+    * adding documents never evicts a kept one ahead of its hash rank.
+    *
+    * Scale shape: the per-cluster top-n rides the bounded `graft_topk`
+    * aggregate when registered — each map task forwards at most nPer
+    * rows per cluster, so the shuffle carries O(nPer · k · partitions)
+    * rows, NEVER a per-cluster sort of corpus/k rows (with small k a
+    * window over cluster partitions would buffer enormous groups —
+    * exactly the degenerate case the bounded aggregate exists for).
+    * The expression fallback is the standard window idiom: same rows,
+    * the q20 rewrite restores the bounded plan when injected.
+    *
+    * The hash ranks by the FIRST 52 BITS of the md5 (13 hex digits):
+    * exact in double (the aggregate's score type), ties broken by id.
+    */
+  def clusterSample(embs: DataFrame, vecCol: String, idCol: String,
+                    k: Int, nPer: Int, iters: Int = 1,
+                    salt: String = "cs"): DataFrame = {
+    require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    val assigned = kmeansAssign(embs, vecCol, idCol, k, iters)
+    // ascending-hash selection as a DESCENDING score (graft_topk and
+    // the window idiom both rank (score desc, id asc))
+    val scored = assigned.select(col("cluster_id"), col("id"),
+      (lit(0L) - conv(substring(md5(concat(col("id").cast("string"),
+          lit(":" + salt))), 1, 13), 16, 10).cast("long"))
+        .cast("double").as("hscore"))
+    if (Native.enabled(scored, "graft_topk")) {
+      scored.groupBy("cluster_id")
+        .agg(call_function("graft_topk",
+          col("hscore"), col("id"), lit(nPer)).as("topk"))
+        .select(col("cluster_id"), posexplode(col("topk")))
+        .select(col("cluster_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("hscore").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= nPer)
+        .select(col("cluster_id"), col("rank"), col("id"))
+    }
+  }
 }

@@ -15,6 +15,11 @@ class ClusterSpec extends AnyFunSuite {
 
   private def embs = Tables(spark, "/root/testdata/sf0.01").embeddings
 
+  private def withNativeDisabled[A](body: => A): A = {
+    spark.conf.set("graft.native.disabled", "true")
+    try body finally spark.conf.unset("graft.native.disabled")
+  }
+
   test("kmeansAssign partitions every vector exactly once") {
     val a = Cluster.kmeansAssign(embs, "embedding", "vec_id", k = 4, iters = 1)
     assert(a.count() == embs.count())
@@ -114,6 +119,29 @@ class ClusterSpec extends AnyFunSuite {
     val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
       .orderBy("rank").collect().map(_.getString(1))
     assert(got.toSeq == Seq("apple", "zebra"))
+  }
+
+  test("clusterSample keeps exactly nPer per cluster, native and fallback identical") {
+    val native = Cluster.clusterSample(embs, "embedding", "vec_id",
+      k = 4, nPer = 10, iters = 1).orderBy("cluster_id", "rank").collect().toSeq
+    val fallback = withNativeDisabled {
+      Cluster.clusterSample(embs, "embedding", "vec_id",
+        k = 4, nPer = 10, iters = 1).orderBy("cluster_id", "rank").collect().toSeq
+    }
+    assert(native == fallback)
+    val perCluster = native.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ == 10))
+    // kept set is a subset of the corpus ids, no repeats
+    val ids = native.map(_.getLong(2))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("clusterSample selection is invariant to input partitioning") {
+    val a = Cluster.clusterSample(embs, "embedding", "vec_id",
+      k = 4, nPer = 5, iters = 1).collect().toSet
+    val b = Cluster.clusterSample(embs.repartition(13), "embedding", "vec_id",
+      k = 4, nPer = 5, iters = 1).collect().toSet
+    assert(a == b)
   }
 
   test("nllBuckets keeps ties in one bucket and covers all docs") {
