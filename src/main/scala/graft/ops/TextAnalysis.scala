@@ -421,8 +421,12 @@ object TextAnalysis {
     * (hot terms would buffer entire postings lists) and NOT an
     * unconditional broadcast (vocabulary grows with the corpus).
     * Corpus size rides a 1-row broadcast. The final per-doc top-k is
-    * the row_number window idiom the injected TopKRewriteRule replans
-    * as the bounded `graft_topk` aggregate.
+    * a row_number window over doc_id — NOT rewritable to the bounded
+    * `graft_topk` aggregate (the term tie-break is a STRING order
+    * key; the aggregate carries numeric ids), but doc_id partitions
+    * are bounded by the PER-DOCUMENT distinct-term count, so the
+    * window buffer is small and the partition key is
+    * high-cardinality — the scale-safe window case.
     *
     * FP determinism: idf floor-rounds to 6dp (ln ulp guard), the
     * tf·idf product floor-rounds to 4dp, and ranking orders by the
