@@ -8,13 +8,17 @@ object Bench {
     // Deterministic order, relational queries first: they warm the
     // JVM/codegen paths cheaply so the heavy pairwise ops are not
     // charged the session's one-time costs.
-    val familyRank = Map('q' -> 0, 't' -> 1, 'm' -> 2, 's' -> 3, 'd' -> 4)
+    val familyRank =
+      Map('q' -> 0, 't' -> 1, 'm' -> 2, 'c' -> 3, 's' -> 4, 'd' -> 5)
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (sf1 headline set);
-    // unknown names fail loudly — a typo must not yield a vacuous
-    // total=0 line that reads as a result
+    // unknown names — or an empty value from an unset shell variable —
+    // fail loudly: neither may yield a vacuous total=0 line that reads
+    // as a result
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_QUERIES is set but names no queries (empty value)")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.mkString(", ")}")

@@ -22,8 +22,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd name would otherwise select NOTHING and the gate would
-    // pass vacuously (no result dirs, empty oracle json) — fail loudly
+    // pass vacuously (no result dirs, empty oracle json) — fail loudly;
+    // same for an EMPTY value (an unset shell variable expanding to ""),
+    // which would silently select zero queries
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_QUERIES is set but names no queries (empty value)")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.mkString(", ")}")

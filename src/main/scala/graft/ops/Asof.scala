@@ -26,6 +26,18 @@ import graft.plans.AsofJoin
   * output either way (FallbackSpec), so the operator is portable to
   * any Spark session; the planned form is the performance path
   * (no row duplication through the union, no whole-row struct carry).
+  *
+  * CONTRACT — right-side (key, time) uniqueness: when the right side
+  * carries DUPLICATE (key, time) rows with different payloads, "the
+  * last right row at or before t" is not a unique row, and BOTH paths
+  * pick an unspecified winner (each resolves the tie by its own
+  * unstable sort/window order, and they need not agree with each
+  * other or across partitionings). As-of semantics need a
+  * deterministic right side: pre-dedup ties (e.g.
+  * [[graft.ops.Enrich.dedupKeepFirst]] on (key, time)) if the input
+  * can carry them. Distinct-(key, time) right sides — the normal
+  * as-of shape — are row-identical on both paths, as FallbackSpec
+  * asserts.
   */
 object Asof {
 

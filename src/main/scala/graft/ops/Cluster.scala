@@ -103,10 +103,13 @@ object Cluster {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // k rows, ordered by id — bounded driver state, the IVF contract.
+    // element type is whatever the caller's embedding column carries
+    // (float for the test tables, double for Spark-transform output) —
+    // widen via Number, the same any-numeric handling the HOF dot has
     var centroids: Seq[(Long, Array[Double])] =
       points.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
         case (r, i) =>
-          (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+          (i.toLong, r.getSeq[Number](1).map(_.doubleValue()).toArray)
       }
     for (_ <- 0 until iters)
       centroids = recompute(assign(points, "v", centroids), "v")
