@@ -673,6 +673,32 @@ object SparkEntry {
       Cluster.clusterSample(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, nPer = 25, iters = 1)
         .orderBy("cluster_id", "rank")
+    }),
+
+    "d11_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means clusters as the label-less blocking for the
+      // exact-cosine pair join — near-dups land together because they
+      // are geometrically close (contrast d8/d9's random-projection
+      // blocking)
+      Cluster.semDedupPairs(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 4, threshold = 0.4, iters = 1)
+        .orderBy("id1", "id2")
+    }),
+
+    "q24_pivot" -> ((s, dir) => {
+      // PIVOT (crosstab): per-hour event counts, one column per event
+      // type. The value list is EXPLICIT — at scale an inferred pivot
+      // needs a distinct-scan job first and makes the schema
+      // data-dependent; fixing it keeps one partial-agg pass and a
+      // deterministic schema. Empty cells surface as 0, not null.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val e = Tables(s, dir).events
+        .withColumn("hb_ms", epochMs(date_trunc("hour", col("ts"))))
+      val pivoted = e.groupBy("hb_ms").pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("hb_ms")
     })
   )
 
@@ -1685,14 +1711,14 @@ object SparkEntry {
           FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     "c1_kmeans" ->
-      s"""$kmeansA2Sql
+      s"""${kmeansA2Sql()}
          SELECT cid AS cluster_id, count(*) AS n_points,
            floor(CAST(sum(CAST(floor(cos * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*) * 10000 + 0.5) / 10000 AS mean_cos
          FROM a2 GROUP BY cid ORDER BY cid""",
 
     "c2_cluster_sample" ->
-      s"""$kmeansA2Sql,
+      s"""${kmeansA2Sql()},
          sel AS (
            SELECT cid AS cluster_id, vec_id AS id,
              row_number() OVER (PARTITION BY cid ORDER BY
@@ -1703,16 +1729,39 @@ object SparkEntry {
                vec_id ASC) AS rank
            FROM a2)
          SELECT cluster_id, rank, id FROM sel
-         WHERE rank <= 25 ORDER BY cluster_id, rank"""
+         WHERE rank <= 25 ORDER BY cluster_id, rank""",
+
+    "d11_semdedup" ->
+      s"""${kmeansA2Sql(2)},
+         pr AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+         p AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT id1, id2, round(cos, 4) AS cosine FROM p
+         WHERE cos >= 0.4 ORDER BY id1, id2""",
+
+    "q24_pivot" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hb_ms,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY hb_ms"""
   )
 
-  /** Shared CTE chain for the c1/c2 oracles: k-means init (4 lowest
-    * ids) → raw-cosine argmax assignment → decimal-exact 6dp centroid
-    * recomputation → final assignment `a2(vec_id, cid, cos)` —
-    * replicates `Cluster.kmeansAssign(k = 4, iters = 1)` bit-for-bit.
+  /** Shared CTE chain for the c1/c2/d11 oracles: k-means init (4
+    * lowest ids) → raw-cosine argmax assignment → decimal-exact 6dp
+    * centroid recomputation → final assignment `a2(vec_id, cid, cos)`
+    * — replicates `Cluster.kmeansAssign(k = 4, iters = 1)`
+    * bit-for-bit. `probes` > 1 keeps each point's `probes` nearest
+    * final centroids in a2 (d11's multi-probe BLOCKING; rn ordering
+    * is (cos DESC, cid ASC), the same tie rule as the argmax).
     */
-  private val kmeansA2Sql: String =
-    """WITH e AS (
+  private def kmeansA2Sql(probes: Int = 1): String =
+    s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          init AS (
@@ -1748,5 +1797,5 @@ object SparkEntry {
                       ELSE list_dot_product(e.v, i.c)
                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
                  i.cid ASC) AS rn
-             FROM e CROSS JOIN cent2 i) WHERE rn = 1)"""
+             FROM e CROSS JOIN cent2 i) WHERE rn <= $probes)"""
 }

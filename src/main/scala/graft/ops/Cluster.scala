@@ -97,11 +97,12 @@ object Cluster {
     * out (standard Lloyd behavior); downstream rows re-spread over the
     * survivors.
     */
-  def kmeansAssign(embs: DataFrame, vecCol: String, idCol: String,
-                   k: Int, iters: Int = 1): DataFrame = {
+  /** Init (k lowest ids) + `iters` Lloyd refinements over a
+    * (id, v) projection; returns the final centroids.
+    */
+  private def fit(points: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // k rows, ordered by id — bounded driver state, the IVF contract.
     // element type is whatever the caller's embedding column carries
     // (float for the test tables, double for Spark-transform output) —
@@ -113,8 +114,63 @@ object Cluster {
       }
     for (_ <- 0 until iters)
       centroids = recompute(assign(points, "v", centroids), "v")
-    assign(points, "v", centroids)
+    centroids
+  }
+
+  def kmeansAssign(embs: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int = 1): DataFrame = {
+    val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    assign(points, "v", fit(points, k, iters))
       .select(col("id"), col("cluster_id"), col("cos"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., 2023):
+    * k-means buckets the corpus by topic, then exact-cosine pairs form
+    * WITHIN each cluster only — the label-less corpus gets the
+    * blocking column [[graft.ops.Dedup.embeddingNearDupPairs]]
+    * requires, from its own geometry. The alternative label-less
+    * blocking is hyperplane LSH (d8/d9): LSH bounds bucket size by
+    * construction; k-means blocking instead aligns buckets with the
+    * corpus's semantic modes (near-dups land together because they are
+    * CLOSE, not because a random projection agreed), at the cost that
+    * cluster sizes follow the data — pick k so corpus/k pairs stay
+    * join-sized, or pre-split giant clusters.
+    *
+    * `blockProbes`: each point blocks into its `blockProbes` nearest
+    * centroids (assignment itself stays argmax). Single-assignment
+    * misses exactly the pairs that straddle a cluster boundary —
+    * measured HALF the cosine-0.4 pairs on the test corpus (recall
+    * 0.51/0.42 at sf0.01/sf0.1) — while the default 2-probe blocking
+    * measures recall 0.95/0.94 there for ~2× join volume: the same
+    * boundary-miss/multi-probe trade the ANN path (s2) prices.
+    * Pairs co-blocked by two probes are deduped (identical cosine
+    * recomputed on each occurrence, so the kept row is deterministic).
+    *
+    * Scale shape: assignment map-only (see [[kmeansAssign]]), then
+    * d5's block-keyed pair equi-join with norms precomputed per row,
+    * `blockProbes` rows per point on each side.
+    */
+  def semDedupPairs(embs: DataFrame, vecCol: String, idCol: String,
+                    k: Int, threshold: Double, iters: Int = 1,
+                    blockProbes: Int = 2): DataFrame = {
+    require(blockProbes >= 1 && blockProbes <= k,
+      s"blockProbes must be in [1, k], got $blockProbes (k = $k)")
+    val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = fit(points, k, iters)
+    val cos = cosOf
+    val scored = centroids.map { case (cid, c) =>
+      struct(cos(col("v"), array(c.map(lit).toSeq: _*)).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    // nearest blockProbes centroids: sort asc by (cos, -cid), reverse
+    // → desc cos with lower-cid-first ties (the IVF multi-probe idiom)
+    val blocked = points
+      .withColumn("cluster_id",
+        explode(transform(
+          slice(reverse(array_sort(array(scored: _*))), 1, blockProbes),
+          s => -s.getField("ncid"))))
+    Dedup.embeddingNearDupPairs(blocked, "v", "id", "cluster_id", threshold)
+      .dropDuplicates("id1", "id2")
   }
 
   /** Per-cluster summary: size and 4dp mean cosine-to-centroid

@@ -121,6 +121,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("apple", "zebra"))
   }
 
+  test("kmeansAssign with k larger than the corpus degrades to per-point clusters") {
+    val pts = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Cluster.kmeansAssign(pts, "embedding", "vec_id", k = 5, iters = 1)
+      .collect()
+    assert(a.length == 2)
+    assert(a.map(_.getLong(1)).distinct.length == 2) // each point its own cluster
+  }
+
+  test("kmeansAssign accepts double-array embedding columns") {
+    val pts = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val a = Cluster.kmeansAssign(pts, "embedding", "vec_id", k = 2, iters = 1)
+      .orderBy("id").collect()
+    assert(a.length == 3)
+    assert(a(0).getLong(1) == a(2).getLong(1)) // x-axis points co-cluster
+  }
+
   test("clusterSample keeps exactly nPer per cluster, native and fallback identical") {
     val native = Cluster.clusterSample(embs, "embedding", "vec_id",
       k = 4, nPer = 10, iters = 1).orderBy("cluster_id", "rank").collect().toSeq
@@ -142,6 +160,31 @@ class ClusterSpec extends AnyFunSuite {
     val b = Cluster.clusterSample(embs.repartition(13), "embedding", "vec_id",
       k = 4, nPer = 5, iters = 1).collect().toSet
     assert(a == b)
+  }
+
+  test("semDedupPairs: precision 1.0 vs brute force, 2-probe recall above the 1-probe floor") {
+    import graft.ops.Dedup
+    // ground truth: all-pairs cosine >= 0.4 (constant block = no blocking)
+    val brute = Dedup.embeddingNearDupPairs(
+        embs.withColumn("all", lit(0)), "embedding", "vec_id", "all", 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Cluster.semDedupPairs(embs, "embedding", "vec_id",
+        k = 4, threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = Cluster.semDedupPairs(embs, "embedding", "vec_id",
+        k = 4, threshold = 0.4, blockProbes = 1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(two.subsetOf(brute) && one.subsetOf(brute)) // exact verify → precision 1.0
+    assert(one.subsetOf(two))                          // extra probe only adds pairs
+    // measured on this corpus: 1-probe 30/59, 2-probe 56/59
+    assert(two.size > one.size && two.size >= (brute.size * 0.9).toInt)
+  }
+
+  test("semDedupPairs rejects blockProbes outside [1, k]") {
+    intercept[IllegalArgumentException] {
+      Cluster.semDedupPairs(embs, "embedding", "vec_id",
+        k = 4, threshold = 0.4, blockProbes = 5)
+    }
   }
 
   test("nllBuckets keeps ties in one bucket and covers all docs") {
