@@ -699,6 +699,46 @@ object SparkEntry {
       types.foldLeft(pivoted)((df, t) =>
           df.withColumn(t, coalesce(col(t), lit(0L))))
         .orderBy("hb_ms")
+    }),
+
+    "d12_semdedup_prune" -> ((s, dir) => {
+      // the full SemDeDup pipeline as ONE job graph: semantic pair
+      // generation (d11) → transitive clusters → a keep/drop verdict
+      // for EVERY corpus row (untouched docs are their own singleton
+      // component, keep = 1) — the composed chain that actually prunes
+      // a corpus, not just lists its near-dup pairs
+      val embs = Tables(s, dir).embeddings
+      val pairs = Cluster.semDedupPairs(embs, "embedding", "vec_id",
+        k = 4, threshold = 0.4, iters = 1)
+      val verdict = Graph.clusterDedup(pairs, "id1", "id2")
+      embs.select(col("vec_id"))
+        .join(verdict, col("vec_id") === col("id"), "left_outer")
+        .select(col("vec_id").as("id"),
+          coalesce(col("component"), col("vec_id")).as("component"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          coalesce(col("keep"), lit(1)).as("keep"))
+        .orderBy("id")
+    }),
+
+    "q25_range_join" -> ((s, dir) => {
+      // pure range-predicate join (NO equi key): every error event
+      // opens a 10-minute incident window; count the events (and
+      // distinct users) active inside each window, across ALL users.
+      // Naively this is a nested-loop theta-join; Ranges.rangeJoinBinned
+      // turns it into a hash equi-join on a derived bin key.
+      val t = Tables(s, dir)
+      val ev = t.events.select(
+        unix_millis(col("ts")).as("t_ms"), col("user_id"))
+      val win = t.events.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_millis(col("ts")).as("start_ms"))
+        .withColumn("end_ms", col("start_ms") + 600000L)
+      Ranges.rangeJoinBinned(ev, "t_ms", win, "start_ms", "end_ms",
+          binWidth = 600000L)
+        .groupBy("incident_id", "start_ms")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("incident_id", "start_ms")
     })
   )
 
@@ -1749,7 +1789,47 @@ object SparkEntry {
          CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
          CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
          CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
-         FROM events GROUP BY 1 ORDER BY hb_ms"""
+         FROM events GROUP BY 1 ORDER BY hb_ms""",
+
+    // d11's pair chain + d7's recursive-CC idiom + a left join back to
+    // the corpus: the composed SemDeDup prune verdict, fully replicated
+    "d12_semdedup_prune" ->
+      s"""${kmeansA2Sql(2).replaceFirst("WITH", "WITH RECURSIVE")},
+         pr AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+         p AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+           FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+         ed AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT a AS id FROM ed),
+         walk(id, comp) AS (
+           SELECT id, CAST(id AS BIGINT) FROM nodes
+           UNION
+           SELECT ed.b, w.comp FROM walk w JOIN ed ON ed.a = w.id),
+         cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         v2 AS (SELECT id, component,
+                  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+                  CAST(CASE WHEN id = component THEN 1 ELSE 0 END AS INTEGER) AS keep
+                FROM cc)
+         SELECT e.vec_id AS id,
+           COALESCE(v2.component, e.vec_id) AS component,
+           COALESCE(v2.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+           COALESCE(v2.keep, CAST(1 AS INTEGER)) AS keep
+         FROM e LEFT JOIN v2 ON v2.id = e.vec_id ORDER BY id""",
+
+    "q25_range_join" ->
+      """WITH win AS (
+           SELECT event_id AS incident_id, epoch_ms(ts) AS start_ms
+           FROM events WHERE event_type = 'error'),
+         ev AS (SELECT epoch_ms(ts) AS t_ms, user_id FROM events),
+         j AS (
+           SELECT win.incident_id, win.start_ms, ev.user_id
+           FROM win JOIN ev
+             ON ev.t_ms >= win.start_ms AND ev.t_ms < win.start_ms + 600000)
+         SELECT incident_id, start_ms, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms"""
   )
 
   /** Shared CTE chain for the c1/c2/d11 oracles: k-means init (4

@@ -180,6 +180,17 @@ class ClusterSpec extends AnyFunSuite {
     assert(two.size > one.size && two.size >= (brute.size * 0.9).toInt)
   }
 
+  test("semDedup prune verdict agrees with dropNearDups on the kept corpus") {
+    import graft.ops.Graph
+    val pairs = Cluster.semDedupPairs(embs, "embedding", "vec_id",
+      k = 4, threshold = 0.4)
+    val dropped = Graph.clusterDedup(pairs, "id1", "id2")
+      .filter(col("keep") === 0).count()
+    val kept = Graph.dropNearDups(embs, "vec_id", pairs, "id1", "id2").count()
+    assert(dropped > 0)                       // the corpus does have near-dups
+    assert(kept == embs.count() - dropped)    // verdict and prune agree
+  }
+
   test("semDedupPairs rejects blockProbes outside [1, k]") {
     intercept[IllegalArgumentException] {
       Cluster.semDedupPairs(embs, "embedding", "vec_id",
