@@ -739,6 +739,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"))
         .orderBy("incident_id", "start_ms")
+    }),
+
+    "q26_zorder" -> ((s, dir) => {
+      // Morton/Z-order key over the two access paths (user, minute):
+      // per-z-bucket occupancy + z extents — the key the z-ordered
+      // layout sorts by (Sources.writeZOrdered), pure integer
+      // shift/mask arithmetic, bit-identical in any engine
+      val e = Tables(s, dir).events
+        .withColumn("ms", epochMs(col("ts")))
+        .withColumn("u16", pmod(col("user_id"), lit(65536L)))
+        .withColumn("m16", pmod(expr("ms div 60000"), lit(65536L)))
+        .withColumn("z", num.zValue(col("u16"), col("m16"), 16))
+      e.withColumn("z_bucket", expr("z div 65536"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("z_bucket")
+    }),
+
+    "q27_scd2" -> ((s, dir) => {
+      // SCD type-2 history build: consecutive same-type observations
+      // per user collapse into versioned effective intervals
+      // [valid_from, valid_to), valid_to NULL on the current version
+      val e = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      Enrich.scd2History(e, Seq("user_id"), "event_type", "ts_ms",
+          tieCols = Seq("event_id"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -1817,6 +1845,46 @@ object SparkEntry {
            COALESCE(v2.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
            COALESCE(v2.keep, CAST(1 AS INTEGER)) AS keep
          FROM e LEFT JOIN v2 ON v2.id = e.vec_id ORDER BY id""",
+
+    // 32-term integer interleave replicated literally — bit arithmetic
+    // is the portable-by-construction case
+    "q26_zorder" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"(((u16 >> $i) & 1) << ${2 * i}) + (((m16 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH e AS (
+           SELECT ((epoch_ms(ts) // 60000) % 65536) AS m16,
+                  (user_id % 65536) AS u16
+           FROM events),
+         z AS (SELECT CAST($zTerms AS BIGINT) AS z FROM e)
+         SELECT z // 65536 AS z_bucket, count(*) AS n_events,
+           min(z) AS z_min, max(z) AS z_max
+         FROM z GROUP BY 1 ORDER BY z_bucket"""
+    },
+
+    "q27_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+           FROM events),
+         c AS (
+           SELECT *, CASE WHEN row_number() OVER w = 1
+                            OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts_ms, event_id, event_type)),
+         v AS (
+           SELECT *, CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id, event_type
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           FROM c),
+         g AS (
+           SELECT user_id, version, min(event_type) AS event_type,
+             min(ts_ms) AS valid_from
+           FROM v GROUP BY 1, 2)
+         SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+         FROM g ORDER BY user_id, version""",
 
     "q25_range_join" ->
       """WITH win AS (

@@ -104,4 +104,42 @@ object Enrich {
     */
   def withSideOfTown(df: DataFrame, lat: Column, lon: Column): DataFrame =
     df.withColumn("side_of_town", geo.sideOfTown(lat, lon))
+
+  /** Slowly-changing-dimension (type 2) history build from a change
+    * log: collapse consecutive same-value observations per key into
+    * versioned effective intervals `[valid_from, valid_to)` — the
+    * upsert-history twin of [[upsertDim]] (which keeps only the latest
+    * value). `valid_to` is NULL on each key's current version.
+    *
+    * Ordering inside a key is (orderCol, tieCols...) — pass tie
+    * columns that make the sort total (e.g. an event id), or
+    * duplicate-ts rows would make version assignment
+    * partition-order-dependent. Rows that repeat the previous value
+    * open NO new version (the ON CONFLICT DO NOTHING of histories).
+    *
+    * Scale shape: windows partitioned by the dimension KEY only —
+    * high cardinality, no global window; state per partition is one
+    * lag row. One shuffle on the key serves change-detection, the
+    * version cumsum, interval collapse, and the valid_to lead.
+    */
+  def scd2History(log: DataFrame, keys: Seq[String], valueCol: String,
+                  orderCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val rowOrder = (col(orderCol) +: tieCols.map(col)) :+ col(valueCol)
+    val wOrd = byKey.orderBy(rowOrder.map(_.asc): _*)
+    // row_number (not lag-is-null) opens the first version, so a NULL
+    // first value still starts at version 1; <=> keeps NULL-to-value
+    // transitions well-defined
+    val changed = when(row_number().over(wOrd) === 1 ||
+      !(lag(col(valueCol), 1).over(wOrd) <=> col(valueCol)), 1L).otherwise(0L)
+    val versioned = log
+      .withColumn("version", sum(changed).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wVer = byKey.orderBy(col("version").asc)
+    versioned
+      .groupBy((keys :+ "version").map(col): _*)
+      .agg(min(col(valueCol)).as(valueCol),   // constant within a version
+        min(col(orderCol)).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+  }
 }

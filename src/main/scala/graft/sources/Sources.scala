@@ -106,6 +106,33 @@ object Sources {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Z-ordered parquet write — the multi-dimensional scan-pruning
+    * layout. Rows are range-partitioned and sorted by the Morton
+    * interleave of (`aCol`, `bCol`) ([[graft.functions.num.zValue]]),
+    * so each output file covers a small RECTANGLE in (a, b) space and
+    * parquet min/max statistics prune point/range scans on EITHER
+    * dimension. A lexicographic sort by (a, b) prunes only on `a`:
+    * every file then spans b's full range — at 100 TB the difference
+    * between reading one file and reading all of them for a
+    * `WHERE b = ?` scan. SourcesSpec measures exactly that: per-file
+    * b-spread under z-order vs under the linear layout.
+    *
+    * The z column is dropped before writing (it is derivable); the
+    * range partitioner samples the z distribution, so file BOUNDARIES
+    * are data-dependent — the layout property (small rectangles), not
+    * exact file membership, is the contract.
+    */
+  def writeZOrdered(df: DataFrame, aCol: String, bCol: String,
+                    path: String, numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("__gr_z", graft.functions.num.zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__gr_z"))
+      .sortWithinPartitions("__gr_z")
+      .drop("__gr_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Header + tab-separated rows of a (small) result to a stream —
     * the reference's stdout dump of the final enriched table
     * (`src/pipeline/main.py:19-46` `_output_incidents`: a header line,

@@ -100,6 +100,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1), (2L, 0)))
   }
 
+  test("scd2History collapses runs, reopens on change-back, NULL current version") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L),   // run collapses
+      (1L, "b", 30L, 3L), (1L, "b", 30L, 4L),   // dup ts, tie on id
+      (1L, "a", 40L, 5L),                       // change BACK reopens
+      (2L, "x", 15L, 6L))                       // second key
+      .toDF("user_id", "v", "ts_ms", "event_id")
+    val got = Enrich.scd2History(log, Seq("user_id"), "v", "ts_ms",
+        tieCols = Seq("event_id"))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "v", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "a", 10L, 30L), (1L, 2L, "b", 30L, 40L),
+      (1L, 3L, "a", 40L, -1L), (2L, 1L, "x", 15L, -1L)))
+  }
+
+  test("zValue interleaves bits and orders tiles; known values") {
+    import spark.implicits._
+    import graft.functions.num
+    // (a=1, b=0) -> 1; (0, 1) -> 2; (3, 3) -> 15; (4, 0) -> 16
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 3L), (4L, 0L)).toDF("a", "b")
+      .select(num.zValue(col("a"), col("b"), 8)).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 15L, 16L))
+  }
+
   test("exact dedup groups duplicates under one fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "Hello World"), (2L, "hello,   world!"), (3L, "other"))

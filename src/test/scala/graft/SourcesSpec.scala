@@ -105,4 +105,34 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ev_b")
     }
   }
+
+  test("z-ordered layout prunes point scans on the SECOND dimension; linear sort cannot") {
+    import spark.implicits._
+    // 64x64 grid; 16 files ≈ one 16x16 z-tile each (sampled boundaries
+    // may merge adjacent tiles, so assertions carry a straddle margin)
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val zDir = tmp("graft-zord")
+    val linDir = tmp("graft-lin")
+    Sources.writeZOrdered(grid, "a", "b", zDir, numFiles = 16, bits = 6)
+    grid.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(linDir)
+
+    // files whose [min_b, max_b] must be READ for a b = 17 point scan
+    def filesHit(dir: String): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("b").as("lo"), max("b").as("hi"))
+      (stats.count(),
+        stats.filter(col("lo") <= 17 && col("hi") >= 17).count())
+    }
+    val (zFiles, zHit) = filesHit(zDir)
+    val (lFiles, lHit) = filesHit(linDir)
+    assert(zFiles == 16 && lFiles == 16)
+    // linear (a, b) sort: every file spans b's full range — no pruning
+    assert(lHit == lFiles)
+    // z-order: only the tile row b∈[16,32) (4 of 16 tiles) + straddlers
+    assert(zHit <= 10, s"z-order hit $zHit of $zFiles files")
+  }
 }
