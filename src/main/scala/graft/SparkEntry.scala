@@ -578,6 +578,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t21_bigram_lm" -> ((s, dir) => {
+      // interpolated bigram LM on the same t8 train split — the
+      // word-order-sensitive upgrade of t18's unigram signal
+      val docs = Tables(s, dir).documents
+      val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      TextAnalysis.lmScoreBigram(split.filter(col("split") === "train"), docs,
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t17_bm25_search" -> ((s, dir) => {
       TextAnalysis.bm25Search(Tables(s, dir).documents, "text", "doc_id",
           Bm25Queries, k = 10)
@@ -1572,6 +1583,45 @@ object SparkEntry {
                 / 1000000.0 AS logp
             FROM p LEFT JOIN train t USING (term) CROSS JOIN stats s)
           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "t21_bigram_lm" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          idx AS (
+            SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) >= 2),
+          bp AS (
+            SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx)
+            GROUP BY doc_id, w1, w2),
+          trainb AS (
+            SELECT w1, w2, sum(tf) AS cnt FROM bp
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+            GROUP BY w1, w2),
+          ctx AS (SELECT w1, sum(cnt) AS ctx FROM trainb GROUP BY w1),
+          uni AS (
+            SELECT w2, CAST(count(*) AS DOUBLE) AS ucnt FROM (
+              SELECT unnest(toks) AS w2 FROM d
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666')
+            GROUP BY w2),
+          stats AS (
+            SELECT sum(ucnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+          scored AS (
+            SELECT bp.doc_id, bp.tf,
+              floor(ln(
+                CASE WHEN c.ctx IS NULL THEN 0.0
+                     ELSE 0.7 * coalesce(t.cnt, 0.0) / c.ctx END
+                + 0.3 * ((coalesce(u.ucnt, 0.0) + 0.5)
+                         / (s.total + 0.5 * (s.vocab + 1.0)))
+              ) * 1000000.0 + 0.5) / 1000000.0 AS logp
+            FROM bp LEFT JOIN trainb t USING (w1, w2)
+            LEFT JOIN ctx c USING (w1)
+            LEFT JOIN uni u USING (w2)
+            CROSS JOIN stats s)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
             floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
                    / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
           FROM scored GROUP BY doc_id ORDER BY doc_id""",

@@ -272,6 +272,81 @@ object TextAnalysis {
         fround(-col("ll").cast("double") / col("n_toks"), 4).as("mean_nll"))
   }
 
+  /** Interpolated bigram language-model scoring — the next-order
+    * perplexity signal above [[lmScore]] (reference analog: the same
+    * keep/drop quality axis, with local word-order sensitivity that a
+    * unigram model cannot see — "the the the" scores fluent under
+    * unigrams but garbled here).
+    *
+    * P(w2|w1) = λ·P_ML(w2|w1) + (1−λ)·P_add-α(w2), where P_ML is the
+    * maximum-likelihood bigram estimate over the train split (0 when
+    * the context w1 never occurs in train) and the backoff unigram is
+    * [[lmScore]]'s add-α model. Each scored doc with ≥ 2 tokens gets
+    * mean_nll = −(Σ tf·ln P) / Σ tf over its bigram transitions; docs
+    * with < 2 tokens produce no row.
+    *
+    * Scale shape: bigram formation is MAP-ONLY — a `transform` over
+    * the sliced token array, never a positional self-join — so the
+    * only shuffles are the (doc, w1, w2) partial-agg groupBy and the
+    * model joins. The bigram model is O(bigram vocab) and joins
+    * broadcast by default (`broadcastModel = false` past broadcast
+    * size → AQE shuffle join on (w1, w2)); context totals and the
+    * unigram table are strictly smaller; corpus stats ride a 1-row
+    * broadcast cross join.
+    *
+    * FP determinism: counts and divisions are IEEE-exact-rounded and
+    * engine-identical; only ln is libm-dependent, so ln P is
+    * floor-rounded at 6dp per distinct (w1, w2) and the doc sum runs
+    * in exact decimal (t18's recipe). λ and 1−λ are BOTH explicit
+    * literals — deriving 1−λ in Scala (1.0 − 0.7 = 0.30000000000000004)
+    * would diverge from an oracle's literal 0.3.
+    */
+  def lmScoreBigram(train: DataFrame, docs: DataFrame, textCol: String,
+                    idCol: String, alpha: Double = 0.5, lam: Double = 0.7,
+                    oneMinusLam: Double = 0.3,
+                    broadcastModel: Boolean = true): DataFrame = {
+    val norm = Native.normOf(docs)
+    def toks(df: DataFrame) = df
+      .withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"), text.tokens(col("graft_norm")).as("toks"))
+    def bigrams(df: DataFrame) = toks(df)
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).cast("double").as("tf"))
+
+    val bigramModel = bigrams(train).groupBy("w1", "w2").agg(sum("tf").as("cnt"))
+    val ctx = bigramModel.groupBy("w1").agg(sum("cnt").as("ctx"))
+    val uni = toks(train)
+      .select(explode(col("toks")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).cast("double").as("ucnt"))
+    val stats = uni.agg(sum("ucnt").as("total"),
+      count(lit(1)).cast("double").as("vocab"))
+
+    bigrams(docs)
+      .join(if (broadcastModel) broadcast(bigramModel) else bigramModel,
+        Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      // operand order mirrors the oracle SQL exactly: (λ·cnt)/ctx +
+      // λ̄·((ucnt+α)/(total+α·(V+1))) — IEEE ops in the same order
+      // yield bit-identical doubles in any engine; only ln needs the
+      // 6dp floor-round.
+      .withColumn("logp", fround(log(
+        when(col("ctx").isNull, lit(0.0))
+          .otherwise(lit(lam) * coalesce(col("cnt"), lit(0.0)) / col("ctx")) +
+          lit(oneMinusLam) * ((coalesce(col("ucnt"), lit(0.0)) + lit(alpha)) /
+            (col("total") + lit(alpha) * (col("vocab") + lit(1.0))))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_big"),
+        sum(col("tf").cast("decimal(9,0)") * col("logp").cast("decimal(18,6)")).as("ll"))
+      .select(col("doc_id"), col("n_big").cast("long").as("n_bigrams"),
+        fround(-col("ll").cast("double") / col("n_big"), 4).as("mean_nll"))
+  }
+
   /** BM25 ranked retrieval over an on-the-fly inverted index — the
     * keyword-search twin of the ANN operators (reference analog: the
     * ad-hoc analysis scans in `src/pipeline/temp.py`, generalized to

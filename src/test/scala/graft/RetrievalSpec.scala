@@ -86,6 +86,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(broad.map(_.toString).toSeq == shuffled.map(_.toString).toSeq)
   }
 
+  test("lmScoreBigram: word order matters — scrambled doc scores higher nll than in-order doc") {
+    // same unigram multiset in both docs → identical t18 score; only
+    // the bigram model can tell them apart
+    val train = Seq((1L, "a b c a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "c b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(train, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2 && got(0).getLong(1) == 2L && got(1).getLong(1) == 2L)
+    assert(got(0).getDouble(2) < got(1).getDouble(2),
+      s"in-order transitions must be less surprising: ${got.toSeq}")
+  }
+
+  test("lmScoreBigram: hand-computed interpolated probabilities") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    // seen transition: 0.7·(1/1) + 0.3·((1+0.5)/(2+0.5·3)) = 0.7 + 0.3·3/7
+    val seen = TextAnalysis.lmScoreBigram(train,
+      Seq((10L, "a b")).toDF("doc_id", "text"), "text", "doc_id").collect()
+    assert(seen.length == 1)
+    assert(math.abs(seen(0).getDouble(2) - -math.log(0.7 + 0.3 * 3.0 / 7.0)) < 1e-3)
+    // unseen context: ML term 0 → 0.3·(0.5/3.5)
+    val unseen = TextAnalysis.lmScoreBigram(train,
+      Seq((11L, "z z")).toDF("doc_id", "text"), "text", "doc_id").collect()
+    assert(unseen.length == 1)
+    assert(math.abs(unseen(0).getDouble(2) - -math.log(0.3 * 0.5 / 3.5)) < 1e-3)
+  }
+
+  test("lmScoreBigram: docs with fewer than two tokens produce no row; broadcastModel=false parity") {
+    val train = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = Seq((10L, "alpha beta"), (11L, "alpha"), (12L, "   "), (13L, ""))
+      .toDF("doc_id", "text")
+    val broad = TextAnalysis.lmScoreBigram(train, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(broad.map(_.getLong(0)).toSeq == Seq(10L))
+    val shuffled = TextAnalysis.lmScoreBigram(train, docs, "text", "doc_id",
+      broadcastModel = false).orderBy("doc_id").collect()
+    assert(broad.map(_.toString).toSeq == shuffled.map(_.toString).toSeq)
+  }
+
   test("persisted bucketed index: scores identical to ad-hoc search; postings side exchange-free") {
     val docs = Tables(spark, sfDir).documents
     val queries = Seq(0L -> "spark window merge", 1L -> "customer join filter")
