@@ -469,6 +469,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s5_recall_eval" -> ((s, dir) => {
+      // measured recall@5 of the auto-banded LSH index (s4's path)
+      // against brute-force ground truth (s1's path) — the eval gate
+      // an approximate index must pass before replacing the exact scan
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val truth = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+      val approx = Similarity.lshTopK(emb, probes, "embedding", "vec_id", 5, 64)
+      Similarity.recallAtK(truth, approx, 5)
+        .orderBy("query_id")
+    }),
+
     // ----- text analysis -----
     "t1_lang_profile" -> ((s, dir) => {
       TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")
@@ -1296,6 +1308,66 @@ object SparkEntry {
             FROM scored)
           SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // s1's brute-force ranking (ground truth) composed with s4's
+    // auto-banded LSH ranking (approx), then recall@5 = |approx ∩
+    // truth| / 5 per query. Both rankings are the SAME SQL as their
+    // standalone oracles, so a recall mismatch isolates to the
+    // composition, not the inputs.
+    "s5_recall_eval" -> {
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 15) AS bits
+            FROM (SELECT unnest(range(2, 16)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+          bf_scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+              list_dot_product(qv, v)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+            FROM e JOIN p ON e.vec_id <> p.query_id),
+          bf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM bf_scored) t
+            WHERE rank <= 5),
+          sigs AS (SELECT vec_id, v, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          cb AS (
+            SELECT vec_id AS neighbor_id, v AS cv, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(4)) AS b), params),
+          pb AS (
+            SELECT query_id, qv, b,
+              CASE WHEN f = -1 THEN bv ELSE xor(bv, CAST(2 ** f AS BIGINT)) END AS bv
+            FROM (SELECT vec_id AS query_id, v AS qv, b,
+                    (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+                  FROM sigs, (SELECT unnest(range(4)) AS b), params
+                  WHERE vec_id % 100 = 0) pbase,
+                 (SELECT unnest(range(-1, (SELECT bits FROM params))) AS f) flips),
+          cand AS (
+            SELECT DISTINCT query_id, neighbor_id, qv, cv
+            FROM cb JOIN pb USING (b, bv)
+            WHERE query_id <> neighbor_id),
+          lsh_scored AS (
+            SELECT query_id, neighbor_id,
+              CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) = 0 THEN 0
+                   ELSE list_dot_product(qv,cv) / (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv))) END AS cos
+            FROM cand),
+          lsh AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM lsh_scored) t
+            WHERE rank <= 5)
+          SELECT bf.query_id AS query_id, CAST(count(l.query_id) AS BIGINT) AS n_hit,
+            floor(count(l.query_id) / 5.0 * 10000.0 + 0.5) / 10000.0 AS recall
+          FROM bf LEFT JOIN lsh l
+            ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+          GROUP BY bf.query_id ORDER BY bf.query_id"""
     },
 
     // IVF replicated literally: centroids = first numCentroids rows in

@@ -242,4 +242,34 @@ object Similarity {
         when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
     topKPerQuery(cands, k)
   }
+
+  /** Per-query recall@k of an approximate ANN result against exact
+    * ground truth — the eval harness every approximate index needs
+    * before it replaces the exact path (you don't ship an LSH/IVF
+    * variant on a recall you haven't measured; this is that
+    * measurement, as a query).
+    *
+    * Both inputs are (query_id, rank, neighbor_id, …) top-k tables
+    * (the contract shared by [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]]).
+    * n_hit = |approx ∩ truth| per query; recall = n_hit / k. A query
+    * the approx index missed entirely still gets a row (recall 0) —
+    * silent misses are the thing being measured.
+    *
+    * Scale shape: both inputs are O(queries·k) — the cost lives in
+    * the upstream pipelines; the hit join is an equi-join on
+    * (query_id, neighbor_id) that AQE plans broadcast at any
+    * realistic query-workload size.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("graft_hit", lit(1))
+    truth.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("graft_hit")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        graft.functions.num.fround(col("n_hit").cast("double") / lit(k.toDouble), 4)
+          .as("recall"))
+  }
 }

@@ -95,6 +95,22 @@ class RobustSpec extends AnyFunSuite {
     info(f"IVF cell coverage: recall ${r0}%.3f (nProbe=4) -> ${r8}%.3f (nProbe=8)")
   }
 
+  test("recallAtK: hand-built hits/misses; exact-vs-itself recall is 1.0; missed queries get a 0 row") {
+    import spark.implicits._
+    val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // q1: one of two hit (extra non-truth neighbor ignored); q2: absent
+    val approx = Seq((1L, 1, 10L), (1L, 2, 99L)).toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(truth, approx, 2).orderBy("query_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+    // an exact result evaluated against itself scores recall 1.0 everywhere
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)
+    val self = Similarity.recallAtK(bf, bf, 5).collect()
+    assert(self.nonEmpty && self.forall(_.getDouble(2) == 1.0))
+  }
+
   test("LSH-blocked embedding dedup: precision 1.0, measured recall vs all-pairs truth") {
     // ground truth: exact all-pairs cosine >= threshold (feasible at
     // test SF only — the operator exists precisely because this cross
