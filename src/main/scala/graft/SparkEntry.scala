@@ -590,6 +590,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t23_heavy_hitters" -> ((s, dir) => {
+      // exact frequent terms (>= 1/1000 of all tokens) via the
+      // Misra-Gries candidate sketch + exact recount — never shuffles
+      // the vocabulary, unlike t3's full groupBy
+      TextAnalysis.heavyHitters(Tables(s, dir).documents, "text")
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -1658,6 +1665,15 @@ object SparkEntry {
             floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
                    / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "t23_heavy_hitters" ->
+      s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
+          t AS (SELECT unnest(toks) AS term FROM d),
+          tot AS (SELECT count(*) AS n FROM t)
+          SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+          FROM t GROUP BY term
+          HAVING count(*) * 1000 >= (SELECT n FROM tot)
+          ORDER BY n_occ DESC, term""",
 
     "t21_bigram_lm" ->
       s"""WITH d AS (

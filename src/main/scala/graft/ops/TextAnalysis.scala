@@ -45,6 +45,72 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Exact frequent terms (heavy hitters) above a support threshold,
+    * computed WITHOUT shuffling the vocabulary — the scale form of
+    * [[tokenTopK]], whose groupBy shuffles every distinct term (fine
+    * until the vocabulary itself is the problem; web-scale corpora
+    * have billions of distinct tokens, and the interesting output is
+    * the few thousand frequent ones).
+    *
+    * Two passes over the exploded token stream (both map-side-narrow;
+    * tokenization never shuffles):
+    *  1. per-partition Misra-Gries summaries of `capacity` counters
+    *     (fixed memory), unioned into a candidate set. MG's guarantee:
+    *     any term with partition frequency > n_p/(capacity+1) survives
+    *     its partition, and a term with global frequency > N/(capacity+1)
+    *     must exceed that bound in at least one partition (pigeonhole) —
+    *     so the candidate union is a SUPERSET of every term with
+    *     freq > N/(capacity+1), under ANY partitioning.
+    *  2. exact recount of candidate postings only (broadcast semi
+    *     join ≤ capacity·partitions terms), filtered to
+    *     cnt·phiDenom ≥ N — pure integer compare, no FP threshold.
+    *
+    * Output is therefore EXACT (identical to the full groupBy +
+    * HAVING) and partitioning-invariant, while the only vocabulary-
+    * wide state anywhere is `capacity` counters per partition.
+    * Requires capacity ≥ phiDenom so the sketch threshold N/(cap+1)
+    * sits strictly below the report threshold N/phiDenom.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   phiDenom: Long = 1000L, capacity: Int = 1024): DataFrame = {
+    require(phiDenom >= 1, s"phiDenom must be >= 1, got $phiDenom")
+    require(capacity >= phiDenom,
+      s"capacity ($capacity) must be >= phiDenom ($phiDenom) for the superset guarantee")
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("term"))
+    import org.apache.spark.sql.{Encoders, Row}
+    val candidates = toks.mapPartitions { it =>
+      // Misra-Gries: `capacity` counters; a new term arriving at a
+      // full map decrements every counter (and implicitly the new
+      // term's 1) instead of inserting. Amortized O(1)/item: each
+      // decrement event destroys capacity+1 units of count mass, and
+      // at most n mass ever enters, so events <= n/(capacity+1), each
+      // O(capacity).
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { row =>
+        val t = row.getString(0)
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < capacity => counters.update(t, 1L)
+          case None =>
+            counters.toList.foreach { case (k, c) =>
+              if (c == 1L) counters.remove(k) else counters.update(k, c - 1)
+            }
+        }
+      }
+      counters.keysIterator.map(Row(_))
+    }(Encoders.row(toks.schema)).dropDuplicates("term")
+
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occ") * lit(phiDenom) >= col("n_total"))
+      .select(col("term"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("term"))
+  }
+
   /** Per-document fingerprints (content hash + cheap stats). */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = Native.normOf(docs)

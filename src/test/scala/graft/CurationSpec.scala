@@ -176,6 +176,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3).isNullAt(1) && got(3).isNullAt(2), s"got ${got(3)}")
   }
 
+  test("heavyHitters: exact vs full groupBy, partitioning-invariant, catches spread-out hitters") {
+    import graft.ops.TextAnalysis
+    // a heavy term spread thinly over many docs (never locally dominant
+    // within a doc), plus a long tail of unique distractors — the case
+    // where a per-partition top-k heuristic (not MG) silently misses
+    val docs = ((1 to 120).map(i => (i.toLong, s"hh filler$i x$i y$i z$i")) ++
+      (121 to 150).map(i => (i.toLong, s"only$i once$i")))
+      .toDF("doc_id", "text")
+    // N = 120*5 + 30*2 = 660 tokens; hh freq 120 >= 660/6 = 110, and
+    // MG capacity 8 guarantees survival of anything above 660/9 = 73
+    val got = TextAnalysis.heavyHitters(docs, "text", phiDenom = 6L, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hh", 120L)), s"got $got")
+    // exactness + partitioning invariance on real data: MG recount ==
+    // plain groupBy HAVING, and the partition layout doesn't matter
+    val real = Tables(spark, "/root/testdata/sf0.01").documents
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.heavyHitters(df, "text").collect().map(_.toString).toSeq
+    val a = rows(real)
+    assert(a.nonEmpty && a == rows(real.repartition(13)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", phiDenom = 100L, capacity = 50)
+    }
+  }
+
   test("deterministicShuffle gives a total, reproducible, partitioning-invariant order") {
     val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
     val a = Curation.deterministicShuffle(docs, "doc_id", "x")
