@@ -797,6 +797,18 @@ object SparkEntry {
       Enrich.scd2History(e, Seq("user_id"), "event_type", "ts_ms",
           tieCols = Seq("event_id"))
         .orderBy("user_id", "version")
+    }),
+
+    "q28_funnel" -> ((s, dir) => {
+      // strictly-ordered conversion funnel view→click→purchase per
+      // user: stage k = earliest stage-k event strictly after stage
+      // k−1 (min-chaining; one shuffle — the chained windows and the
+      // final collapse share the user_id partitioning)
+      val e = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), epochMs(col("ts")).as("ts_ms"))
+      Funnel.stages(e, "user_id", "event_type", "ts_ms",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
     })
   )
 
@@ -2023,6 +2035,31 @@ object SparkEntry {
          SELECT user_id, version, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
          FROM g ORDER BY user_id, version""",
+
+    // the naive per-stage self-join form the Spark operator avoids —
+    // correct semantics, so it serves as the oracle: stage k = min ts
+    // strictly after stage k-1's resolved ts, NULL cascade past a
+    // missed stage, every user keeps a row
+    "q28_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+           GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id, s1.t1 AS ts_view, s2.t2 AS ts_click,
+           s3.t3 AS ts_purchase
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+         ORDER BY u.user_id""",
 
     "q25_range_join" ->
       """WITH win AS (

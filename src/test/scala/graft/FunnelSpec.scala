@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Funnel
+
+/** Ordered-funnel semantics: strict min-chaining (stage k only after
+  * stage k−1), NULL cascade past a missed stage, same-timestamp
+  * non-advancement, and the one-shuffle plan contract.
+  */
+class FunnelSpec extends AnyFunSuite {
+  import SparkHarness._
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def run(rows: Seq[(Long, String, Long)]) =
+    Funnel.stages(rows.toDF("user_id", "event_type", "ts_ms"),
+        "user_id", "event_type", "ts_ms", steps)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+
+  test("strict ordering, NULL cascade, and out-of-order events") {
+    val got = run(Seq(
+      // u1: clean conversion — earliest qualifying event per stage
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "click", 15L),
+      (1L, "purchase", 30L),
+      // u2: purchase BEFORE the click chain resolves → no conversion
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      // u3: no click at all → purchase after view still must not count
+      (3L, "view", 10L), (3L, "purchase", 30L),
+      // u4: no funnel events → row with all NULLs
+      (4L, "error", 10L)))
+    assert(got == Seq(
+      (1L, 10L, 15L, 30L),
+      (2L, 10L, 20L, -1L),
+      (3L, 10L, -1L, -1L),
+      (4L, -1L, -1L, -1L)), s"got $got")
+  }
+
+  test("same timestamp does not advance a stage; a later event does") {
+    val got = run(Seq(
+      (1L, "view", 10L), (1L, "click", 10L), (1L, "click", 11L),
+      (1L, "purchase", 11L), (1L, "purchase", 12L)))
+    assert(got == Seq((1L, 10L, 11L, 12L)), s"got $got")
+  }
+
+  test("summary counts stages and guards zero denominators") {
+    val stages = Funnel.stages(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "click", 20L),
+      (3L, "view", 10L),
+      (4L, "error", 1L)).toDF("user_id", "event_type", "ts_ms"),
+      "user_id", "event_type", "ts_ms", steps)
+    val got = Funnel.summary(stages, steps).orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, "view", 3L, 0.75), (2, "click", 2L, 0.6667),
+      (3, "purchase", 1L, 0.5)), s"got $got")
+    // zero entities reach stage 1 → downstream rates are NULL, not NaN
+    val none = Funnel.stages(Seq((1L, "error", 1L)).toDF("user_id", "event_type", "ts_ms"),
+      "user_id", "event_type", "ts_ms", steps)
+    val z = Funnel.summary(none, steps).orderBy("stage").collect()
+    assert(z.map(_.getLong(2)).toSeq == Seq(0L, 0L, 0L))
+    assert(z.drop(1).forall(_.isNullAt(3)), s"expected NULL rates, got ${z.toSeq}")
+  }
+
+  test("one hash exchange serves every window and the final collapse") {
+    val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").events
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+    val df = Funnel.stages(e, "user_id", "event_type", "ts_ms", steps)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // AQE prints the plan twice (final + initial) — require one per print
+    assert(hashEx <= 2, s"expected a single reused hash exchange, plan:\n$plan")
+    assert("Window".r.findAllIn(plan).nonEmpty)
+  }
+}
