@@ -481,6 +481,15 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "s6_embed_stats" -> ((s, dir) => {
+      // per-label embedding health panel: counts, dim raggedness,
+      // zero norms, norm mean/median, intra-label coherence (mean
+      // cosine to the label centroid) — the drift alarm between
+      // ingest batches
+      Similarity.embeddingStats(Tables(s, dir).embeddings, "embedding", "label")
+        .orderBy("grp")
+    }),
+
     // ----- text analysis -----
     "t1_lang_profile" -> ((s, dir) => {
       TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")
@@ -1388,6 +1397,35 @@ object SparkEntry {
             ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
           GROUP BY bf.query_id ORDER BY bf.query_id"""
     },
+
+    // c1's decimal-exact per-dim centroid recipe keyed by label, then
+    // the t18 decimal-mean recipe for the norm/coherence aggregates.
+    "s6_embed_stats" ->
+      """WITH e AS (SELECT label AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT grp, v, CAST(len(v) AS BIGINT) AS dim,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         comp AS (SELECT grp, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM n),
+         cd AS (
+           SELECT grp, d,
+             floor((CAST(sum(CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS cx
+           FROM comp GROUP BY grp, d),
+         cent AS (SELECT grp, list(cx ORDER BY d) AS cvec FROM cd GROUP BY grp),
+         j AS (
+           SELECT n.grp, n.dim, n.nrm,
+             CASE WHEN n.nrm * sqrt(list_dot_product(c.cvec, c.cvec)) = 0 THEN 0.0
+                  ELSE list_dot_product(n.v, c.cvec)
+                       / (n.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) END AS cosc
+           FROM n JOIN cent c USING (grp))
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           CAST(count(*) FILTER (nrm = 0) AS BIGINT) AS n_zero_norm,
+           floor((CAST(sum(CAST(floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_norm,
+           floor(quantile_cont(floor(nrm * 1000000.0 + 0.5) / 1000000.0, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_norm,
+           floor((CAST(sum(CAST(floor(cosc * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_cos_centroid
+         FROM j GROUP BY grp ORDER BY grp""",
 
     // IVF replicated literally: centroids = first numCentroids rows in
     // the portable affine-hash order (Similarity.sampleOrder), corpus

@@ -260,6 +260,57 @@ object Similarity {
     * (query_id, neighbor_id) that AQE plans broadcast at any
     * realistic query-workload size.
     */
+  /** Embedding-table health/drift stats per group — the QA panel run
+    * BEFORE any ANN or embedding-dedup job: a batch of zero-norm or
+    * wrong-dimension vectors (a broken encoder push) silently poisons
+    * cosine math downstream, and a drop in intra-group coherence
+    * (mean cosine to the group centroid) is the standard embedding-
+    * drift alarm between ingest batches.
+    *
+    * Per group: row count, dim min/max (≠ means ragged dimensions —
+    * the alarm), zero-norm count, mean + median L2 norm, and mean
+    * cosine to the group's mean vector. Groups are drift slices
+    * (labels, sources, ingest batches) — bounded cardinality by
+    * contract, so the centroid table joins back broadcast.
+    *
+    * Engine-portable FP: centroids use c1's decimal-exact per-dim
+    * recipe (6dp-rounded components → decimal sum → mean → 6dp);
+    * means accumulate 6dp-rounded values in exact decimal (t18's
+    * recipe); the median interpolates over 6dp-rounded norms. Only
+    * one shuffle of the full vector data (the posexplode partial
+    * agg); norms/cosines are map-side.
+    */
+  def embeddingStats(embs: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val fround = graft.functions.num.fround _
+    val dot = vectors.dot _
+    val base = embs.select(col(groupCol).as("grp"), col(vecCol).as("v"))
+      .withColumn("dim", size(col("v")).cast("long"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cent = base
+      .select(col("grp"), posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("grp"), col("d"),
+        fround(col("x").cast("double"), 6).cast("decimal(18,6)").as("xq"))
+      .groupBy("grp", "d")
+      .agg(fround(sum(col("xq")).cast("double") / count(lit(1)), 6).as("cx"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cvec"))
+    val cn = sqrt(dot(col("cvec"), col("cvec")))
+    def decMean(c: Column, outDp: Int) =
+      fround(sum(fround(c, 6).cast("decimal(18,6)")).cast("double") / count(lit(1)), outDp)
+    base.join(broadcast(cent), Seq("grp"))
+      .withColumn("cosc",
+        when(col("nrm") * cn === 0.0, lit(0.0))
+          .otherwise(dot(col("v"), col("cvec")) / (col("nrm") * cn)))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        decMean(col("nrm"), 4).as("mean_norm"),
+        fround(percentile(fround(col("nrm"), 6), lit(0.5)), 4).as("p50_norm"),
+        decMean(col("cosc"), 4).as("mean_cos_centroid"))
+  }
+
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val a = approx.select(col("query_id"), col("neighbor_id"))

@@ -95,6 +95,30 @@ class RobustSpec extends AnyFunSuite {
     info(f"IVF cell coverage: recall ${r0}%.3f (nProbe=4) -> ${r8}%.3f (nProbe=8)")
   }
 
+  test("embeddingStats: hand-computed norms/coherence; zero-norm and ragged-dim alarms fire") {
+    import spark.implicits._
+    val embs = Seq(
+      // grp 1: unit axes -> centroid (.5,.5), cos to it = 1/sqrt(2) each
+      (1L, Array(1f, 0f), 1), (2L, Array(0f, 1f), 1),
+      // grp 2: a zero vector (cos guarded to 0) + a 3-4-5 vector
+      // centroid (1.5,2) is colinear with (3,4) -> cos 1; mean .5
+      (3L, Array(0f, 0f), 2), (4L, Array(3f, 4f), 2),
+      // grp 3: ragged dims -> min/max differ (the broken-encoder alarm)
+      (5L, Array(1f, 0f), 3), (6L, Array(1f, 0f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingStats(embs, "embedding", "label")
+      .orderBy("grp").collect()
+    val g1 = got(0)
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4)) == (2L, 2L, 2L, 0L))
+    assert(g1.getDouble(5) == 1.0 && g1.getDouble(6) == 1.0)
+    assert(math.abs(g1.getDouble(7) - 0.7071) < 1e-9, s"coherence ${g1.getDouble(7)}")
+    val g2 = got(1)
+    assert(g2.getLong(4) == 1L, "zero-norm vector must be counted")
+    assert(g2.getDouble(5) == 2.5 && g2.getDouble(6) == 2.5 && g2.getDouble(7) == 0.5)
+    val g3 = got(2)
+    assert(g3.getLong(2) == 2L && g3.getLong(3) == 3L, "ragged dims must surface in dim_min/dim_max")
+  }
+
   test("recallAtK: hand-built hits/misses; exact-vs-itself recall is 1.0; missed queries get a 0 row") {
     import spark.implicits._
     val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
