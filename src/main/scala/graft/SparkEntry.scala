@@ -699,6 +699,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "g1_pagerank" -> ((s, dir) => {
+      // centrality over the chunk-sharing doc graph: which documents
+      // are the canonical hubs everything else copies from — the
+      // importance signal a curation pass samples by
+      val docs = Tables(s, dir).documents
+      Graph.pageRank(docs.select("doc_id"),
+          Dedup.chunkShareEdges(docs, "text", "doc_id", chunkTokens = 20),
+          iters = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "c1_kmeans" -> ((s, dir) => {
       Cluster.kmeansSummary(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, iters = 1)
@@ -1965,6 +1977,62 @@ object SparkEntry {
             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
             CAST(sum(CASE WHEN dup THEN 0 ELSE n_tok END) AS BIGINT) AS n_kept_tokens
           FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // d10's chunk CTEs → star links to each chunk's first occurrence →
+    // 3 unrolled power iterations with decimal-exact contribution sums
+    // (every arithmetic step mirrors Graph.pageRank bit-for-bit).
+    "g1_pagerank" ->
+      s"""WITH t AS MATERIALIZED (
+            SELECT doc_id, toks, len(toks) AS n FROM (
+              SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents)
+            WHERE len(toks) > 0),
+          c AS (
+            SELECT doc_id,
+              unnest(list_transform(range(0, CAST(ceil(CAST(n AS DOUBLE) / 20.0) AS BIGINT)),
+                i -> {'idx': i,
+                      'h': md5(array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' '))})) AS u
+            FROM t),
+          e AS MATERIALIZED (SELECT doc_id, u.idx AS idx, u.h AS h FROM c),
+          f AS MATERIALIZED (
+            SELECT h, min(struct_pack(doc_id := doc_id, idx := idx)) AS first
+            FROM e GROUP BY h),
+          links AS MATERIALIZED (
+            SELECT DISTINCT (f.first).doc_id AS a, e.doc_id AS b
+            FROM e JOIN f USING (h) WHERE (f.first).doc_id <> e.doc_id),
+          ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM links
+                 UNION ALL SELECT b AS src, a AS dst FROM links),
+          nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+          nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          dg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM ed GROUP BY src),
+          p0 AS MATERIALIZED (
+            SELECT id, coalesce(deg, CAST(0 AS BIGINT)) AS deg,
+              floor(1.0 / nn.n * 1000000.0 + 0.5) / 1000000.0 AS pr
+            FROM nodes LEFT JOIN dg USING (id) CROSS JOIN nn),
+          m1 AS MATERIALIZED (
+            SELECT ed.dst AS id,
+              sum(CAST(floor(p.pr / p.deg * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS s
+            FROM ed JOIN p0 p ON ed.src = p.id GROUP BY ed.dst),
+          p1 AS MATERIALIZED (
+            SELECT p.id, p.deg,
+              floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(CAST(m.s AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pr
+            FROM p0 p CROSS JOIN nn LEFT JOIN m1 m ON m.id = p.id),
+          m2 AS MATERIALIZED (
+            SELECT ed.dst AS id,
+              sum(CAST(floor(p.pr / p.deg * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS s
+            FROM ed JOIN p1 p ON ed.src = p.id GROUP BY ed.dst),
+          p2 AS MATERIALIZED (
+            SELECT p.id, p.deg,
+              floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(CAST(m.s AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pr
+            FROM p1 p CROSS JOIN nn LEFT JOIN m2 m ON m.id = p.id),
+          m3 AS MATERIALIZED (
+            SELECT ed.dst AS id,
+              sum(CAST(floor(p.pr / p.deg * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS s
+            FROM ed JOIN p2 p ON ed.src = p.id GROUP BY ed.dst),
+          p3 AS MATERIALIZED (
+            SELECT p.id, p.deg,
+              floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(CAST(m.s AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pr
+            FROM p2 p CROSS JOIN nn LEFT JOIN m3 m ON m.id = p.id)
+          SELECT id AS doc_id, deg, pr FROM p3 ORDER BY doc_id""",
 
     "c1_kmeans" ->
       s"""${kmeansA2Sql()}

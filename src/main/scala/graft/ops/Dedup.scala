@@ -510,23 +510,7 @@ object Dedup {
     */
   def chunkDedupStats(docs: DataFrame, textCol: String, idCol: String,
                       chunkTokens: Int = 20): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    import graft.functions.text
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
-    val chunks = toks
-      .select(col("doc_id"), col("n"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(col("n").cast("double") / chunkTokens).cast("int") - 1),
-          i => concat_ws(" ",
-            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
-      .select(col("doc_id"), col("pos").as("idx"), md5(col("col")).as("h"),
-        least(lit(chunkTokens), col("n") - col("pos") * chunkTokens)
-          .cast("long").as("n_tok"))
+    val chunks = chunkTable(docs, textCol, idCol, chunkTokens)
     val firsts = chunks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     chunks.join(firsts, "h")
@@ -538,5 +522,58 @@ object Dedup {
         sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_kept_tokens"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         col("n_kept_tokens"))
+  }
+
+  /** The (doc_id, idx, h, n_tok) chunk table shared by the chunk-level
+    * operators: fixed `chunkTokens`-token windows over normalized
+    * tokens, each window keyed by its md5 (the portable hash — DuckDB
+    * reproduces it from the same joined-token string).
+    */
+  private def chunkTable(docs: DataFrame, textCol: String, idCol: String,
+                         chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    import graft.functions.text
+    docs
+      .select(col(idCol).as("doc_id"),
+        text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n").cast("double") / chunkTokens).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").as("idx"), md5(col("col")).as("h"),
+        least(lit(chunkTokens), col("n") - col("pos") * chunkTokens)
+          .cast("long").as("n_tok"))
+  }
+
+  /** Undirected doc-graph edges from SHARED CHUNKS: each repeated
+    * chunk links the repeating document to the chunk's global
+    * first-occurrence document (star topology per chunk — NOT the
+    * within-hash all-pairs clique, which a hot boilerplate chunk
+    * repeated across g docs would blow up to g² edges; the star is
+    * O(occurrences) and has the same connected components). Output is
+    * symmetric distinct (src, dst) — the edge-table contract of
+    * [[Graph.pageRank]] / [[Graph.connectedComponents]].
+    *
+    * Scale shape: identical to [[chunkDedupStats]] — one hash shuffle
+    * to find first occurrences, the join back reuses the exchange,
+    * then a distinct on the bounded link set.
+    */
+  def chunkShareEdges(docs: DataFrame, textCol: String, idCol: String,
+                      chunkTokens: Int = 20): DataFrame = {
+    val chunks = chunkTable(docs, textCol, idCol, chunkTokens)
+    val firsts = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    // first.doc_id <= doc_id for every occurrence (it is the min), so
+    // links are already oriented (a < b) and distinct dedups cleanly.
+    val links = chunks.join(firsts, "h")
+      .where(col("first.doc_id") =!= col("doc_id"))
+      .select(col("first.doc_id").as("a"), col("doc_id").as("b"))
+      .distinct()
+    links.select(col("a").as("src"), col("b").as("dst"))
+      .union(links.select(col("b").as("src"), col("a").as("dst")))
   }
 }

@@ -255,6 +255,69 @@ object Graph {
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** PageRank by power iteration over an explicit (src, dst) edge
+    * table — the graph-centrality curation primitive: over a
+    * chunk-sharing or near-dup doc graph it ranks CANONICAL hubs
+    * (which copy is the one everything else duplicates), and over any
+    * reference graph it is the standard importance-weighting signal
+    * for sampling decisions.
+    *
+    * Semantics (deterministic, engine-portable): pr₀ = round(1/N, 6);
+    * each iteration sends round(pr/outdeg, 6) along every out-edge,
+    * accumulates arrivals in EXACT decimal (the t18 recipe — a double
+    * sum's value depends on partitioning), and sets
+    * pr' = round((1−d)/N + d·Σ, 6). Nodes without out-edges leak
+    * their mass (the standard simplified treatment — with a bounded
+    * iteration count the ranking is unaffected); nodes without
+    * in-edges settle at the teleport floor.
+    *
+    * Scale shape: per iteration ONE join shuffle (edges × state on
+    * src, both sides hash-partitioned on the join key) plus ONE
+    * partial-agg shuffle (sum per dst) — O(E) traffic, never O(N²);
+    * degree rides in the state table so no extra join per round.
+    * Edges are materialized once up front (they feed the degree table
+    * and every iteration), and state is `localCheckpoint`ed every
+    * `checkpointEvery` rounds so lineage stays bounded at any
+    * iteration count. Driver state is one Long (N).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+               damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    import graft.functions.num.fround
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+    val e = edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .localCheckpoint(true)
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node table")
+    val teleport = (1.0 - damping) / n
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var state = ids.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        fround(lit(1.0 / n), 6).as("pr"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      // deg >= 1 on every joined row: src appears in e, so it has an
+      // out-edge — the division is safe by construction.
+      val contribs = e.join(state, e("src") === state("id"))
+        .select(col("dst"),
+          fround(col("pr") / col("deg"), 6).cast("decimal(18,6)").as("c"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      val next = state.join(contribs, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          fround(lit(teleport) + lit(damping) *
+            coalesce(col("s").cast("double"), lit(0.0)), 6).as("pr"))
+      state =
+        if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
+        else next
+    }
+    state
+  }
+
   /** Cluster-level dedup verdict from a pair table: every vertex with
     * its component, the component size, and keep = 1 for the one
     * canonical (min-id) member. Component sizes come from a window

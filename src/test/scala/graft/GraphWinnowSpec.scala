@@ -28,6 +28,37 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("pageRank: hand-computed star graph; isolated node at teleport floor; mass order") {
+    import graft.ops.Dedup
+    // star 1-{2,3,4} symmetrized + isolated node 5; N=5, teleport 0.03
+    val links = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = (links ++ links.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val p0 = Graph.pageRank(nodes, edges, iters = 0).orderBy("id").collect()
+    assert(p0.map(_.getDouble(2)).forall(_ == 0.2), "iters=0 must return pr0 = 1/N")
+    assert(p0.map(_.getLong(1)).toSeq == Seq(3L, 1L, 1L, 1L, 0L))
+    val p1 = Graph.pageRank(nodes, edges, iters = 1).orderBy("id").collect()
+    // hub: 0.03 + 0.85*(3*0.2) = 0.54; leaves: 0.03 + 0.85*round(0.2/3)
+    // = 0.086667 after 6dp rounds; isolated: teleport floor 0.03
+    assert(p1(0).getDouble(2) == 0.54, s"hub ${p1(0).getDouble(2)}")
+    assert(p1(1).getDouble(2) == 0.086667 && p1(3).getDouble(2) == 0.086667)
+    assert(p1(4).getDouble(2) == 0.03, "isolated node must sit at the teleport floor")
+    // multi-iteration: ranking is stable (hub > leaves > isolated) and
+    // total mass stays <= 1 (leak-only simplification)
+    val p3 = Graph.pageRank(nodes, edges, iters = 3).orderBy("id").collect()
+    assert(p3(0).getDouble(2) > p3(1).getDouble(2) &&
+      p3(1).getDouble(2) > p3(4).getDouble(2))
+    assert(p3.map(_.getDouble(2)).sum <= 1.0 + 1e-9)
+    // chunkShareEdges: two docs sharing their (single-chunk) text link
+    // symmetrically to the first occurrence; unique doc is isolated
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "unrelated text here")
+    ).toDF("doc_id", "text")
+    val es = Dedup.chunkShareEdges(docs, "text", "doc_id", chunkTokens = 20)
+      .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(es == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("clusterDedup keeps exactly one canonical doc per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val got = Graph.clusterDedup(pairs, "id1", "id2").orderBy("id").collect().toSeq
