@@ -711,6 +711,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "e1_fuzzy_names" -> ((s, dir) => {
+      // typo-tolerant entity resolution over the part-name dictionary:
+      // SymSpell delete-neighborhood candidates (recall 1.0 by
+      // construction) + exact levenshtein verify
+      Fuzzy.fuzzyNameJoin(Tables(s, dir).part, "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
     "c1_kmeans" -> ((s, dir) => {
       Cluster.kmeansSummary(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, iters = 1)
@@ -2033,6 +2041,17 @@ object SparkEntry {
               floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(CAST(m.s AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pr
             FROM p2 p CROSS JOIN nn LEFT JOIN m3 m ON m.id = p.id)
           SELECT id AS doc_id, deg, pr FROM p3 ORDER BY doc_id""",
+
+    // brute force over the (small) name dictionary: the oracle checks
+    // the RESULT pair set; the Spark side must reach it through the
+    // SymSpell candidate join + verify.
+    "e1_fuzzy_names" ->
+      """WITH d AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY p_name)
+         SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.cnt AS n_a, b.cnt AS n_b
+         FROM d a JOIN d b ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
 
     "c1_kmeans" ->
       s"""${kmeansA2Sql()}

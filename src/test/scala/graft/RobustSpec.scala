@@ -119,6 +119,34 @@ class RobustSpec extends AnyFunSuite {
     assert(g3.getLong(2) == 2L && g3.getLong(3) == 3L, "ragged dims must surface in dim_min/dim_max")
   }
 
+  test("fuzzyNameJoin: SymSpell candidates reproduce the brute-force pair set exactly") {
+    import spark.implicits._
+    import graft.ops.Fuzzy
+    import org.apache.spark.sql.functions.levenshtein
+    // short strings (shared-empty-string variants), a distance-2 pair,
+    // a far-away name, and duplicated rows to exercise the counts
+    val names = Seq("abc", "abcd", "abd", "ab", "xyz", "qrstuv", "qrstwv", "abc")
+    val df = names.toDF("nm")
+    val got = Fuzzy.fuzzyNameJoin(df, "nm", maxDist = 2)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dict = names.distinct
+    val truth = (for {
+      a <- dict; b <- dict if a < b
+    } yield (a, b)).map { case (a, b) =>
+      val d = spark.range(1).select(
+        levenshtein(lit(a), lit(b))).head().getInt(0)
+      (a, b, d.toLong, names.count(_ == a).toLong, names.count(_ == b).toLong)
+    }.filter(_._3 <= 2).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == truth, s"got ${got.toSeq}")
+    assert(got.exists(_._3 == 2L), "a distance-2 pair must be present")
+    assert(got.exists(t => t._1 == "abc" && t._4 == 2L), "counts must reflect duplicate rows")
+    // delete neighborhood of a 2-char string at k=2 includes the empty string
+    val vs = spark.range(1)
+      .select(Fuzzy.deleteVariants(lit("ab"), 2).as("v")).head().getSeq[String](0)
+    assert(vs.toSet == Set("ab", "a", "b", ""))
+  }
+
   test("recallAtK: hand-built hits/misses; exact-vs-itself recall is 1.0; missed queries get a 0 row") {
     import spark.implicits._
     val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
