@@ -719,6 +719,15 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    "e2_entity_resolve" -> ((s, dir) => {
+      // the composed resolution chain: fuzzy pairs -> connected
+      // components -> canonical spelling (max count, tie to smallest
+      // name) for EVERY distinct name — the mapping an entity-merge
+      // pass applies
+      Fuzzy.entityResolve(Tables(s, dir).part, "p_name", maxDist = 2)
+        .orderBy("name")
+    }),
+
     "c1_kmeans" -> ((s, dir) => {
       Cluster.kmeansSummary(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, iters = 1)
@@ -2052,6 +2061,50 @@ object SparkEntry {
            a.cnt AS n_a, b.cnt AS n_b
          FROM d a JOIN d b ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
          ORDER BY name_a, name_b""",
+
+    // the full chain: brute-force pairs (truth) + recursive CC (d7
+    // idiom) over the portable md5-prefix vertex ids + the canonical
+    // pick replicated as a window rank
+    "e2_entity_resolve" ->
+      """WITH RECURSIVE d AS (
+           SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY p_name),
+         h AS (
+           SELECT name, cnt,
+             list_reduce(list_transform(range(1, 16),
+               i -> CAST(strpos('0123456789abcdef',
+                      substr(md5(name), i, 1)) - 1 AS BIGINT)),
+               (acc, dg) -> acc * 16 + dg) AS hid
+           FROM d),
+         p AS (
+           SELECT a.hid AS ida, b.hid AS idb
+           FROM h a JOIN h b
+           ON a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+         ed AS (SELECT ida AS a, idb AS b FROM p UNION SELECT idb, ida FROM p),
+         nodes AS (SELECT DISTINCT a AS id FROM ed),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT ed.b, w.comp FROM walk w JOIN ed ON ed.a = w.id),
+         cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         lab AS (
+           SELECT h.name, h.cnt, COALESCE(cc.component, h.hid) AS component
+           FROM h LEFT JOIN cc ON cc.id = h.hid),
+         can AS (
+           SELECT component, name AS canonical,
+             row_number() OVER (PARTITION BY component
+               ORDER BY cnt DESC, name) AS rn
+           FROM lab),
+         agg AS (
+           SELECT component, count(*) AS cluster_size, sum(cnt) AS n_rows
+           FROM lab GROUP BY component)
+         SELECT l.name, c.canonical, l.cnt,
+           CAST(a.cluster_size AS BIGINT) AS cluster_size,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(CASE WHEN l.name = c.canonical THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+         FROM lab l
+         JOIN can c ON c.component = l.component AND c.rn = 1
+         JOIN agg a ON a.component = l.component
+         ORDER BY l.name""",
 
     "c1_kmeans" ->
       s"""${kmeansA2Sql()}

@@ -80,4 +80,49 @@ object Fuzzy {
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         col("n_a"), col("n_b"))
   }
+
+  /** Full entity resolution over `nameCol`: fuzzy pairs
+    * ([[fuzzyNameJoin]]) → transitive clusters (connected components)
+    * → one CANONICAL spelling per cluster (the most frequent name,
+    * ties to the lexicographically smallest) — the name→canonical
+    * mapping a merge/geocode-cache pass applies. Every distinct name
+    * appears in the output; names with no fuzzy match are their own
+    * singleton cluster.
+    *
+    * Vertex ids for the component step are the portable 60-bit md5
+    * prefix of the name (the [[graft.functions.hashing]] idiom), so
+    * the clustering is engine-reproducible. Scale shape: everything
+    * downstream of the corpus count runs at DICTIONARY size — the CC
+    * input is the (bounded) true-match pair set, the canonical pick
+    * is one partial-agg shuffle on component plus a dictionary-sized
+    * join back.
+    */
+  def entityResolve(df: DataFrame, nameCol: String,
+                    maxDist: Int = 2): DataFrame = {
+    val hid = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val dict = df.where(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("cnt"))
+    val pairs = fuzzyNameJoin(df, nameCol, maxDist)
+      .select(hid(col("name_a")).as("ida"), hid(col("name_b")).as("idb"))
+    val cc = Graph.connectedComponents(pairs, "ida", "idb")
+    val labeled = dict
+      .join(cc, hid(col("name")) === col("id"), "left_outer")
+      .select(col("name"), col("cnt"),
+        coalesce(col("comp"), hid(col("name"))).as("component"))
+    // canonical = max cnt, tie-break min name: min over (-cnt, name).
+    // Struct min/max is sort-agg (no hash buffer for structs) but
+    // still partial-aggregates; the grouped table is component-sized.
+    val canon = labeled.groupBy("component")
+      .agg(min(struct((lit(0L) - col("cnt")).as("neg"),
+          col("name").as("nm"))).as("c"),
+        count(lit(1)).as("cluster_size"), sum("cnt").as("n_rows"))
+      .select(col("component"), col("c.nm").as("canonical"),
+        col("cluster_size"), col("n_rows"))
+    labeled.join(canon, "component")
+      .select(col("name"), col("canonical"), col("cnt"),
+        col("cluster_size"), col("n_rows"),
+        when(col("name") === col("canonical"), 1).otherwise(0)
+          .as("is_canonical"))
+  }
 }

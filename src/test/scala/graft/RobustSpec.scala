@@ -147,6 +147,28 @@ class RobustSpec extends AnyFunSuite {
     assert(vs.toSet == Set("ab", "a", "b", ""))
   }
 
+  test("entityResolve: transitive cluster, frequency canonical, tie-break, singleton") {
+    import spark.implicits._
+    import graft.ops.Fuzzy
+    // "color" (3 rows) ~ "colour" ~ "colouur" chain: transitive cluster
+    // of 3, canonical = most frequent ("color"). "aa"/"bb" are within
+    // distance 2 with equal counts: canonical = lexicographic min "aa".
+    // "unrelatedzz" matches nothing: singleton, canonical = itself.
+    val names = Seq("color", "color", "color", "colour", "colouur",
+      "aa", "bb", "unrelatedzz")
+    val got = Fuzzy.entityResolve(names.toDF("nm"), "nm")
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      ("aa", "aa", 1L, 2L, 2L, 1),
+      ("bb", "aa", 1L, 2L, 2L, 0),
+      ("color", "color", 3L, 3L, 5L, 1),
+      ("colour", "color", 1L, 3L, 5L, 0),
+      ("colouur", "color", 1L, 3L, 5L, 0),
+      ("unrelatedzz", "unrelatedzz", 1L, 1L, 1L, 1)), got.toSeq.toString)
+  }
+
   test("recallAtK: hand-built hits/misses; exact-vs-itself recall is 1.0; missed queries get a 0 row") {
     import spark.implicits._
     val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
