@@ -606,6 +606,16 @@ object SparkEntry {
       TextAnalysis.heavyHitters(Tables(s, dir).documents, "text")
     }),
 
+    "t24_dsir_select" -> ((s, dir) => {
+      // DSIR (Xie et al., 2023): hashed-ngram importance weights
+      // target (lang='en') vs raw (all), then the selection step as a
+      // TakeOrdered top-50 — never a global sort or rank
+      val docs = Tables(s, dir).documents
+      Curation.dsirWeights(docs, "text", "doc_id",
+          col("lang") === "en")
+        .orderBy(col("log_w").desc, col("doc_id")).limit(50)
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -1744,6 +1754,50 @@ object SparkEntry {
             floor((-CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
                    / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // DSIR replicated end-to-end: unigram++bigram features, md5-fold
+    // bucket hashing, two smoothed bucket models, 6dp-rounded log
+    // ratios summed in exact decimal, TOP-50 selection
+    "t24_dsir_select" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+              ${toksSql(normSql)} AS toks FROM documents),
+          uni AS (SELECT doc_id, is_target, unnest(toks) AS f FROM d),
+          big AS (
+            SELECT doc_id, is_target, toks[i] || ' ' || toks[i + 1] AS f
+            FROM (
+              SELECT doc_id, is_target, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)),
+          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+          hb AS (
+            SELECT doc_id, is_target,
+              list_reduce(list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(f), i, 1)) - 1 AS BIGINT)),
+                (acc, dg) -> acc * 16 + dg) % 8192 AS b
+            FROM feats),
+          posts AS (
+            SELECT doc_id, is_target, b, CAST(count(*) AS DOUBLE) AS tf
+            FROM hb GROUP BY doc_id, is_target, b),
+          tgt AS (SELECT b, sum(tf) AS tcnt FROM posts WHERE is_target GROUP BY b),
+          rawm AS (SELECT b, sum(tf) AS rcnt FROM posts GROUP BY b),
+          stats AS (
+            SELECT (SELECT sum(tcnt) FROM tgt) AS t_total,
+                   (SELECT sum(rcnt) FROM rawm) AS r_total),
+          scored AS (
+            SELECT p.doc_id, p.tf,
+              floor(ln(
+                ((coalesce(t.tcnt, 0.0) + 0.5) / (s.t_total + 4096.0)) /
+                ((r.rcnt + 0.5) / (s.r_total + 4096.0))) * 1000000.0 + 0.5)
+                / 1000000.0 AS lr
+            FROM posts p LEFT JOIN tgt t USING (b) JOIN rawm r USING (b)
+            CROSS JOIN stats s)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+            floor(CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(lr AS DECIMAL(18,6))) AS DOUBLE)
+                  * 10000.0 + 0.5) / 10000.0 AS log_w
+          FROM scored GROUP BY doc_id
+          ORDER BY log_w DESC, doc_id LIMIT 50""",
 
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),

@@ -261,4 +261,70 @@ object Curation {
         floor(col("prev_tokens") / budgetTokens).cast("long").as("pack_id"),
         (col("prev_tokens") % budgetTokens).as("pack_offset"))
   }
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al., NeurIPS 2023): score every document by
+    * how target-like it is under two bag-of-hashed-ngram models —
+    * log w(x) = Σ_features tf·(ln p_target(b) − ln p_raw(b)) — the
+    * published recipe for selecting in-domain pretraining data from a
+    * raw crawl. `targetFilter` marks the in-domain rows (they stay in
+    * the raw model too, as in the paper's raw = full-corpus setup).
+    *
+    * Features are unigrams ++ bigrams of the normalized tokens,
+    * hashed into `buckets` buckets via the portable md5-prefix idiom
+    * (engine-reproducible, fixed model size). Both models get add-α
+    * smoothing over the bucket space; ln of each bucket's ratio is
+    * floor-rounded at 6dp per DISTINCT bucket and the per-doc sum
+    * runs in exact decimal (t18's portability recipe — a plain double
+    * sum flips 4dp boundaries under partition-order differences).
+    *
+    * Scale shape: feature formation is map-only (`transform` over the
+    * token array, never a positional self-join); the only corpus
+    * shuffle is the (doc, bucket) partial-agg groupBy; both models
+    * are EXACTLY `buckets` rows or fewer — fixed-size broadcasts at
+    * any corpus scale — and the totals ride a 1-row broadcast.
+    * Selection downstream is a TakeOrdered top-k on the weight, never
+    * a global sort. Docs with zero tokens produce no row.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  targetFilter: Column, buckets: Int = 8192,
+                  alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val norm = Native.normOf(docs)
+    val toks = docs.withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
+        text.tokens(col("graft_norm")).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val posts = toks
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("toks"), bigrams)).as("f"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val tgt = posts.filter(col("is_target")).groupBy("b").agg(sum("tf").as("tcnt"))
+    val raw = posts.groupBy("b").agg(sum("tf").as("rcnt"))
+    val stats = tgt.agg(sum("tcnt").as("t_total"))
+      .crossJoin(raw.agg(sum("rcnt").as("r_total")))
+    val denomT = col("t_total") + lit(alpha * buckets)
+    val denomR = col("r_total") + lit(alpha * buckets)
+    posts
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lr", graft.functions.num.fround(log(
+        ((coalesce(col("tcnt"), lit(0.0)) + lit(alpha)) / denomT) /
+          ((col("rcnt") + lit(alpha)) / denomR)), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feats"),
+        sum(col("tf").cast("decimal(9,0)") * col("lr").cast("decimal(18,6)"))
+          .as("w"))
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+        graft.functions.num.fround(col("w").cast("double"), 4).as("log_w"))
+  }
 }

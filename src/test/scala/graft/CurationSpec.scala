@@ -27,6 +27,26 @@ class CurationSpec extends AnyFunSuite {
       Row(5L, "", 0L, 0L)))
   }
 
+  test("dsirWeights: target-vocab docs outrank off-domain; feature counts exact") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma", true),
+      (3L, "alpha beta alpha", false),
+      (4L, "zeta eta theta iota", false),
+      (5L, "", false)).toDF("id", "txt", "tgt")
+    val w = Curation.dsirWeights(docs, "txt", "id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // empty doc produces no row; everyone else is scored
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(w(1L)._1 == 7L && w(2L)._1 == 5L && w(3L)._1 == 5L && w(4L)._1 == 7L)
+    // a raw doc built from target vocab must outrank the off-domain one
+    assert(w(3L)._2 > w(4L)._2,
+      s"target-vocab doc ${w(3L)._2} must beat off-domain ${w(4L)._2}")
+    // target docs themselves score above the off-domain doc
+    assert(w(1L)._2 > w(4L)._2 && w(2L)._2 > w(4L)._2)
+  }
+
   test("scrubPii counts phones on the email-scrubbed text (no double redaction)") {
     // the local part contains a phone-shaped digit run; email wins
     val docs = Seq((1L, "x 555-123-4567@host.com y")).toDF("doc_id", "text")
