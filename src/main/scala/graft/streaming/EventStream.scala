@@ -192,4 +192,90 @@ object EventStream {
           }
       }
   }
+
+  case class TypedEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                        event_type: String)
+  case class FunnelState(pending: List[(Long, Long, String)],
+                         resolved: List[Long], done: Boolean,
+                         lastMs: Long)
+  case class FunnelOut(user_id: Long, stage_ts: Seq[Long])
+
+  /** Streaming ordered funnel (streaming q28_funnel): emits one row
+    * per entity the moment it COMPLETES the final stage — conversion
+    * detection as the events arrive, the continuous form of
+    * [[graft.ops.Funnel.stages]]' min-chaining (stage k = earliest
+    * stage-k event STRICTLY after stage k−1; a completed streaming
+    * funnel carries exactly the batch operator's stage timestamps, so
+    * parity holds on the completed set — StreamParitySpec).
+    *
+    * Determinism under replay: buffered events are processed in
+    * (ts, event_id) order and only once STRICTLY below the watermark
+    * (a row at exactly the watermark can still arrive in a later
+    * batch — the runningAvg boundary rule), so emission depends on
+    * the data, never on batch boundaries. Same-ts events cannot chain
+    * (strict >), so the ts-order scan reproduces the batch window
+    * mins exactly.
+    *
+    * State per entity = resolved stage timestamps + the not-yet-
+    * processable buffer (bounded by allowed lateness); a completed
+    * entity keeps a tombstone (done = true) so late duplicates cannot
+    * restart the funnel. Both expire `ttlMs` of EVENT TIME after the
+    * entity's last activity — bounded state at any cardinality.
+    */
+  def funnel(events: Dataset[TypedEvent], steps: Seq[String],
+             watermarkDelay: String = "10 minutes",
+             ttlMs: Long = 24 * 3600 * 1000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"duplicate funnel steps: $steps")
+    val stepIdx = steps.zipWithIndex.toMap
+    val streaming = events.isStreaming
+    val src =
+      if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TypedEvent],
+         state: GroupState[FunnelState]) =>
+          // the body runs on timeouts too (rows is then empty): a
+          // watermark advance must drain the buffer even when the
+          // entity got no new events this batch (runningAvg's rule)
+          val prev = state.getOption
+            .getOrElse(FunnelState(Nil, Nil, done = false, Long.MinValue))
+          val relevant = rows.filter(e => stepIdx.contains(e.event_type))
+            .map(e => (e.ts.getTime, e.event_id, e.event_type))
+          val pending = (prev.pending ++ relevant).sortBy(p => (p._1, p._2))
+          val emitTs =
+            if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (ready, rest) = pending.partition(_._1 < emitTs)
+          var resolved = prev.resolved
+          var done = prev.done
+          var out = List.empty[FunnelOut]
+          ready.foreach { case (tsMs, _, tpe) =>
+            if (!done && stepIdx(tpe) == resolved.size &&
+                (resolved.isEmpty || tsMs > resolved.head)) {
+              resolved ::= tsMs
+              if (resolved.size == steps.size) {
+                done = true
+                out ::= FunnelOut(user, resolved.reverse)
+              }
+            }
+          }
+          val lastMs = (prev.lastMs :: pending.map(_._1)).max
+          val expired = rest.isEmpty &&
+            lastMs != Long.MinValue && emitTs >= lastMs + ttlMs
+          if (state.hasTimedOut && expired) state.remove()
+          else {
+            state.update(FunnelState(rest, resolved, done, lastMs))
+            // un-drained rows flush as soon as the watermark passes
+            // them; drained entities expire ttlMs after last activity
+            if (streaming) state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                if (rest.nonEmpty) rest.head._1
+                else if (lastMs != Long.MinValue) lastMs + ttlMs
+                else emitTs + ttlMs))
+          }
+          out.reverseIterator
+      }
+  }
 }

@@ -175,4 +175,54 @@ class StreamParitySpec extends AnyFunSuite {
       assert(streamed == batch, s"streamed $streamed != batch $batch")
     } finally q.stop()
   }
+
+  test("parity: funnel — streamed completions equal the batch stage rows") {
+    import graft.streaming.EventStream.{FunnelOut, TypedEvent}
+    import graft.ops.Funnel
+    val steps = Seq("view", "cart", "buy")
+    // u1 converts, delivered out of order; u2's buy PRECEDES its view
+    // (must not convert — the strict-order contract); u3 converts with
+    // an early buy that must not count and a later one that does; u4
+    // stalls at cart (no completion row). user 9 only drives the
+    // watermark.
+    val evs = Seq(
+      TypedEvent(1, 1, ts(t0), "view"), TypedEvent(1, 2, ts(t0 + 60000), "cart"),
+      TypedEvent(1, 3, ts(t0 + 120000), "buy"),
+      TypedEvent(2, 10, ts(t0), "buy"), TypedEvent(2, 11, ts(t0 + 1000), "view"),
+      TypedEvent(2, 12, ts(t0 + 2000), "cart"),
+      TypedEvent(3, 20, ts(t0), "view"), TypedEvent(3, 21, ts(t0 + 1000), "buy"),
+      TypedEvent(3, 22, ts(t0 + 2000), "cart"), TypedEvent(3, 23, ts(t0 + 3000), "buy"),
+      TypedEvent(4, 30, ts(t0), "view"), TypedEvent(4, 31, ts(t0 + 1000), "cart"),
+      TypedEvent(9, 99, ts(t0 + 3600000), "view"))
+    val real = evs.filter(_.user_id != 9)
+    // batch truth: the window-min operator's COMPLETED rows
+    val batch = Funnel.stages(real.toDS().toDF(), "user_id", "event_type",
+        "ts", steps)
+      .filter(col("ts_view").isNotNull && col("ts_cart").isNotNull &&
+        col("ts_buy").isNotNull)
+      .collect().map(r => FunnelOut(r.getLong(0),
+        Seq(r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime))).toSet
+    assert(batch.map(_.user_id) == Set(1L, 3L), s"batch truth shape: $batch")
+
+    val ms = MemoryStream[TypedEvent]
+    // 3 min lateness: the first batch's max is t0+120000, so the t0
+    // stragglers in later batches stay strictly above the watermark
+    // (flatMapGroupsWithState drops input rows at ts <= watermark)
+    val q = EventStream.funnel(ms.toDS(), steps, watermarkDelay = "3 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_funnel").start()
+    try {
+      ms.addData(evs(2), evs(8), evs(11))     // out of order: late stages first
+      q.processAllAvailable()
+      ms.addData(evs(0), evs(4), evs(6), evs(7), evs(9))
+      q.processAllAvailable()
+      ms.addData(evs(1), evs(3), evs(5), evs(10))
+      q.processAllAvailable()
+      ms.addData(evs(12))                     // watermark past all real rows
+      q.processAllAvailable()
+      val streamed = spark.table("par_funnel").as[FunnelOut].collect().toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
 }
