@@ -857,6 +857,14 @@ object SparkEntry {
       Funnel.stages(e, "user_id", "event_type", "ts_ms",
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
+    }),
+
+    "q29_json_props" -> ((s, dir) => {
+      // typed from_json extraction of the props payload + per-type
+      // numeric profile — map-only parse, one partial-agg shuffle
+      Enrich.jsonFieldProfile(Tables(s, dir).events, "props",
+          "k BIGINT", "k", "event_type")
+        .orderBy("grp")
     })
   )
 
@@ -2292,6 +2300,17 @@ object SparkEntry {
          FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)
          ORDER BY u.user_id""",
+
+    "q29_json_props" ->
+      """SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           min(k) AS v_min, max(k) AS v_max, CAST(sum(k) AS BIGINT) AS v_sum,
+           floor(CAST(sum(k) AS DOUBLE) / count(k) * 10000.0 + 0.5) / 10000.0 AS v_avg
+         FROM (
+           SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         GROUP BY event_type ORDER BY grp""",
 
     "q25_range_join" ->
       """WITH win AS (

@@ -142,4 +142,31 @@ object Enrich {
         min(col(orderCol)).as("valid_from"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
   }
+
+  /** Typed extraction from a semi-structured JSON string column +
+    * grouped numeric profile — the "parse the event payload" step
+    * every telemetry pipeline runs before real analytics (the
+    * reference stores its per-incident attributes as opaque columns;
+    * a JSON props blob is the streaming-era equivalent).
+    *
+    * `from_json` with an explicit DDL schema is the typed, codegen'd
+    * path (a malformed blob yields NULL fields, counted as
+    * n_events − n_parsed — never a thrown task); extraction is
+    * MAP-ONLY and the profile is one partial-agg shuffle on the
+    * group key. All stats are integral-exact; the mean divides two
+    * exact integrals and floor-rounds at 4dp (engine-portable).
+    */
+  def jsonFieldProfile(df: DataFrame, jsonCol: String, fieldDdl: String,
+                       fieldName: String, groupCol: String): DataFrame = {
+    val parsed = df.select(col(groupCol).as("grp"),
+      from_json(col(jsonCol),
+          org.apache.spark.sql.types.StructType.fromDDL(fieldDdl))
+        .getField(fieldName).as("v"))
+    parsed.groupBy("grp")
+      .agg(count(lit(1)).as("n_events"), count(col("v")).as("n_parsed"),
+        min("v").as("v_min"), max("v").as("v_max"),
+        sum("v").as("v_sum"),
+        graft.functions.num.fround(
+          sum("v").cast("double") / count(col("v")), 4).as("v_avg"))
+  }
 }

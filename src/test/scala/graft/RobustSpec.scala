@@ -147,6 +147,17 @@ class RobustSpec extends AnyFunSuite {
     assert(vs.toSet == Set("ab", "a", "b", ""))
   }
 
+  test("jsonFieldProfile: malformed and null blobs count as unparsed, never throw") {
+    import spark.implicits._
+    import graft.ops.Enrich
+    val df = Seq(("a", "{\"k\": 3}"), ("a", "not json"), ("b", "{\"k\": 5}"),
+      ("b", null), ("b", "{\"j\": 9}")).toDF("et", "props")
+    val got = Enrich.jsonFieldProfile(df, "props", "k BIGINT", "k", "et")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 1L), ("b", 3L, 1L)), got.toSeq.toString)
+  }
+
   test("entityResolve: transitive cluster, frequency canonical, tie-break, singleton") {
     import spark.implicits._
     import graft.ops.Fuzzy
