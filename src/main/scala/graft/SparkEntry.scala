@@ -549,6 +549,12 @@ object SparkEntry {
         .orderBy("shard", "doc_id")
     }),
 
+    "t25_chunk_passages" -> ((s, dir) => {
+      Curation.chunkPassages(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "d6_decontaminate" -> ((s, dir) => {
       val split = Curation.deterministicSplit(Tables(s, dir).documents,
         "doc_id", "graft", Seq(("train", 0.95), ("eval", 0.05)))
@@ -1924,6 +1930,27 @@ object SparkEntry {
             CAST(floor(prev / 2048.0) AS BIGINT) AS pack_id,
             CAST(prev % 2048 AS BIGINT) AS pack_offset
           FROM c ORDER BY shard, doc_id""",
+
+    "t25_chunk_passages" ->
+      s"""WITH t AS (
+            SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+          n AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+            FROM t WHERE len(toks) > 0),
+          c AS (
+            SELECT doc_id, toks, n,
+              CAST(ceil(CAST(greatest(n - 64, 0) AS DOUBLE) / 48) AS BIGINT) + 1
+                AS n_chunks
+            FROM n),
+          e AS (
+            SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM c)
+          SELECT doc_id,
+            CAST(i AS BIGINT) AS chunk_idx,
+            CAST(i * 48 AS BIGINT) AS tok_start,
+            CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+            array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+              AS chunk_text
+          FROM e ORDER BY doc_id, chunk_idx""",
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

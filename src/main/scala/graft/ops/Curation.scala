@@ -262,6 +262,47 @@ object Curation {
         (col("prev_tokens") % budgetTokens).as("pack_offset"))
   }
 
+  /** Sliding-window passage chunking: overlapping fixed-size token
+    * windows with a stride — the RAG / pretraining passage-extraction
+    * step, and [[packSequences]]'s sibling (packing concatenates many
+    * docs up to a budget; chunking cuts ONE doc into model-window
+    * passages). Chunk i covers tokens [i·stride, i·stride+window);
+    * the chunk count is ceil(max(n − window, 0) / stride) + 1, so the
+    * last chunk is the FIRST whose window reaches the end of the
+    * document — every token is covered, no start lies beyond the
+    * text, consecutive chunks overlap by window − stride tokens, and
+    * a doc with n ≤ window yields exactly one chunk. Zero-token docs
+    * yield no rows.
+    *
+    * Scale shape: MAP-ONLY — the token array materializes once per
+    * row (§3 rule: never re-tokenize inside a lambda), starts
+    * enumerate via sequence/transform, posexplode is a flatMap; no
+    * shuffle, no window function, parallelism = input partitioning.
+    * Output size is rows × ceil-ish(n/stride) — the fan-out is the
+    * operator's contract, not a blow-up.
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(stride >= 1 && stride <= windowTokens,
+      s"stride must be in [1, windowTokens], got $stride")
+    df.select(col(idCol).as("doc_id"), text.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("n_chunks",
+        ceil(greatest(col("n") - windowTokens, lit(0L)).cast("double") / stride)
+          .cast("int") + 1)
+      .select(col("doc_id"), col("n"), col("toks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => i * stride)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("tok_start"),
+        least(lit(windowTokens.toLong), col("n") - col("col")).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(windowTokens)))
+          .as("chunk_text"))
+  }
+
   /** DSIR importance weights (Data Selection via Importance
     * Resampling, Xie et al., NeurIPS 2023): score every document by
     * how target-like it is under two bag-of-hashed-ngram models —

@@ -268,4 +268,36 @@ class CurationSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq
     assert(order(2) == order(3))
   }
+
+  test("chunkPassages: coverage, overlap, tail chunk, and map-only plan") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 <= window → 1 chunk
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")), // n=11 → 2 chunks
+      (3L, (1 to 25).map(i => s"w$i").mkString(" ")), // n=25 → ceil(15/7)+1 = 4
+      (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkPassages(docs, "doc_id", "text",
+        windowTokens = 10, stride = 7)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = got.groupBy(_.getLong(0))
+    // zero-token doc emits nothing
+    assert(!byDoc.contains(5L))
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 2 &&
+      byDoc(3L).length == 4 && byDoc(4L).length == 1)
+    // starts advance by the stride; last chunk reaches the end exactly
+    val d3 = byDoc(3L)
+    assert(d3.map(_.getLong(2)).toSeq == Seq(0L, 7L, 14L, 21L))
+    assert(d3.map(_.getLong(3)).toSeq == Seq(10L, 10L, 10L, 4L))
+    assert(d3.last.getLong(2) + d3.last.getLong(3) == 25L)
+    // chunk text is the joined token slice (overlap included)
+    assert(byDoc(2L)(1).getString(4) == (8 to 11).map(i => s"w$i").mkString(" "))
+    assert(byDoc(4L)(0).getString(4) == "solo")
+    // consecutive chunks overlap by window - stride tokens
+    assert(byDoc(3L)(0).getString(4).split(" ").drop(7).toSeq ==
+      byDoc(3L)(1).getString(4).split(" ").take(3).toSeq)
+    // map-only: no shuffle anywhere in the executed plan
+    val plan = Curation.chunkPassages(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkPassages must be map-only:\n$plan")
+  }
 }
