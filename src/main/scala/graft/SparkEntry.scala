@@ -651,6 +651,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t26_mix_sample" -> ((s, dir) => {
+      Curation.mixtureSample(Tables(s, dir).documents.select("doc_id", "lang"),
+          "doc_id", "lang", "mix",
+          Map("en" -> 2, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1))
+        .orderBy("doc_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -1914,6 +1921,31 @@ object SparkEntry {
          WHERE bucket < (CASE source WHEN 'src0' THEN '8000'
                                      WHEN 'src1' THEN '4000'
                                      ELSE '1999' END)
+         ORDER BY doc_id""",
+
+    "t26_mix_sample" ->
+      """WITH p AS (
+           SELECT * FROM (VALUES ('de', 1), ('en', 2), ('es', 1),
+                                 ('fr', 1), ('zh', 1)) AS v(stratum, parts)),
+         cnt AS (
+           SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY lang),
+         j AS (
+           SELECT p.stratum, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+             CAST(parts AS BIGINT) AS parts
+           FROM p LEFT JOIN cnt USING (stratum)),
+         k AS (SELECT min(n * 6 // parts) AS k FROM j),
+         thr AS (
+           SELECT stratum,
+             CASE WHEN n = 0 THEN '0000'
+                  WHEN (SELECT k FROM k) * parts * 65536 // (6 * n) >= 65536
+                    THEN 'g'
+                  ELSE printf('%04x',
+                    (SELECT k FROM k) * parts * 65536 // (6 * n)) END AS thr
+           FROM j)
+         SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS bucket
+         FROM documents JOIN thr ON lang = stratum
+         WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) < thr
          ORDER BY doc_id""",
 
     "t9_seq_pack" ->

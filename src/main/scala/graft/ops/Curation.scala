@@ -102,6 +102,61 @@ object Curation {
     df.withColumn("bucket", bucket).filter(col("bucket") < thr)
   }
 
+  /** Target-distribution mixture sampling: the LARGEST deterministic
+    * subsample whose strata hit requested proportions exactly — the
+    * "data mixing" step that rebalances a skewed crawl (43% en → a
+    * 2:1:1:1:1 training mix) before training. Where
+    * [[stratifiedSample]] takes per-stratum RATES as given, this op
+    * DERIVES them: targets are integer parts p_g (sum P); the max
+    * feasible total is K = min_g (n_g·P div p_g) (the scarcest
+    * stratum binds, sampling at rate 1; abundant strata downsample to
+    * match), and stratum g keeps ~K·p_g/P docs via the md5-threshold
+    * test of [[stratifiedSample]] (threshold = K·p_g·65536 div
+    * (P·n_g), INTEGER arithmetic end to end so any engine derives the
+    * same cut — exact while counts stay below ~2⁶³/(P·65536), i.e.
+    * ~1.4e12 docs at P=100; past that, widen to decimal).
+    * A target stratum ABSENT from the data makes K = 0 and the result
+    * EMPTY — no size achieves the requested mixture, and an empty
+    * answer is loud where a silently-wrong mixture is not. Strata not
+    * in `targetParts` are excluded. Same determinism contract as the
+    * other md5 ops: stable across runs, partitionings, and engines.
+    *
+    * Scale shape: one partial-agg count shuffle (strata-bounded), a
+    * strata-row min for K, a broadcast threshold join, then a
+    * map-only filter — the corpus is never shuffled.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+                    salt: String, targetParts: Map[String, Int]): DataFrame = {
+    require(targetParts.nonEmpty, "targetParts must not be empty")
+    require(targetParts.values.forall(_ > 0),
+      s"target parts must be positive, got $targetParts")
+    val totalParts = targetParts.values.map(_.toLong).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = targetParts.toSeq.sortBy(_._1)
+      .toDF("stratum", "parts")
+      .select(col("stratum"), col("parts").cast("long").as("parts"))
+    val counts = df.select(col(strataCol).cast("string").as("stratum"))
+      .groupBy("stratum").agg(count(lit(1)).as("n"))
+    // LEFT join from targets: an absent stratum carries n = 0, whose
+    // n*P div parts = 0 drives K (and so every threshold) to zero
+    val joined = parts.join(counts, Seq("stratum"), "left_outer")
+      .select(col("stratum"), coalesce(col("n"), lit(0L)).as("n"), col("parts"))
+    val k = joined.agg(min(expr(s"n * $totalParts DIV parts")).as("k"))
+    val thresholds = joined.crossJoin(broadcast(k))
+      .withColumn("t", when(col("n") > 0,
+        expr(s"k * parts * 65536 DIV ($totalParts * n)")))
+      .select(col("stratum"),
+        when(col("t").isNull, lit("0000"))
+          .when(col("t") >= 65536L, lit("g"))   // 'g' > any hex: keep all
+          .otherwise(format_string("%04x", col("t"))).as("graft_thr"))
+    df.withColumn("bucket", substring(
+        md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt))), 1, 4))
+      .join(broadcast(thresholds), col(strataCol) === col("stratum"))
+      .filter(col("bucket") < col("graft_thr"))
+      .drop("stratum", "graft_thr")
+  }
+
   /** Deterministic training-order shuffle: a reproducible global
     * order decorrelated from ingest order (the "shuffle the corpus
     * before training" step), with no RNG and no global sort.

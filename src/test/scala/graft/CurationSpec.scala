@@ -269,6 +269,32 @@ class CurationSpec extends AnyFunSuite {
     assert(order(2) == order(3))
   }
 
+  test("mixtureSample derives rates that hit the target mixture; scarce stratum binds at rate 1") {
+    // en-heavy corpus, 2:1 target: K = min(600*3 div 2? ...) — exact
+    // integer derivation checked against a hand computation below
+    val docs = (1L to 600L).map(i => (i, "en")) ++ (601L to 700L).map(i => (i, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    val got = Curation.mixtureSample(df, "doc_id", "lang", "t",
+      Map("en" -> 2, "fr" -> 1))
+    val byLang = got.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // P=3; K = min(600*3 div 2, 100*3 div 1) = min(900, 300) = 300
+    // thr_en = 300*2*65536 div (3*600) = 21845 → ~1/3 of en kept
+    // thr_fr = 300*1*65536 div (3*100) = 65536 → 'g' → ALL fr kept
+    assert(byLang("fr") == 100, s"scarce stratum must keep everything, got $byLang")
+    // en keeps ~200 of 600 (hash granularity gives a small band)
+    assert(byLang("en") >= 180 && byLang("en") <= 220, s"en off target: $byLang")
+    // deterministic: same rows on a re-run and under a different partitioning
+    val again = Curation.mixtureSample(df.repartition(7), "doc_id", "lang", "t",
+      Map("en" -> 2, "fr" -> 1)).collect().map(_.getLong(0)).toSet
+    assert(again == got.collect().map(_.getLong(0)).toSet)
+    // a target stratum absent from the data → empty result, loudly
+    val empty = Curation.mixtureSample(df, "doc_id", "lang", "t",
+      Map("en" -> 1, "zz" -> 1))
+    assert(empty.count() == 0L)
+    // strata not in the target map are excluded entirely
+    assert(!got.collect().map(_.getString(1)).contains("zz"))
+  }
+
   test("chunkPassages: coverage, overlap, tail chunk, and map-only plan") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 <= window → 1 chunk
