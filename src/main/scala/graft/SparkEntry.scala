@@ -658,6 +658,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t27_token_budget" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScores(Tables(s, dir).documents,
+        "text", "doc_id")
+      Curation.tokenBudgetSelect(scored, "doc_id", "quality", "n_tokens",
+          budgetTokens = 50000L)
+        .select(col("id").as("doc_id"), col("q").as("quality"),
+          col("tok").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ----- multimodal -----
     "m1_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -1947,6 +1957,36 @@ object SparkEntry {
          FROM documents JOIN thr ON lang = stratum
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) < thr
          ORDER BY doc_id""",
+
+    "t27_token_budget" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(text)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(text) AS n_chars_raw
+            FROM documents),
+          q AS (
+            SELECT doc_id, n_tokens,
+              floor((
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+                + 0.2 * (1.0 - least((
+                    (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                    + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                  ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+            FROM f),
+          c AS (
+            SELECT doc_id, quality, n_tokens,
+              sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM q)
+          SELECT doc_id, quality, n_tokens FROM c
+          WHERE cum <= 50000 ORDER BY doc_id""",
 
     "t9_seq_pack" ->
       s"""WITH t AS (

@@ -187,6 +187,64 @@ object Curation {
       .drop("h")
   }
 
+  /** Quality-ranked corpus selection under a GLOBAL token budget: walk
+    * documents in (score desc, id asc) order and keep each while the
+    * running token total stays ≤ `budgetTokens` (inclusive) — "take
+    * the best N-tokens' worth of data", the standard budgeted
+    * data-selection step after scoring (t2 quality, t18 NLL, t24
+    * DSIR). Output = the kept (id, score, tokens) rows; the cut is a
+    * pure function of the inputs, so it is deterministic across runs,
+    * partitionings, and engines (scores compared as the 4dp-rounded
+    * values every scorer here emits).
+    *
+    * Scale shape: the naive form is ONE GLOBAL cumsum window over the
+    * corpus — a single-partition sort at 100 TB. This runs the t22
+    * value-grid decomposition TWICE instead: (1) cumsum over the
+    * DISTINCT-score grid (bounded by the 4dp resolution, ~10⁴ rows)
+    * finds the one boundary score — values above it keep everything,
+    * below it nothing; (2) within the boundary score only, cumsum
+    * over floor(id/`bucketWidth`) id-buckets (monotonic in id, so
+    * bucket order = id order) finds the one boundary bucket, and only
+    * rows inside ONE bucket (≤ `bucketWidth` ids) ever see a
+    * row-level window. No window anywhere partitions by more than a
+    * bounded set: grid ≤ score resolution, bucket grid ≤ ties/width,
+    * row window ≤ width.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetTokens: Long,
+                        bucketWidth: Long = 4096L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val rows = df.select(col(idCol).as("id"), col(scoreCol).as("q"),
+      col(tokensCol).cast("long").as("tok"))
+    // level 1: distinct-score grid, cumulative tokens in rank order
+    val grid = rows.groupBy("q").agg(sum("tok").as("vtok"))
+      .withColumn("vrun", sum("vtok").over(Window.orderBy(col("q").desc)))
+      .withColumn("vprev", col("vrun") - col("vtok"))
+    // a value is FULLY kept iff its last doc still fits (vrun ≤ budget);
+    // at most one value straddles the budget: vprev ≤ budget < vrun
+    val keptFull = rows.join(
+      broadcast(grid.filter(col("vrun") <= budgetTokens).select("q")), Seq("q"))
+    val boundary = grid
+      .filter(col("vprev") <= budgetTokens && col("vrun") > budgetTokens)
+      .select(col("q").as("bq"), col("vprev").as("base"))
+    // level 2, boundary score only: id-bucket grid, then a row window
+    // bounded by bucketWidth ids inside the straddling bucket
+    val brows = rows.join(broadcast(boundary), col("q") === col("bq"))
+      .withColumn("bkt", floor(col("id") / bucketWidth))
+    val bgrid = brows.groupBy("bkt").agg(sum("tok").as("btok"))
+      .withColumn("brun", sum("btok").over(Window.orderBy("bkt")))
+      .withColumn("bprev", col("brun") - col("btok"))
+      .select(col("bkt"), col("bprev"))
+    val keptBoundary = brows.join(bgrid, Seq("bkt"))
+      .filter(col("base") + col("bprev") <= budgetTokens)
+      .withColumn("rrun", sum("tok").over(
+        Window.partitionBy("bkt").orderBy("id")))
+      .filter(col("base") + col("bprev") + col("rrun") <= budgetTokens)
+    keptFull.select("id", "q", "tok")
+      .union(keptBoundary.select("id", "q", "tok"))
+  }
+
   /** Train/eval decontamination: (train doc, eval doc) pairs sharing
     * at least `minShared` distinct word n-grams — the standard n-gram
     * collision check run before training so eval answers that leaked

@@ -295,6 +295,33 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.collect().map(_.getString(1)).contains("zz"))
   }
 
+  test("tokenBudgetSelect equals the naive global-window cut, incl. tie and zero-token edges") {
+    import org.apache.spark.sql.expressions.Window
+    // many score ties (the boundary-value path), a zero-token doc at
+    // the cut, and ids far apart (multiple id buckets at width 4)
+    val docs = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), (100L, 0.9, 0L), (101L, 0.9, 10L),
+      (200L, 0.9, 10L), (5L, 0.8, 10L), (6L, 0.7, 100L), (7L, 0.5, 1L))
+      .toDF("doc_id", "score", "tok")
+    def naive(budget: Long): Set[Long] = {
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") <= budget).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    for (budget <- Seq(5L, 10L, 20L, 25L, 30L, 40L, 50L, 60L, 141L, 151L, 1000L)) {
+      val got = Curation.tokenBudgetSelect(docs, "doc_id", "score", "tok",
+          budget, bucketWidth = 4L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(budget), s"budget=$budget: got $got expected ${naive(budget)}")
+    }
+    // partitioning invariance of the decomposed form
+    val a = Curation.tokenBudgetSelect(docs.repartition(7), "doc_id", "score",
+      "tok", 30L, bucketWidth = 4L).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == naive(30L))
+  }
+
   test("chunkPassages: coverage, overlap, tail chunk, and map-only plan") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 <= window → 1 chunk
