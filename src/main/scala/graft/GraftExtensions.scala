@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, NormalizeTextExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr, WinnowExpr}
+import graft.functions.{BloomAgg, BloomContainsExpr, HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, NormalizeTextExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr, WinnowExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -68,5 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k aggregate, best-first array of (score, id)"),
       (children: Seq[Expression]) => TopKAgg(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(hash, numBits, numHashes) - bloom filter over a bigint column as array<bigint> words"),
+      (children: Seq[Expression]) => BloomAgg(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom, hash, numHashes) - membership probe against graft_bloom_agg words"),
+      (children: Seq[Expression]) =>
+        BloomContainsExpr(children(0), children(1), children(2))))
   }
 }

@@ -562,6 +562,13 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "d13_decontam_bloom" -> ((s, dir) => {
+      val split = Curation.deterministicSplit(Tables(s, dir).documents,
+        "doc_id", "graft", Seq(("train", 0.95), ("eval", 0.05)))
+      Curation.contaminationPairsBloom(split, "text", "doc_id", "split", "eval")
+        .orderBy("train_id", "eval_id")
+    }),
+
     "t13_det_shuffle" -> ((s, dir) => {
       Curation.deterministicShuffle(Tables(s, dir).documents.select("doc_id"),
           "doc_id", "shuf")
@@ -924,6 +931,29 @@ object SparkEntry {
   /** DuckDB's regexp_split_to_array(trim(''), '\s+') yields [''] (one
     * empty token) where text.tokens('') yields [] — guard to match.
     */
+  /** Shared by d6 and d13: the bloom prefilter is output-invariant. */
+  private lazy val decontamOracleSql =
+    s"""WITH s AS (
+          SELECT doc_id, text,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'f333'
+                 THEN 'train' ELSE 'eval' END AS split
+          FROM documents WHERE doc_id IS NOT NULL),
+        t AS (SELECT doc_id, split, ${toksSql(normSql)} AS toks FROM s),
+        g AS (SELECT doc_id, split,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+              FROM t),
+        e AS (SELECT doc_id, split, unnest(grams) AS gram FROM g),
+        rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10),
+        r AS (SELECT e.doc_id, e.split, e.gram FROM e JOIN rare USING (gram)),
+        p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                count(*) AS n_shared
+              FROM r a JOIN r b ON a.gram = b.gram
+                AND a.split = 'train' AND b.split = 'eval'
+              GROUP BY 1, 2)
+        SELECT train_id, eval_id, n_shared FROM p
+        WHERE n_shared >= 2 ORDER BY train_id, eval_id"""
+
   private def toksSql(src: String) =
     s"(CASE WHEN trim($src) = '' OR $src IS NULL THEN CAST([] AS VARCHAR[]) " +
     s"ELSE regexp_split_to_array(trim($src), '\\s+') END)"
@@ -1627,27 +1657,11 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
 
-    "d6_decontaminate" ->
-      s"""WITH s AS (
-            SELECT doc_id, text,
-              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'f333'
-                   THEN 'train' ELSE 'eval' END AS split
-            FROM documents WHERE doc_id IS NOT NULL),
-          t AS (SELECT doc_id, split, ${toksSql(normSql)} AS toks FROM s),
-          g AS (SELECT doc_id, split,
-                 list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
-                FROM t),
-          e AS (SELECT doc_id, split, unnest(grams) AS gram FROM g),
-          rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10),
-          r AS (SELECT e.doc_id, e.split, e.gram FROM e JOIN rare USING (gram)),
-          p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-                  count(*) AS n_shared
-                FROM r a JOIN r b ON a.gram = b.gram
-                  AND a.split = 'train' AND b.split = 'eval'
-                GROUP BY 1, 2)
-          SELECT train_id, eval_id, n_shared FROM p
-          WHERE n_shared >= 2 ORDER BY train_id, eval_id""",
+    "d6_decontaminate" -> decontamOracleSql,
+
+    // d13 is d6 with a bloom-prefiltered train side — row-identical by
+    // construction (no false negatives), so it shares d6's oracle
+    "d13_decontam_bloom" -> decontamOracleSql,
 
     "t13_det_shuffle" ->
       """WITH h AS (

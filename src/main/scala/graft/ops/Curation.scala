@@ -270,6 +270,25 @@ object Curation {
                          splitCol: String, evalLabel: String, n: Int = 3,
                          dfCap: Long = 10, minShared: Long = 2,
                          persistIntermediate: Boolean = true): DataFrame = {
+    val exploded = explodedGramStream(docs, textCol, idCol, splitCol, n,
+      persistIntermediate)
+    // grams are distinct within a doc, so count(*) = document frequency
+    val rareGrams = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram")
+    val rare = exploded.join(rareGrams, "gram")
+    pairsFromRare(rare, evalLabel, minShared)
+  }
+
+  /** The (id, split, gram-hash) stream shared by the decontamination
+    * forms; persisted because it feeds several consumers (without the
+    * persist the tokenize + gram-hash pass runs once per consumer —
+    * measured 2.9s -> 1s at sf0.1; same contract as d2/d4's
+    * persistIntermediate).
+    */
+  private def explodedGramStream(docs: DataFrame, textCol: String,
+                                 idCol: String, splitCol: String, n: Int,
+                                 persistIntermediate: Boolean): DataFrame = {
     val toksed = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
       text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
     val grams =
@@ -280,21 +299,15 @@ object Curation {
         toksed.select(col("id"), col("split"),
             text.wordNgramsOfTokens(col("toks"), n).as("g"))
           .select(col("id"), col("split"), hashing.elementHashes(col("g")).as("grams"))
-    // the exploded gram stream feeds three consumers (df count, and
-    // the two pair-join sides) — without a persist the tokenize +
-    // gram-hash pass runs once per consumer (measured 2.9s -> 1s at
-    // sf0.1); same contract as d2/d4's persistIntermediate
     val explodedPlan = grams.select(col("id"), col("split"),
       explode(col("grams")).as("gram"))
-    val exploded =
-      if (persistIntermediate)
-        explodedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else explodedPlan
-    // grams are distinct within a doc, so count(*) = document frequency
-    val rareGrams = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("gram")
-    val rare = exploded.join(rareGrams, "gram")
+    if (persistIntermediate)
+      explodedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else explodedPlan
+  }
+
+  private def pairsFromRare(rare: DataFrame, evalLabel: String,
+                            minShared: Long): DataFrame = {
     val train = rare.filter(col("split") =!= evalLabel)
       .select(col("gram"), col("id").as("train_id"))
     val eval_ = rare.filter(col("split") === evalLabel)
@@ -303,6 +316,52 @@ object Curation {
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[contaminationPairs]] with a BLOOM-PREFILTERED train side —
+    * row-identical output, built for the corpus-scale asymmetry where
+    * train grams outnumber eval grams by orders of magnitude. The
+    * eval side's grams fold into a `graft_bloom_agg` word array
+    * (fixed `numBits` bits regardless of eval size — where t17's
+    * exact vocab broadcast grows with the build side); train grams
+    * cross the 1-row broadcast and drop unless `graft_bloom_contains`
+    * passes, BEFORE the df-count shuffle — so the big shuffle carries
+    * only grams that (within fpp) appear in eval, instead of the full
+    * train gram stream.
+    *
+    * Correctness: blooms have NO false negatives, so every train
+    * occurrence of an eval gram survives → each surviving eval gram's
+    * document frequency over (survivors ∪ eval) is EXACT, the df-cap
+    * keeps/drops exactly d6's gram set, and the pair join discards
+    * false positives (they match no eval gram) — output = d6
+    * bit-for-bit, spec-asserted. Extension-less sessions fall back to
+    * the plain form (same rows, bigger shuffle).
+    */
+  def contaminationPairsBloom(docs: DataFrame, textCol: String, idCol: String,
+                              splitCol: String, evalLabel: String, n: Int = 3,
+                              dfCap: Long = 10, minShared: Long = 2,
+                              numBits: Int = 1 << 20, numHashes: Int = 5,
+                              persistIntermediate: Boolean = true): DataFrame = {
+    if (!Native.enabled(docs, "graft_bloom_agg"))
+      return contaminationPairs(docs, textCol, idCol, splitCol, evalLabel,
+        n, dfCap, minShared, persistIntermediate)
+    val exploded = explodedGramStream(docs, textCol, idCol, splitCol, n,
+      persistIntermediate)
+    val evalGrams = exploded.filter(col("split") === evalLabel)
+    val bloom = evalGrams.agg(call_function("graft_bloom_agg",
+      col("gram"), lit(numBits), lit(numHashes)).as("graft_bloom"))
+    val trainSurvivors = exploded.filter(col("split") =!= evalLabel)
+      .crossJoin(broadcast(bloom))
+      .filter(call_function("graft_bloom_contains",
+        col("graft_bloom"), col("gram"), lit(numHashes)))
+      .select("id", "split", "gram")
+    val candidates = trainSurvivors.union(evalGrams)
+    // df over (surviving train ∪ eval) = exact df for every gram that
+    // appears in eval (no false negatives); fp-only grams never pair
+    val rareGrams = candidates.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram")
+    pairsFromRare(candidates.join(rareGrams, "gram"), evalLabel, minShared)
   }
 
   /** C4/Gopher-style composable quality filter: per-document rule

@@ -295,6 +295,49 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.collect().map(_.getString(1)).contains("zz"))
   }
 
+  test("bloom aggregate: no false negatives, low fp rate, merge-order invariant") {
+    import org.apache.spark.sql.functions.call_function
+    val in = (1L to 2000L).map(i => i * 0x9E3779B97F4A7C15L + i).toDF("h")
+    val bloom = in.agg(call_function("graft_bloom_agg",
+      col("h"), lit(1 << 16), lit(5)).as("bloom"))
+    // every inserted hash must probe true (the lossless-prefilter contract)
+    val misses = in.crossJoin(bloom)
+      .filter(!call_function("graft_bloom_contains", col("bloom"), col("h"), lit(5)))
+      .count()
+    assert(misses == 0L, s"bloom false negatives: $misses")
+    // disjoint probes mostly miss (2000 els / 65536 bits ≈ fpp << 5%)
+    val out = (1L to 2000L).map(i => -i * 0x100000001B3L - 7L).toDF("h")
+    val fps = out.crossJoin(bloom)
+      .filter(call_function("graft_bloom_contains", col("bloom"), col("h"), lit(5)))
+      .count()
+    assert(fps < 100L, s"bloom fp rate too high: $fps/2000")
+    // partitioning (merge order) cannot change the filter
+    val b1 = bloom.collect()(0).getSeq[Long](0)
+    val b2 = in.repartition(13).agg(call_function("graft_bloom_agg",
+      col("h"), lit(1 << 16), lit(5)).as("bloom")).collect()(0).getSeq[Long](0)
+    assert(b1 == b2)
+  }
+
+  test("contaminationPairsBloom equals contaminationPairs bit-for-bit") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+      Seq(("train", 0.9), ("eval", 0.1)))
+    val plain = Curation.contaminationPairs(split, "text", "doc_id",
+        "split", "eval", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Curation.contaminationPairsBloom(split, "text", "doc_id",
+        "split", "eval", minShared = 1, numBits = 1 << 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain.nonEmpty, "test corpus must produce contamination pairs")
+    assert(bloomed == plain)
+    // a deliberately tiny bloom (high fp rate) must STILL be exact —
+    // false positives only widen the prefilter, never the output
+    val tiny = Curation.contaminationPairsBloom(split, "text", "doc_id",
+        "split", "eval", minShared = 1, numBits = 64, numHashes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiny == plain)
+  }
+
   test("tokenBudgetSelect equals the naive global-window cut, incl. tie and zero-token edges") {
     import org.apache.spark.sql.expressions.Window
     // many score ties (the boundary-value path), a zero-token doc at
