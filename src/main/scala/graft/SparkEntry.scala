@@ -562,6 +562,12 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "c3_curation_pipeline" -> ((s, dir) => {
+      Curation.curationPipeline(Tables(s, dir).documents, "text", "doc_id",
+          "lang")
+        .orderBy("doc_id")
+    }),
+
     "d13_decontam_bloom" -> ((s, dir) => {
       val split = Curation.deterministicSplit(Tables(s, dir).documents,
         "doc_id", "graft", Seq(("train", 0.95), ("eval", 0.05)))
@@ -1656,6 +1662,47 @@ object SparkEntry {
                 WHEN bucket < 'f333' THEN 'val'
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+
+    "c3_curation_pipeline" ->
+      s"""WITH g AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+          u AS (
+            SELECT d.doc_id, d.text, d.lang FROM documents d JOIN g USING (doc_id)),
+          f AS (
+            SELECT doc_id, text AS txt, ${toksSql("text")} AS toks FROM u),
+          s AS (
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / len(toks) END AS mwl,
+              COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS maxw,
+              len(list_filter(${toksSql("lower(txt)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS stop,
+              CASE WHEN length(txt) = 0 THEN 0.0
+                   ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE)
+                        / length(txt) END AS dr
+            FROM f),
+          keep AS (
+            SELECT doc_id FROM s
+            WHERE n_tokens >= 10 AND n_tokens <= 100000
+              AND mwl >= 2.0 AND mwl <= 12.0 AND stop >= 1
+              AND dr < 0.3 AND maxw <= 30),
+          sc AS (
+            SELECT u.doc_id, u.lang,
+              CAST(len(regexp_extract_all(u.text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(regexp_replace(u.text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+              substr(md5(CAST(u.doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket
+            FROM u JOIN keep USING (doc_id))
+          SELECT doc_id, lang,
+            CASE WHEN bucket < 'e666' THEN 'train'
+                 WHEN bucket < 'f333' THEN 'val'
+                 ELSE 'test' END AS split,
+            n_emails, n_phones
+          FROM sc ORDER BY doc_id""",
 
     "d6_decontaminate" -> decontamOracleSql,
 

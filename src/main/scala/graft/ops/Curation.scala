@@ -475,6 +475,36 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** The COMPOSED curation pipeline as one declarative job graph —
+    * the end-to-end path a corpus actually takes: exact dedup (keep
+    * the canonical min-id doc per normalized-text fingerprint) →
+    * quality filter (t16's conjunctive rules) → PII scrub (t7) →
+    * deterministic split (t8). One row per SURVIVING document with
+    * its split assignment and redaction counts. Because every stage
+    * is a DataFrame→DataFrame operator, Catalyst plans the whole
+    * chain together — filters push into the shared scan, the dedup
+    * shuffle is the only corpus-wide exchange, and the scrub/split
+    * stages stay map-only on the survivor stream.
+    */
+  def curationPipeline(docs: DataFrame, textCol: String, idCol: String,
+                       langCol: String, splitSalt: String = "graft",
+                       fractions: Seq[(String, Double)] =
+                         Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))): DataFrame = {
+    val keepers = graft.ops.Dedup.exactGroups(docs, textCol, idCol)
+      .select(col("canonical_id").as(idCol))
+    val unique = docs.join(keepers, Seq(idCol))
+    val kept = qualityFilter(unique, textCol, idCol)
+      .filter(col("keep") === 1).select(col("doc_id").as(idCol))
+    val scrubbed = scrubPii(unique.join(kept, Seq(idCol)), textCol, idCol)
+    val split = deterministicSplit(scrubbed.select(col(idCol)), idCol,
+      splitSalt, fractions)
+    scrubbed
+      .join(unique.select(col(idCol), col(langCol)), Seq(idCol))
+      .join(split.select(col(idCol), col("split")), Seq(idCol))
+      .select(col(idCol), col(langCol), col("split"),
+        col("n_emails"), col("n_phones"))
+  }
+
   /** DSIR importance weights (Data Selection via Importance
     * Resampling, Xie et al., NeurIPS 2023): score every document by
     * how target-like it is under two bag-of-hashed-ngram models —

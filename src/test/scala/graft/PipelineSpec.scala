@@ -127,4 +127,28 @@ class PipelineSpec extends AnyFunSuite {
       "dedup chain must be idempotent: second pass finds no drops")
     clusters.unpersist()
   }
+
+  test("curationPipeline: dedup collapses, low quality drops, PII counted, splits total") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val good = "the quick brown fox and the lazy dog of the east " +
+      "jumped over a fence to visit the market in town today"
+    val docs = Seq(
+      (1L, good, "en"),                        // canonical keeper
+      (2L, good.toUpperCase, "en"),            // exact dup after normalize → dropped
+      (3L, good + " mail me at a.b@x.io", "en"), // PII, passes filter
+      (4L, "short junk", "en"),                // fails r_len → dropped
+      (5L, good + " extra tail words here", "fr")).toDF("doc_id", "text", "lang")
+    val out = Curation.curationPipeline(docs, "text", "doc_id", "lang")
+      .orderBy("doc_id").collect()
+    // 2 deduped away, 4 filtered: survivors are 1, 3, 5
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getLong(3) == 1L && byId(3L).getLong(4) == 0L,
+      "doc 3 has one email redaction")
+    assert(byId(1L).getLong(3) == 0L)
+    assert(byId(5L).getString(1) == "fr")
+    // every survivor gets one of the three splits
+    assert(out.map(_.getString(2)).forall(Set("train", "val", "test")))
+  }
 }
