@@ -562,6 +562,16 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "q30_cdc_apply" -> ((s, dir) => {
+      val log = Tables(s, dir).events
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), (col("event_type") === "error").as("del"),
+          col("value"))
+      Enrich.cdcApply(log, Seq("user_id"), Seq("ts_ms", "event_id"),
+          "del", Seq("value"))
+        .orderBy("user_id")
+    }),
+
     "c3_curation_pipeline" -> ((s, dir) => {
       Curation.curationPipeline(Tables(s, dir).documents, "text", "doc_id",
           "lang")
@@ -1662,6 +1672,16 @@ object SparkEntry {
                 WHEN bucket < 'f333' THEN 'val'
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+
+    "q30_cdc_apply" ->
+      """WITH c AS (
+           SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             (event_type = 'error') AS del, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, ts_ms, event_id, value FROM c
+         WHERE rn = 1 AND NOT del ORDER BY user_id""",
 
     "c3_curation_pipeline" ->
       s"""WITH g AS (

@@ -169,4 +169,35 @@ object Enrich {
         graft.functions.num.fround(
           sum("v").cast("double") / count(col("v")), 4).as("v_avg"))
   }
+
+  /** CDC changelog collapse: reduce an (upsert | delete) change
+    * stream to final table state — the general form of the
+    * reference's keyed idempotent insert ([[scd2History]]'s sibling:
+    * SCD-2 keeps every version as an interval; this keeps only the
+    * LIVE row, honoring deletes). Per key, the surviving row is the
+    * one with the greatest `seqCols` tuple — unless that last change
+    * is a delete, in which case the key vanishes from the output.
+    *
+    * Scale shape: ONE partial-agg shuffle — the whole collapse is
+    * `max(struct(seq..., del, payload...))` per key, so map tasks
+    * pre-reduce each key to a single candidate row before the
+    * exchange (a hot key's million updates cross the wire as one
+    * struct per map partition, where the window row_number form
+    * shuffles and sorts every change). `seqCols` must be a total
+    * order per key (e.g. ts + a unique change id): struct comparison
+    * is lexicographic by field position, so the trailing del/payload
+    * fields never influence which change wins.
+    */
+  def cdcApply(log: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+               deleteCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty,
+      "cdcApply needs at least one key and one sequence column")
+    val fields = seqCols.map(col) ++ (col(deleteCol) +: payloadCols.map(col))
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(fields: _*)).as("graft_last"))
+      .filter(!col(s"graft_last.$deleteCol"))
+      .select(keyCols.map(col) ++
+        seqCols.map(c => col(s"graft_last.$c").as(c)) ++
+        payloadCols.map(c => col(s"graft_last.$c").as(c)): _*)
+  }
 }

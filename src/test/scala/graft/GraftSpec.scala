@@ -408,4 +408,32 @@ class StreamingSpec extends AnyFunSuite {
         s"expected user 1's 3-event session closed by event-time timeout, got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("cdcApply collapses a changelog to live rows, honoring deletes and re-inserts") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 100L, false, 1.0),  // upsert
+      (1L, 20L, 101L, false, 2.0),  // later upsert wins
+      (2L, 10L, 102L, false, 3.0),
+      (2L, 30L, 103L, true, 0.0),   // delete after upsert → gone
+      (3L, 10L, 104L, true, 0.0),   // delete then re-insert → alive
+      (3L, 40L, 105L, false, 4.0),
+      (4L, 50L, 106L, false, 5.0),  // same ts: higher event_id wins
+      (4L, 50L, 107L, false, 6.0))
+      .toDF("k", "seq_ts", "change_id", "del", "v")
+    val got = Enrich.cdcApply(log, Seq("k"), Seq("seq_ts", "change_id"),
+        "del", Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 20L, 101L, 2.0),
+      (3L, 40L, 105L, 4.0),
+      (4L, 50L, 107L, 6.0)))
+    // partial-agg collapse, not a window: the map side pre-reduces
+    val plan = Enrich.cdcApply(log, Seq("k"), Seq("seq_ts", "change_id"),
+      "del", Seq("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cdcApply must not plan a window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"cdcApply must partial-aggregate:\n$plan")
+  }
 }
