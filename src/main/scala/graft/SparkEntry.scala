@@ -435,6 +435,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s7_ann_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.pqTopK(emb, probes, "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val probes = emb.filter(col("vec_id") % 100 === 0)
@@ -1373,6 +1380,73 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // PQ replicated literally: per-subspace codebooks (lowest-id init,
+    // one Lloyd step with the c1 decimal-mean recipe, L2 assignment in
+    // the reduced c·c − 2·x·c form), corpus encoding, probe ADC tables,
+    // and the decimal-exact adist sum — rank (adist asc, neighbor asc).
+    "s7_ann_pq" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sv AS (
+           SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS x
+           FROM e, (SELECT unnest(range(8)) AS s)),
+         init AS (
+           SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             x AS c
+           FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 64)),
+         a1 AS (
+           SELECT s, vec_id, x, cid FROM (
+             SELECT sv.s, sv.vec_id, sv.x, i.cid,
+               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+                 list_dot_product(i.c, i.c) - 2 * list_dot_product(sv.x, i.c) ASC,
+                 i.cid ASC) AS rn
+             FROM sv JOIN init i ON sv.s = i.s) WHERE rn = 1),
+         comp AS (
+           SELECT s, cid, u.d AS d,
+             CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+           FROM (SELECT s, cid, unnest(list_transform(range(1, len(x) + 1),
+                   j -> struct_pack(d := j, x := x[j]))) AS u FROM a1)),
+         cent AS (
+           SELECT s, cid, d,
+             floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+           FROM comp GROUP BY s, cid, d),
+         books AS (SELECT s, cid, list(cx ORDER BY d) AS c FROM cent GROUP BY s, cid),
+         codes AS (
+           SELECT s, vec_id, cid AS code FROM (
+             SELECT sv.s, sv.vec_id, b.cid,
+               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+                 list_dot_product(b.c, b.c) - 2 * list_dot_product(sv.x, b.c) ASC,
+                 b.cid ASC) AS rn
+             FROM sv JOIN books b ON sv.s = b.s) WHERE rn = 1),
+         p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         prq AS (
+           SELECT query_id,
+             CAST(floor(list_dot_product(qv, qv) * 1000000 + 0.5) / 1000000
+               AS DECIMAL(18,6)) AS qq
+           FROM p),
+         tab AS (
+           SELECT p.query_id, b.s, b.cid,
+             CAST(floor((list_dot_product(b.c, b.c)
+               - 2 * list_dot_product(list_slice(p.qv, b.s*8 + 1, b.s*8 + 8), b.c))
+               * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS rq
+           FROM p CROSS JOIN books b),
+         ad AS (
+           SELECT t.query_id, c.vec_id AS neighbor_id,
+             CAST(any_value(prq.qq) + sum(t.rq) AS DOUBLE) AS adist
+           FROM codes c
+           JOIN tab t ON c.s = t.s AND c.code = t.cid
+           JOIN prq ON prq.query_id = t.query_id
+           WHERE c.vec_id <> t.query_id
+           GROUP BY t.query_id, c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM ad)
+         SELECT query_id, rank, neighbor_id, adist
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // The LSH bucketing replicated literally: signature bits from the

@@ -323,4 +323,132 @@ object Similarity {
         graft.functions.num.fround(col("n_hit").cast("double") / lit(k.toDouble), 4)
           .as("recall"))
   }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the third
+    * index family beside LSH (s2/s4) and IVF (s3), and the one that
+    * compresses the SCAN rather than pruning it: the vector splits
+    * into `subspaces` sub-vectors, each sub-vector quantizes to its
+    * nearest codebook centroid (codebooks fit per subspace by the c1
+    * k-means recipe: lowest-id init, Lloyd steps with decimal-exact
+    * 6dp centroid recompute, L2 assignment in the reduced form
+    * c·c − 2·x·c with lower-cid tie-break), and a probe scores a
+    * candidate by ASYMMETRIC DISTANCE — qq plus one table lookup per
+    * subspace — instead of `dim` multiplies. Per-pair cost drops
+    * dim → subspaces and the corpus representation drops to
+    * `subspaces` small codes per row (the memory story that lets a
+    * 100 TB corpus's index live in RAM).
+    *
+    * Determinism/portability: every per-subspace term and qq is
+    * 6dp-floor-rounded and summed in EXACT DECIMAL (the t18 recipe —
+    * a double sum's order-dependence could flip 6dp boundaries), so
+    * the scores and the (adist asc, neighbor asc) ranking reproduce
+    * bit-for-bit in the DuckDB oracle. Empty codebook entries drop
+    * out exactly as c1's empty clusters do.
+    *
+    * Scale shape: codebook fit is `lloydIters` bounded collects
+    * (subspaces·codebookSize rows) + one partial-agg shuffle per
+    * iteration; encoding is MAP-ONLY (codebooks fold into the
+    * projection as literals); scoring is the s1 broadcast-probes
+    * pattern with O(subspaces) per pair; ranking rides `graft_topk`.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+             idCol: String, k: Int, subspaces: Int = 8,
+             codebookSize: Int = 64, lloydIters: Int = 1): DataFrame = {
+    require(subspaces >= 1, s"subspaces must be >= 1, got $subspaces")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    import graft.functions.num
+    val dot = vectors.dot _
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % subspaces == 0,
+      s"subspaces=$subspaces must divide dim=$dim")
+    val sub = dim / subspaces
+    def sliceS(v: Column, s: Int) = slice(v, s * sub + 1, sub)
+    def sqSum(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    // reduced L2 score of a sub-vector against a centroid literal:
+    // c·c − 2·x·c (x·x is constant per row, so the argmin — and, with
+    // qq added back per probe, the ranking — is unchanged)
+    def rScore(x: Column, c: Array[Double]): Column =
+      lit(sqSum(c)) - lit(2.0) * dot(x, array(c.map(lit).toSeq: _*))
+    // init: sub-vectors of the codebookSize lowest ids (cid = rank)
+    val initRows = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    var books: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+      (0 until subspaces).map { s =>
+        initRows.indices.map(cid =>
+          (cid, initRows(cid).slice(s * sub, (s + 1) * sub)))
+      }
+    def argminCid(s: Int, x: Column): Column =
+      array_min(array(books(s).map { case (cid, c) =>
+        struct(rScore(x, c).as("r"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    for (_ <- 0 until lloydIters) {
+      // all subspaces share ONE partial-agg shuffle per iteration
+      val assigned = (0 until subspaces).map { s =>
+        corpus.select(lit(s).as("s"),
+          argminCid(s, sliceS(col(vecCol), s)).as("cid"),
+          sliceS(col(vecCol), s).as("sv"))
+      }.reduce(_.union(_))
+      val collected = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .select(col("s"), col("cid"), col("d"),
+          num.fround(col("x").cast("double"), 6).cast("decimal(18,6)").as("xq"))
+        .groupBy("s", "cid", "d")
+        .agg(num.fround(sum(col("xq")).cast("double") / count(lit(1)), 6).as("cx"))
+        .groupBy("s", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          t => t.getField("cx")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      books = (0 until subspaces).map { s =>
+        collected.filter(_._1 == s).sortBy(_._2)
+          .map(t => (t._2, t._3)).toIndexedSeq
+      }
+    }
+    // encode: map-only, codebooks as literals
+    val encoded = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until subspaces).map(s =>
+        argminCid(s, sliceS(col(vecCol), s)).as(s"code_$s")): _*)
+    // probe-side ADC tables, position cid (absent cids get a never-
+    // referenced 0.0 filler — codes only ever take surviving cids)
+    val p0 = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val tableCols = (0 until subspaces).map { s =>
+      val byCid = books(s).toMap
+      val entries = (0 to books(s).map(_._1).max).map { cid =>
+        byCid.get(cid)
+          .map(c => num.fround(rScore(sliceS(col("qv"), s), c), 6))
+          .getOrElse(lit(0.0))
+      }
+      array(entries: _*).as(s"t_$s")
+    }
+    val pt = p0.select(Seq(col("query_id"),
+      num.fround(dot(col("qv"), col("qv")), 6).as("qq")) ++ tableCols: _*)
+    val adist = (0 until subspaces)
+      .map(s => element_at(col(s"t_$s"), col(s"code_$s") + 1)
+        .cast("decimal(18,6)"))
+      .foldLeft(col("qq").cast("decimal(18,6)"))(_ + _)
+      .cast("double")
+    val scored = encoded.crossJoin(broadcast(pt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+    if (Native.enabled(corpus, "graft_topk")) {
+      scored.withColumn("negd", -col("adist"))
+        .groupBy("query_id")
+        .agg(call_function("graft_topk",
+          col("negd"), col("neighbor_id"), lit(k)).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("neighbor_id"), (-col("col.score")).as("adist"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    }
+  }
 }
