@@ -427,6 +427,29 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "d14_incremental_dedup" -> ((s, dir) => {
+      // delta-batch dedup against the accumulated index — the daily
+      // crawl shape. The t8 deterministic split stands in for the
+      // index/delta partition (accretion-safe: re-running with more
+      // docs never reassigns existing ones).
+      val docs = Tables(s, dir).documents
+      val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+        Seq(("index", 0.7), ("delta", 0.3)), outCol = "split")
+      Dedup.incrementalDedup(
+          split.where(col("split") === "index"),
+          split.where(col("split") === "delta"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "d15_dup_rate_sample" -> ((s, dir) => {
+      // cluster-coherent sampled dup-rate estimate: sampling keys on
+      // the content fingerprint so duplicate groups are sampled whole
+      // — the 1/8-cost answer to "is a full dedup worth running?"
+      Dedup.dupRateSample(Tables(s, dir).documents, "text",
+        salt = "graft", sampleHex = "2000")
+    }),
+
     // ----- similarity search -----
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -1803,6 +1826,37 @@ object SparkEntry {
     // d13 is d6 with a bloom-prefiltered train side — row-identical by
     // construction (no false negatives), so it shares d6's oracle
     "d13_decontam_bloom" -> decontamOracleSql,
+
+    "d14_incremental_dedup" ->
+      s"""WITH sp AS (
+            SELECT doc_id, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'b333'
+                   THEN 'index' ELSE 'delta' END AS split
+            FROM documents WHERE doc_id IS NOT NULL),
+          f AS (SELECT doc_id, split, md5($normSql) AS fingerprint FROM sp),
+          idx AS (SELECT DISTINCT fingerprint FROM f WHERE split = 'index'),
+          del AS (SELECT doc_id, fingerprint FROM f WHERE split = 'delta'),
+          fst AS (SELECT fingerprint, min(doc_id) AS first_id
+                  FROM del GROUP BY 1)
+          SELECT d.doc_id, d.fingerprint,
+            CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_index'
+                 WHEN d.doc_id <> x.first_id THEN 'dup_delta'
+                 ELSE 'new' END AS verdict
+          FROM del d JOIN fst x USING (fingerprint)
+          LEFT JOIN idx i USING (fingerprint)
+          ORDER BY d.doc_id""",
+
+    "d15_dup_rate_sample" ->
+      s"""WITH f AS (SELECT md5($normSql) AS fingerprint FROM documents),
+          s AS (SELECT fingerprint FROM f
+                WHERE substr(md5(fingerprint || ':graft'), 1, 4) < '2000')
+          SELECT count(*) AS sample_docs,
+            count(DISTINCT fingerprint) AS sample_distinct,
+            count(*) - count(DISTINCT fingerprint) AS dup_docs,
+            CASE WHEN count(*) = 0 THEN NULL
+                 ELSE floor((CAST(count(*) - count(DISTINCT fingerprint) AS DOUBLE)
+                             / count(*)) * 10000 + 0.5) / 10000 END AS dup_rate
+          FROM s""",
 
     "t13_det_shuffle" ->
       """WITH h AS (

@@ -44,6 +44,93 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
+  /** Incremental (delta-vs-index) exact dedup — the production shape
+    * for a corpus that grows in batches: today's crawl dedups against
+    * the ACCUMULATED index, not just against itself. Each delta row
+    * gets a verdict:
+    *  - `dup_index`: its normalized-content fingerprint already exists
+    *    in the index (wins over a within-delta dup — the row is a dup
+    *    regardless of what else this batch holds);
+    *  - `dup_delta`: first seen in THIS batch, but a smaller-id delta
+    *    row carries the same fingerprint;
+    *  - `new`: the batch's canonical first occurrence — the rows that
+    *    (and only the rows that) would extend the index.
+    *
+    * All three legs — the index fingerprint set, the within-delta
+    * first-id, and the verdict joins — key on `fingerprint`, so
+    * Catalyst reuses ONE hash exchange per side and the whole verdict
+    * costs a single shuffle round (plan-asserted in CurationSpec). At
+    * 100 TB the index side is the persisted fingerprint table built by
+    * prior batches (pass `indexIsFingerprints = true` and this op
+    * never rescans history — per-batch cost is O(delta) + one join
+    * against the index partitions); deriving it from raw index text,
+    * as the declared query does, is the bootstrap path.
+    */
+  def incrementalDedup(index: DataFrame, delta: DataFrame,
+                       textCol: String, idCol: String,
+                       indexIsFingerprints: Boolean = false): DataFrame = {
+    val idx =
+      (if (indexIsFingerprints) index.select(col("fingerprint"))
+       else index.select(md5(Native.normOf(index)(col(textCol))).as("fingerprint")))
+        .distinct()
+    val del = delta.select(col(idCol),
+      md5(Native.normOf(delta)(col(textCol))).as("fingerprint"))
+    val first = del.groupBy("fingerprint").agg(min(col(idCol)).as("first_id"))
+    del
+      .join(first, Seq("fingerprint"))
+      .join(idx.withColumn("in_index", lit(1)), Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        when(col("in_index").isNotNull, lit("dup_index"))
+          .when(col(idCol) =!= col("first_id"), lit("dup_delta"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
+  /** Sampled duplicate-rate estimation: what fraction of the corpus is
+    * an exact duplicate, measured on a deterministic sample — the
+    * number you want BEFORE paying for a full 100 TB dedup (is the job
+    * worth running?) and the per-batch health metric after (did the
+    * crawler start re-fetching?).
+    *
+    * The sample is CLUSTER-COHERENT: the sampling key is the
+    * normalized-content fingerprint itself (keep iff the first 4 hex
+    * chars of md5(fingerprint:salt) < `sampleHex`), so every copy of a
+    * document makes the same in/out decision and a duplicate group is
+    * sampled whole or not at all. A row-id sample would split groups
+    * and systematically UNDERCOUNT (a pair survives only if both copies
+    * land in the sample — rate², not rate), which is exactly the bias
+    * this keying removes: the sampled groups are an unbiased draw of
+    * all groups, so in-sample dup fraction estimates the corpus dup
+    * fraction.
+    *
+    * Cost: map-side fingerprint + filter, then ONE partial-agg shuffle
+    * carrying only the sampled fingerprints (sampleHex/0x10000 of the
+    * corpus); count_distinct is the standard two-phase exact agg.
+    * RNG-free and partitioning-invariant like every sampling op here
+    * (t8/t11/t13 contract). dup_rate is 4dp-rounded; an empty sample
+    * yields NULL rather than 0/0.
+    */
+  def dupRateSample(docs: DataFrame, textCol: String,
+                    salt: String = "graft",
+                    sampleHex: String = "2000"): DataFrame = {
+    // "g000" (g > any hex digit) keeps every fingerprint — the same
+    // keep-all convention as stratifiedSample's hex4
+    require(sampleHex.matches("[0-9a-g]{4}"),
+      s"sampleHex must be 4 lowercase hex chars (or g--- for keep-all), got '$sampleHex'")
+    val sampled = docs
+      .select(md5(Native.normOf(docs)(col(textCol))).as("fingerprint"))
+      .where(substring(md5(concat(col("fingerprint"), lit(":"), lit(salt))), 1, 4)
+        < lit(sampleHex))
+    sampled
+      .agg(count(lit(1)).as("sample_docs"),
+        countDistinct(col("fingerprint")).as("sample_distinct"))
+      .select(col("sample_docs"), col("sample_distinct"),
+        (col("sample_docs") - col("sample_distinct")).as("dup_docs"),
+        when(col("sample_docs") === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.num.fround(
+            (col("sample_docs") - col("sample_distinct")).cast("double")
+              / col("sample_docs").cast("double"), 4)).as("dup_rate"))
+  }
+
   /** Default LSH banding derived from the Jaccard threshold: the
     * FEWEST bands (longest rows-per-band — steepest, furthest-right
     * s-curve) whose collision-probability midpoint (1/b)^(b/numPerm)

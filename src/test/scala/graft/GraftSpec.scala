@@ -138,6 +138,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.filter($"n_dups" === 2).select("canonical_id").as[Long].head() == 1L)
   }
 
+  test("incrementalDedup: index dup wins, within-delta first is new, rest dup_delta") {
+    import spark.implicits._
+    val index = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "Alpha,   TEXT!"),  // normalizes to an index fingerprint
+      (11L, "gamma text"),      // first of a within-delta pair -> new
+      (12L, "gamma   text"),    // same fingerprint, larger id -> dup_delta
+      (13L, "beta text"),       // index dup...
+      (14L, "beta text"),       // ...and ALSO a within-delta dup: index wins for BOTH
+      (15L, "delta text")       // unique -> new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(index, delta, "text", "doc_id")
+    val verdicts = got.select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(verdicts == Map(10L -> "dup_index", 11L -> "new", 12L -> "dup_delta",
+      13L -> "dup_index", 14L -> "dup_index", 15L -> "new"))
+    // every delta row gets exactly one verdict row
+    assert(got.count() == 6)
+    // fingerprint-keyed equi-joins only: a pairwise or nested-loop form
+    // would not survive a 100 TB index
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // passing the persisted fingerprint table directly (the production
+    // path: prior batches' index, never rescanned as text) agrees
+    val fps = index.select(org.apache.spark.sql.functions.md5(
+      graft.functions.text.normalize($"text")).as("fingerprint"))
+    val got2 = Dedup.incrementalDedup(fps, delta, "text", "doc_id",
+      indexIsFingerprints = true)
+    assert(got2.orderBy("doc_id").collect().toSeq == got.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dupRateSample: fingerprint-coherent sampling estimates the dup rate") {
+    import spark.implicits._
+    // 30 distinct texts, each with 1 extra copy -> true dup rate 0.5
+    val docs = (1 to 30).flatMap { i =>
+      Seq((i.toLong, s"unique document number $i"),
+          (100L + i, s"unique document number $i"))
+    }.toDF("doc_id", "text")
+    val full = Dedup.dupRateSample(docs, "text", sampleHex = "g000").head()
+    // "g000" > any hex prefix -> whole corpus sampled: exact answer
+    assert(full.getLong(0) == 60 && full.getLong(1) == 30 && full.getLong(2) == 30)
+    assert(full.getDouble(3) == 0.5)
+    val sampled = Dedup.dupRateSample(docs, "text", sampleHex = "8000").head()
+    // cluster-coherent: every sampled fingerprint brings BOTH copies,
+    // so the in-sample rate is exactly the corpus rate regardless of
+    // which groups the hash picked
+    assert(sampled.getLong(0) == 2 * sampled.getLong(1))
+    assert(sampled.getDouble(3) == 0.5)
+    val empty = Dedup.dupRateSample(docs, "text", sampleHex = "0000").head()
+    assert(empty.getLong(0) == 0 && empty.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Dedup.dupRateSample(docs, "text", sampleHex = "XYZ")
+    }
+  }
+
   test("minhashPairs finds a planted near-duplicate") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
