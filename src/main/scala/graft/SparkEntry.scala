@@ -697,6 +697,13 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    "t28_js_drift" -> ((s, dir) => {
+      // distribution drift of source src0 vs the rest of the corpus —
+      // the between-batches shift alarm
+      TextAnalysis.distributionDrift(Tables(s, dir).documents, "text",
+        col("source") === "src0", buckets = 4096)
+    }),
+
     "t11_strat_sample" -> ((s, dir) => {
       Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
           "doc_id", "source", "smp",
@@ -2130,6 +2137,57 @@ object SparkEntry {
           count(*) AS n_tokens
           FROM (SELECT lang, unnest(${toksSql(normSql)}) AS token FROM documents)
           GROUP BY lang ORDER BY grp""",
+
+    "t28_js_drift" ->
+      s"""WITH u AS (
+            SELECT (source = 'src0') AS is_a, unnest(${toksSql(normSql)}) AS f
+            FROM documents),
+          hb AS (
+            SELECT is_a,
+              list_reduce(list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(f), i, 1)) - 1 AS BIGINT)),
+                (acc, dg) -> acc * 16 + dg) % 4096 AS b
+            FROM u),
+          c AS (
+            SELECT b,
+              sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a_cnt,
+              sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS r_cnt
+            FROM hb GROUP BY b),
+          g AS (SELECT unnest(range(0, 4096)) AS b),
+          j AS (
+            SELECT CAST(coalesce(c.a_cnt, 0) AS DOUBLE) AS a_cnt,
+                   CAST(coalesce(c.r_cnt, 0) AS DOUBLE) AS r_cnt
+            FROM g LEFT JOIN c USING (b)),
+          tot AS (
+            SELECT CAST(coalesce(sum(a_cnt), 0) AS BIGINT) AS a_total,
+                   CAST(coalesce(sum(r_cnt), 0) AS BIGINT) AS r_total
+            FROM c),
+          terms AS (
+            SELECT
+              floor((a_cnt + 0.5) * (
+                floor(ln((a_cnt + 0.5) / (CAST(t.a_total AS DOUBLE) + 2048.0)) * 1000000.0 + 0.5) / 1000000.0
+                - floor(ln(((a_cnt + 0.5) / (CAST(t.a_total AS DOUBLE) + 2048.0)
+                            + (r_cnt + 0.5) / (CAST(t.r_total AS DOUBLE) + 2048.0)) / 2.0) * 1000000.0 + 0.5) / 1000000.0
+              ) * 1000000.0 + 0.5) / 1000000.0 AS ta,
+              floor((r_cnt + 0.5) * (
+                floor(ln((r_cnt + 0.5) / (CAST(t.r_total AS DOUBLE) + 2048.0)) * 1000000.0 + 0.5) / 1000000.0
+                - floor(ln(((a_cnt + 0.5) / (CAST(t.a_total AS DOUBLE) + 2048.0)
+                            + (r_cnt + 0.5) / (CAST(t.r_total AS DOUBLE) + 2048.0)) / 2.0) * 1000000.0 + 0.5) / 1000000.0
+              ) * 1000000.0 + 0.5) / 1000000.0 AS tr
+            FROM j CROSS JOIN tot t),
+          s AS (
+            SELECT CAST(sum(CAST(ta AS DECIMAL(28,6))) AS DOUBLE) AS sa,
+                   CAST(sum(CAST(tr AS DECIMAL(28,6))) AS DOUBLE) AS sr
+            FROM terms)
+          SELECT 4096 AS buckets, t.a_total AS slice_tokens,
+            t.r_total AS rest_tokens,
+            floor((sa / (CAST(t.a_total AS DOUBLE) + 2048.0)
+                   + sr / (CAST(t.r_total AS DOUBLE) + 2048.0)) * 0.5 * 1000000.0 + 0.5) / 1000000.0 AS js_nats,
+            floor((sa / (CAST(t.a_total AS DOUBLE) + 2048.0)
+                   + sr / (CAST(t.r_total AS DOUBLE) + 2048.0)) * 0.5
+                  / 0.6931471805599453 * 10000.0 + 0.5) / 10000.0 AS js_bits
+          FROM s CROSS JOIN tot t""",
 
     "t11_strat_sample" ->
       """WITH b AS (

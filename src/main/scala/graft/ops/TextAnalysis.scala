@@ -145,6 +145,68 @@ object TextAnalysis {
       .agg(distinctAgg.as("n_vocab"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Token-distribution drift between a corpus slice and the rest —
+    * the Jensen-Shannon divergence a data pipeline watches between
+    * ingest batches, sources, or time windows to catch a crawler or
+    * upstream shift BEFORE it trains into a model. Distributions are
+    * add-α smoothed bag-of-hashed-tokens over a FIXED `buckets`-wide
+    * support (t24's DSIR feature hash), so model size — and the
+    * everything-after-the-first-agg cost — is constant at any corpus
+    * scale: one explode + partial-agg shuffle emitting ≤ `buckets`
+    * rows, then fixed-size arithmetic. Empty buckets stay in support
+    * (smoothed p ≠ q there whenever slice totals differ — dropping
+    * them would understate the divergence).
+    *
+    * JS(P,Q) = (KL(P‖M) + KL(Q‖M))/2, M = (P+Q)/2, computed
+    * engine-portably by the t18/t24 recipe: ln floor-rounded 6dp, each
+    * bucket's contribution weighted by its smoothed COUNT (integer-ish
+    * magnitude, so the 6dp round keeps ~10 significant digits — not
+    * the 1e-5-scale probability terms), summed in exact decimal, one
+    * IEEE division by the smoothed total at the very end. Output is a
+    * single row: support size, per-side token totals, js_nats (6dp)
+    * and js_bits (4dp; JS ≤ ln 2 nats = 1 bit).
+    */
+  def distributionDrift(docs: DataFrame, textCol: String, sliceFilter: Column,
+                        buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val hb = docs
+      .select(sliceFilter.as("is_a"),
+        explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("f"))
+      .select(col("is_a"),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val counts = hb.groupBy("b").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("r_cnt"))
+    val support = docs.sparkSession.range(buckets.toLong).toDF("b")
+    val joined = support.join(counts, Seq("b"), "left")
+      .select(coalesce(col("a_cnt"), lit(0L)).cast("double").as("a_cnt"),
+        coalesce(col("r_cnt"), lit(0L)).cast("double").as("r_cnt"))
+    // empty corpus (or empty slice) degrades to uniform-vs-uniform —
+    // js 0 — not a null cascade
+    val totals = counts.agg(
+      coalesce(sum("a_cnt"), lit(0L)).cast("long").as("a_total"),
+      coalesce(sum("r_cnt"), lit(0L)).cast("long").as("r_total"))
+    val denomA = col("a_total").cast("double") + lit(alpha * buckets)
+    val denomR = col("r_total").cast("double") + lit(alpha * buckets)
+    val p = (col("a_cnt") + lit(alpha)) / denomA
+    val q = (col("r_cnt") + lit(alpha)) / denomR
+    val m = (p + q) / lit(2.0)
+    def ln6(c: Column) = fround(log(c), 6)
+    val termA = fround((col("a_cnt") + lit(alpha)) * (ln6(p) - ln6(m)), 6)
+    val termR = fround((col("r_cnt") + lit(alpha)) * (ln6(q) - ln6(m)), 6)
+    val sums = joined.crossJoin(broadcast(totals))
+      .select(termA.as("ta"), termR.as("tr"))
+      .agg(sum(col("ta").cast("decimal(28,6)")).cast("double").as("sa"),
+        sum(col("tr").cast("decimal(28,6)")).cast("double").as("sr"))
+    val js = (col("sa") / denomA + col("sr") / denomR) * lit(0.5)
+    sums.crossJoin(broadcast(totals))
+      .select(lit(buckets).as("buckets"),
+        col("a_total").as("slice_tokens"), col("r_total").as("rest_tokens"),
+        fround(js, 6).as("js_nats"),
+        fround(js / lit(0.6931471805599453), 4).as("js_bits"))
+  }
+
   /** Rolling-hash fingerprints (Rabin-Karp polynomial fold over the
     * normalized text) alongside the md5 content hash — the
     * incremental-fingerprint family for pipelines that maintain

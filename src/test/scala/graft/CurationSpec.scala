@@ -257,6 +257,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("distributionDrift: zero on identical slices, ~1 bit on disjoint vocab, symmetric") {
+    import spark.implicits._
+    val same = (1L to 40L).map(i => (i, s"alpha beta gamma delta token$i", i % 2 == 0))
+      .toDF("doc_id", "text", "is_a")
+    val jsSame = graft.ops.TextAnalysis
+      .distributionDrift(same, "text", col("is_a"), buckets = 256).head()
+    // same generating distribution -> tiny divergence (not exactly 0:
+    // the token$i tails differ), far below the disjoint case
+    assert(jsSame.getDouble(4) < 0.25, s"same-dist js_bits ${jsSame.getDouble(4)}")
+    // enough tokens that the add-α smoothing mass (α·buckets = 128) is
+    // a small fraction of each side's total — otherwise the uniform
+    // smoothing floor dilutes the measured divergence
+    val disjoint = ((1L to 40L).map(i => (i, "aa bb cc dd ee ff gg hh " * 8, true)) ++
+      (41L to 80L).map(i => (i, "qq rr ss tt uu vv ww xx " * 8, false)))
+      .toDF("doc_id", "text", "is_a")
+    val jsDis = graft.ops.TextAnalysis
+      .distributionDrift(disjoint, "text", col("is_a"), buckets = 256).head()
+    // fully disjoint support -> JS approaches ln 2 nats = 1 bit
+    // (smoothing mass keeps it just under)
+    assert(jsDis.getDouble(4) > 0.8, s"disjoint js_bits ${jsDis.getDouble(4)}")
+    assert(jsDis.getDouble(3) <= 0.6931472 + 1e-9)
+    // JS is symmetric; the implementation's rounding is applied
+    // symmetrically, so the swap is EXACTLY equal
+    val swapped = graft.ops.TextAnalysis
+      .distributionDrift(disjoint, "text", !col("is_a"), buckets = 256).head()
+    assert(swapped.getDouble(3) == jsDis.getDouble(3))
+    assert(swapped.getLong(1) == jsDis.getLong(2) && swapped.getLong(2) == jsDis.getLong(1))
+    // empty corpus -> uniform vs uniform -> exactly 0, no null cascade
+    val empty = graft.ops.TextAnalysis.distributionDrift(
+      same.where(lit(false)), "text", col("is_a"), buckets = 256).head()
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.getDouble(3) == 0.0)
+  }
+
   test("deterministicShuffle global order is invariant to the bucket count") {
     // the bucket is a PREFIX of the hash, so (bucket, pos) concatenated
     // across buckets sorts exactly like the full hash — 256 (len 2) and
