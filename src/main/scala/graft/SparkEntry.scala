@@ -450,6 +450,21 @@ object SparkEntry {
         salt = "graft", sampleHex = "2000")
     }),
 
+    "d16_neardup_incremental" -> ((s, dir) => {
+      // d14's daily-crawl shape for NEAR-dups: delta docs verdicted
+      // against the accumulated index by banded MinHash + exact
+      // Jaccard verify — index×index is never re-paired. Same t8
+      // bootstrap split as d14.
+      val docs = Tables(s, dir).documents
+      val split = Curation.deterministicSplit(docs, "doc_id", "graft",
+        Seq(("index", 0.7), ("delta", 0.3)), outCol = "split")
+      Dedup.minhashIncremental(
+          split.where(col("split") === "index"),
+          split.where(col("split") === "delta"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ----- similarity search -----
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
@@ -1852,6 +1867,46 @@ object SparkEntry {
           FROM del d JOIN fst x USING (fingerprint)
           LEFT JOIN idx i USING (fingerprint)
           ORDER BY d.doc_id""",
+
+    // Brute-force truth, as d2: the banded incremental path must agree
+    // with exact delta×(index ∪ smaller-id delta) Jaccard — banding
+    // recall 1.0 asserted across the index/delta boundary.
+    "d16_neardup_incremental" ->
+      s"""WITH sp AS (
+            SELECT doc_id, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'b333'
+                   THEN 'index' ELSE 'delta' END AS split
+            FROM documents WHERE doc_id IS NOT NULL),
+          prep AS (
+            SELECT doc_id, split,
+              CASE WHEN length($normSql) >= 5
+                   THEN list_distinct(list_transform(range(1, length($normSql) - 3),
+                          i -> substr($normSql, i, 5)))
+                   ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM sp),
+          cand AS (
+            SELECT d.doc_id AS did,
+              CASE WHEN p.split = 'index' THEN 1 ELSE 0 END AS p_idx,
+              CAST(len(list_intersect(d.sh, p.sh)) AS DOUBLE) AS inter,
+              CAST(len(d.sh) + len(p.sh) AS DOUBLE) AS szsum
+            FROM prep d JOIN prep p
+              ON d.split = 'delta'
+             AND (p.split = 'index' OR (p.split = 'delta' AND p.doc_id < d.doc_id))),
+          v AS (
+            SELECT did, p_idx FROM cand
+            WHERE floor((CASE WHEN szsum - inter = 0 THEN 0
+                              ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 >= 0.5),
+          m AS (SELECT did, sum(p_idx) AS ni, sum(1 - p_idx) AS nd
+                FROM v GROUP BY 1)
+          SELECT s.doc_id,
+            CASE WHEN coalesce(m.ni, 0) > 0 THEN 'dup_index'
+                 WHEN coalesce(m.nd, 0) > 0 THEN 'dup_delta'
+                 ELSE 'new' END AS verdict,
+            CAST(coalesce(m.ni, 0) AS BIGINT) AS n_index_matches,
+            CAST(coalesce(m.nd, 0) AS BIGINT) AS n_delta_matches
+          FROM sp s LEFT JOIN m ON s.doc_id = m.did
+          WHERE s.split = 'delta'
+          ORDER BY s.doc_id""",
 
     "d15_dup_rate_sample" ->
       s"""WITH f AS (SELECT md5($normSql) AS fingerprint FROM documents),

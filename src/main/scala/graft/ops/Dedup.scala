@@ -220,6 +220,31 @@ object Dedup {
     require(numPerm % nBands == 0,
       s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
     val rowsPerBand = numPerm / nBands
+    val (hashed, bandedCached) = hashedBanded(docs, textCol, idCol, numPerm,
+      nBands, rowsPerBand, shingleK, persistIntermediate)
+    // Lossless prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
+    // — prunes most low-similarity band collisions before the
+    // dedup shuffle and the exact verify.
+    val candidates = bandedCached.as("a").join(bandedCached.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    (hashed, candidates)
+  }
+
+  /** MinHash staging for ONE table: (doc→sorted-shingle-hashes,
+    * (id, n, band-key) table). Factored out of [[minhashStaged]] so
+    * [[minhashIncremental]] can band its two inputs with the SAME
+    * seeds/layout — a cross-side pair then collides on band keys with
+    * exactly the within-corpus probability, carrying the banding
+    * recall guarantee across the index/delta boundary.
+    */
+  private def hashedBanded(docs: DataFrame, textCol: String, idCol: String,
+                           numPerm: Int, nBands: Int, rowsPerBand: Int,
+                           shingleK: Int,
+                           persistIntermediate: Boolean): (DataFrame, DataFrame) = {
     // Staged: normalize → shingle → hash, each as its own column, so
     // the per-element lambdas see attributes (see wordNgramsOfTokens
     // scaladoc). One string-hash pass per shingle; signatures and the
@@ -281,16 +306,86 @@ object Dedup {
       if (persistIntermediate)
         banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else banded
-    // Lossless prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
-    // — prunes most low-similarity band collisions before the
-    // dedup shuffle and the exact verify.
-    val candidates = bandedCached.as("a").join(bandedCached.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-          greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    (hashed, candidates)
+    (hashed, bandedCached)
+  }
+
+  /** Incremental (delta-vs-index) NEAR-duplicate dedup — the
+    * [[incrementalDedup]] shape for near-dups: today's crawl is
+    * verdicted against the accumulated corpus without re-pairing the
+    * index against itself. Each delta doc gets:
+    *  - `dup_index`: a verified near-dup (exact shingle Jaccard >=
+    *    `jaccardThreshold`) of some INDEX doc — wins over any
+    *    within-batch match, as in d14;
+    *  - `dup_delta`: no index match, but a verified near-dup of a
+    *    SMALLER-id delta doc;
+    *  - `new`: no verified match — the rows that extend the index.
+    * Verdicts are direct-evidence (a matching partner exists), not
+    * transitive: two `new` docs may still be near-dups of a common
+    * third below threshold. Callers needing cluster-level resolution
+    * chain [[Graph.connectedComponents]] over the pair legs (d7).
+    *
+    * Scale shape: both sides band with the same seeds via
+    * [[hashedBanded]]; candidates come from TWO band equi-joins —
+    * delta⋈index and delta⋈delta (smaller id) — so nothing ever pairs
+    * index×index; the exact verify touches candidates only, with the
+    * same lossless size prefilter and size-gated join strategy as
+    * [[minhashPairs]]. Per-batch cost is O(delta bands) + the band
+    * join against the index band table — at 100 TB that table is
+    * persisted/bucketed by prior batches (this bootstrap form derives
+    * it from index text) and history is never re-paired. Zero-shingle
+    * docs (norm shorter than `shingleK`) can never reach a positive
+    * Jaccard and verdict `new` — exact-dup short docs are d14's job.
+    */
+  def minhashIncremental(index: DataFrame, delta: DataFrame,
+                         textCol: String, idCol: String,
+                         numPerm: Int = 128, bands: Int = 0, shingleK: Int = 5,
+                         jaccardThreshold: Double = 0.5,
+                         persistIntermediate: Boolean = true,
+                         verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
+    require(numPerm % nBands == 0,
+      s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
+    val rowsPerBand = numPerm / nBands
+    val (hIdx, bIdx) = hashedBanded(index, textCol, idCol, numPerm, nBands,
+      rowsPerBand, shingleK, persistIntermediate)
+    val (hDel, bDel) = hashedBanded(delta, textCol, idCol, numPerm, nBands,
+      rowsPerBand, shingleK, persistIntermediate)
+    val sizeOk = least(col("a.n"), col("b.n")).cast("double") >=
+      greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold
+    // p_idx rides the candidate so one verify pass serves both legs;
+    // index/delta ids are disjoint when the inputs partition a corpus,
+    // but the flag keeps the verdict correct even if a caller reuses
+    // ids across sides.
+    val cross = bDel.as("a").join(bIdx.as("b"),
+        col("a.band") === col("b.band") && sizeOk)
+      .select(col("a.id").as("did"), col("b.id").as("pid"), lit(1L).as("p_idx"))
+    val within = bDel.as("a").join(bDel.as("b"),
+        col("a.band") === col("b.band") && col("b.id") < col("a.id") && sizeOk)
+      .select(col("a.id").as("did"), col("b.id").as("pid"), lit(0L).as("p_idx"))
+    val candidates = cross.unionByName(within)
+      .dropDuplicates("did", "pid", "p_idx")
+    val partners = hIdx.unionByName(hDel)
+    val verified = candidates
+      .join(verifyHinted(hDel, verifyBroadcast).as("h1"), col("did") === col("h1.id"))
+      .join(verifyHinted(partners, verifyBroadcast).as("h2"), col("pid") === col("h2.id"))
+      .select(col("did"), col("p_idx"),
+        col("h1.hs").as("sh1"), col("h2.hs").as("sh2"))
+      .withColumn("inter", Dedup.intersectSize(delta, col("sh1"), col("sh2")).cast("double"))
+      .withColumn("jaccard", graft.functions.num.fround(
+        when(size(col("sh1")) + size(col("sh2")) === 0, 0.0)
+          .otherwise(col("inter") /
+            (size(col("sh1")).cast("double") + size(col("sh2")).cast("double") - col("inter"))), 4))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val matches = verified.groupBy("did").agg(
+      sum(col("p_idx")).as("ni"), sum(lit(1L) - col("p_idx")).as("nd"))
+    delta.select(col(idCol).as("doc_id"))
+      .join(matches.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("ni"), lit(0L)) > 0, lit("dup_index"))
+          .when(coalesce(col("nd"), lit(0L)) > 0, lit("dup_delta"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("ni"), lit(0L)).as("n_index_matches"),
+        coalesce(col("nd"), lit(0L)).as("n_delta_matches"))
   }
 
   /** Intersection size of two sorted hash arrays: native two-pointer

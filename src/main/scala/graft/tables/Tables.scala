@@ -20,18 +20,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as a nanos long and surface a microsecond
-    * TimestampType column (floor, matching DuckDB's ns→µs cast).
-    * The nanosAsLong conf must be set at session build (see
-    * [[graft.GraftSession]]) — a loader must not mutate session state.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark 4 rejects unless read as a nanos long via the nanosAsLong
+    * conf set at session build (see [[graft.GraftSession]]) — and
+    * plain TIMESTAMP(MICROS). Branch on the LOADED dtype so both
+    * generations surface the same microsecond TimestampType column
+    * (ns floors to µs, matching DuckDB's ns→µs cast; NTZ micros are
+    * UTC wall-clock under the session's pinned UTC zone).
     */
   def events: DataFrame = {
-    require(spark.conf.getOption(graft.GraftSession.NanosConf).contains("true"),
-      s"events.parquet carries TIMESTAMP(NANOS); build the session with " +
-        s"${graft.GraftSession.NanosConf}=true (see graft.GraftSession.builder)")
-    // integer `div`, not `/`: ns epochs (~1.7e18) overflow double mantissa
-    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns epochs (~1.7e18) overflow double mantissa
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

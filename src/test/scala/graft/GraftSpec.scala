@@ -168,6 +168,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got2.orderBy("doc_id").collect().toSeq == got.orderBy("doc_id").collect().toSeq)
   }
 
+  test("minhashIncremental: index near-dup wins, delta pair splits first/dup, short doc is new") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away across the wide green field toward the river"
+    val other = "completely different content about spark shuffles and " +
+      "partition pruning in a distributed analytics engine at scale"
+    val index = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base.replace("lazy", "sleepy")),  // near-dup of index 1
+      (11L, "a standalone story about mountains valleys glaciers and " +
+            "the slow patient work of ice over geological time spans"),
+      (12L, ("a standalone story about mountains valleys glaciers and " +
+            "the slow patient work of ice over geological time spans")
+            .replace("patient", "steady")),   // near-dup of delta 11
+      (13L, "ab")                             // zero shingles after norm pad
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashIncremental(index, delta, "text", "doc_id")
+    val verdicts = got.select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(verdicts == Map(10L -> "dup_index", 11L -> "new",
+      12L -> "dup_delta", 13L -> "new"))
+    // every delta row verdicted exactly once; match counts line up
+    assert(got.count() == 4)
+    val counts = got.select("doc_id", "n_index_matches", "n_delta_matches")
+      .as[(Long, Long, Long)].collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(counts(10L)._1 >= 1 && counts(12L)._2 == 1 && counts(13L) == ((0L, 0L)))
+    // band equi-joins only — index×index is never paired and nothing
+    // degenerates to a product
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("dupRateSample: fingerprint-coherent sampling estimates the dup rate") {
     import spark.implicits._
     // 30 distinct texts, each with 1 extra copy -> true dup rate 0.5
