@@ -480,6 +480,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s8_mmr_select" -> ((s, dir) => {
+      // diversity-aware exemplar pick: greedy MMR against the corpus
+      // mean vector — k representative-yet-mutually-distinct rows,
+      // where a plain relevance top-k returns k near-copies
+      Cluster.mmrSelect(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 5, lambda = 0.7)
+        .orderBy("rank")
+    }),
+
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val probes = emb.filter(col("vec_id") % 100 === 0)
@@ -1426,6 +1435,11 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // MMR trajectory replicated: centroid (c1 decimal-mean recipe) →
+    // rel → k unrolled greedy picks, penalty = greatest 6dp cosine to
+    // the prior single-row picks.
+    "s8_mmr_select" -> mmrOracleSql(5, 0.7),
 
     // PQ replicated literally: per-subspace codebooks (lowest-id init,
     // one Lloyd step with the c1 decimal-mean recipe, L2 assignment in
@@ -2755,6 +2769,48 @@ object SparkEntry {
     * final centroids in a2 (d11's multi-probe BLOCKING; rn ordering
     * is (cos DESC, cid ASC), the same tie rule as the argmax).
     */
+  /** s8's oracle: the greedy MMR trajectory unrolled — pick i's CTE
+    * joins the i−1 single-row picks, penalty = greatest of the
+    * 6dp-rounded cosines to them, argmax by (6dp score desc, id). The
+    * centroid reuses the c1 decimal-mean recipe. λ and 1−λ are
+    * emitted from the SAME doubles Spark multiplies by, so both
+    * engines run identical IEEE arithmetic between the roundings.
+    */
+  private def mmrOracleSql(k: Int = 5, lam: Double = 0.7): String = {
+    def cosS(a: String, b: String) =
+      s"(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0" +
+      s" ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)"
+    def fr6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          comp AS (SELECT u.d AS d, CAST(${fr6("u.x")} AS DECIMAL(18,6)) AS xq
+            FROM (SELECT unnest(list_transform(range(1, len(v) + 1),
+                    j -> struct_pack(d := j, x := v[j]))) AS u FROM e)),
+          cen AS (SELECT list(cx ORDER BY d) AS c FROM
+            (SELECT d, ${fr6("CAST(sum(xq) AS DOUBLE) / count(*)")} AS cx
+             FROM comp GROUP BY d)),
+          r AS (SELECT vec_id, v, ${fr6(cosS("v", "c"))} AS rel FROM e CROSS JOIN cen)"""
+    val iters = (1 to k).map { i =>
+      val prev = (1 until i).map(j => s"p$j")
+      val pen =
+        if (prev.isEmpty) "0"
+        else if (prev.size == 1) fr6(cosS("r.v", "p1.v"))
+        else "greatest(" + prev.map(p => fr6(cosS("r.v", s"$p.v"))).mkString(", ") + ")"
+      val from = ("r" +: prev).mkString(", ")
+      val notin =
+        if (prev.isEmpty) ""
+        else s"WHERE r.vec_id NOT IN (${prev.map(p => s"$p.vec_id").mkString(", ")})"
+      s"""p$i AS (SELECT r.vec_id, r.v, r.rel,
+            ${fr6(s"$lam * r.rel - ${1.0 - lam} * ($pen)")} AS score
+          FROM $from $notin ORDER BY score DESC, r.vec_id LIMIT 1)"""
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, vec_id, rel AS relevance, score AS mmr_score FROM p$i")
+      .mkString("\n UNION ALL ")
+    head + ",\n" + iters.mkString(",\n") + "\n" + sel + "\n ORDER BY rank"
+  }
+
   private def kmeansA2Sql(probes: Int = 1): String =
     s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -232,4 +232,78 @@ object Cluster {
         .select(col("cluster_id"), col("rank"), col("id"))
     }
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` rows, each maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected — the
+    * diversity-aware exemplar pick a curation pipeline uses where a
+    * plain relevance top-k would return k near-copies of the same
+    * mode. Relevance here is cosine to the corpus's decimal-exact
+    * mean vector (the "most representative yet mutually distinct"
+    * selection — the no-external-query form); ties break to the
+    * lower id.
+    *
+    * MMR is inherently sequential (pick i+1 depends on picks 1..i),
+    * so the loop runs on the driver — but driver state is exactly the
+    * k selected rows (the IVF-centroid contract) and every iteration
+    * is ONE distributed aggregation: the k selected vectors enter the
+    * plan as literals (a broadcast of k·dim doubles), the penalty is
+    * a map-side `array_max` over k cosines, and the argmax is a
+    * single-row `max(struct(score, -id, …))` partial agg — no window,
+    * no sort, no corpus shuffle; k+1 jobs total on a persisted
+    * (id, v, rel) projection. Every cosine and the score floor-round
+    * to 6dp (the t18 recipe), so the greedy trajectory — not just the
+    * final scores — reproduces bit-for-bit in the DuckDB oracle and
+    * under any partitioning.
+    */
+  def mmrSelect(embs: DataFrame, vecCol: String, idCol: String,
+                k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cos = cosOf
+    val pts = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // global decimal-exact mean vector: dim rows of driver state
+    val cen: Array[Double] = pts
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("d"), fround(col("x").cast("double"), 6).cast("decimal(18,6)").as("xq"))
+      .groupBy("d")
+      .agg(fround(sum(col("xq")).cast("double") / count(lit(1)), 6).as("cx"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    if (cen.isEmpty)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("rank", "vec_id", "relevance", "mmr_score")
+    val cenLit = array(cen.map(lit).toSeq: _*)
+    val scored = pts.withColumn("rel", fround(cos(col("v"), cenLit), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val pickedVecs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val penalty =
+        if (pickedVecs.isEmpty) lit(0.0)
+        else array_max(array(pickedVecs.map(s =>
+          fround(cos(col("v"), array(s.map(lit).toSeq: _*)), 6)).toSeq: _*))
+      val best = scored
+        .filter(if (picked.isEmpty) lit(true)
+                else !col("id").isin(picked.map(_._1).toSeq: _*))
+        .withColumn("score",
+          fround(lit(lambda) * col("rel") - lit(1.0 - lambda) * penalty, 6))
+        .agg(max(struct(col("score").as("s"), (-col("id")).as("nid"),
+          col("rel").as("r"), col("v").as("vv"))).as("b"))
+        .select(col("b.s"), col("b.nid"), col("b.r"), col("b.vv"))
+        .collect()
+      if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
+      else {
+        val r = best(0)
+        picked += ((-r.getLong(1), r.getDouble(2), r.getDouble(0)))
+        pickedVecs += r.getSeq[Number](3).map(_.doubleValue()).toArray
+      }
+    }
+    scored.unpersist()
+    picked.toSeq.zipWithIndex
+      .map { case ((id, rel, sc), i) => (i + 1, id, rel, sc) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -212,4 +212,43 @@ class ClusterSpec extends AnyFunSuite {
     // remaining singleton values spread over buckets 6..10
     assert(got.tail.map(_.getLong(0)).toSeq == Seq(6L, 7L, 8L, 9L, 10L))
   }
+
+  test("mmrSelect diversifies: second pick leaves the densest mode") {
+    // two tight modes along different axes + the mean sitting between
+    // them: plain relevance top-2 takes the two near-copies from the
+    // bigger mode; MMR's redundancy penalty forces pick 2 to the other
+    // mode. Exact ids asserted so the greedy trajectory is pinned.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.02f)),   // near-copy of 1
+      (3L, Array(1.0f, 0.01f, 0.01f)),  // near-copy of 1
+      (4L, Array(0.0f, 1.0f, 0.02f)),
+      (5L, Array(0.02f, 1.0f, 0.0f))    // near-copy of 4
+    ).toDF("vec_id", "embedding")
+    val got = Cluster.mmrSelect(rows, "embedding", "vec_id", k = 3, lambda = 0.7)
+      .orderBy("rank").collect()
+    val ids = got.map(_.getLong(1)).toSeq
+    // pick 1: highest cosine to the mean (an x-mode row — the mode has
+    // 3 of 5 rows); pick 2: a y-mode row despite x-mode near-copies
+    // having higher raw relevance
+    assert(ids.length == 3)
+    assert(Set(1L, 2L, 3L).contains(ids.head))
+    assert(Set(4L, 5L).contains(ids(1)), s"second pick $ids should switch modes")
+    // ranks are 1..k, scores are the 6dp-rounded greedy objective
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(got.forall(r => r.getDouble(3) <= r.getDouble(2) * 0.7 + 1e-9))
+  }
+
+  test("mmrSelect: k beyond the corpus stops at corpus size; selection is partition-invariant") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val got = Cluster.mmrSelect(rows, "embedding", "vec_id", k = 10, lambda = 0.7)
+    assert(got.count() == 3)
+    val a = Cluster.mmrSelect(rows.repartition(7), "embedding", "vec_id", k = 3)
+      .orderBy("rank").collect().toSeq
+    val b = Cluster.mmrSelect(rows.coalesce(1), "embedding", "vec_id", k = 3)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
 }
