@@ -36,6 +36,40 @@ object NativeKernels {
     sum
   }
 
+  /** PQ codebook argmin: index (NOT centroid label — callers map
+    * sparse labels outside) of the centroid minimizing the reduced L2
+    * score c·c − 2·x·c over the flattened `codebook` (numCentroids ×
+    * sub doubles); `x` is a float sub-vector of length >= sub. Both
+    * accumulators run left-to-right from 0.0 — term-for-term the
+    * orders of the expression form's sqSum literal and HOF dot — so
+    * the selected index is bit-identical, ties keeping the lowest
+    * index exactly like array_min over (score, cid) structs. One
+    * compiled O(numCentroids·sub) loop replacing a 64-wide struct
+    * argmin whose lambdas evaluate interpreted.
+    */
+  def pqArgmin(x: ArrayData, codebook: ArrayData, sub: Int): Int = {
+    val nc = codebook.numElements() / sub
+    var best = Double.PositiveInfinity
+    var bestI = 0
+    var cid = 0
+    while (cid < nc) {
+      val base = cid * sub
+      var cc = 0.0
+      var dp = 0.0
+      var i = 0
+      while (i < sub) {
+        val c = codebook.getDouble(base + i)
+        cc += c * c
+        dp += x.getFloat(i).toDouble * c
+        i += 1
+      }
+      val r = cc - 2.0 * dp
+      if (r < best) { best = r; bestI = cid }
+      cid += 1
+    }
+    bestI
+  }
+
   /** Distinct xxhash64 values of the character k-shingles of `s`,
     * hashing the UTF-8 bytes in place — no shingle strings, no char
     * array. Byte-windowing equals char-windowing for ASCII input,
@@ -482,6 +516,25 @@ case class WinnowExpr(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WinnowExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_pq_argmin(array<float>, array<double>, sub) -> int` */
+case class PqArgminExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_pq_argmin"
+
+  override protected def nullSafeEval(x: Any, cb: Any, sub: Any): Any =
+    NativeKernels.pqArgmin(x.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], sub.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb, s) =>
+      s"${ev.value} = graft.functions.NativeKernels.pqArgmin($x, $cb, $s);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqArgminExpr =
     copy(first = f, second = s, third = t)
 }
 

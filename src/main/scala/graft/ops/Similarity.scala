@@ -371,7 +371,12 @@ object Similarity {
     }
     // reduced L2 score of a sub-vector against a centroid literal:
     // c·c − 2·x·c (x·x is constant per row, so the argmin — and, with
-    // qq added back per probe, the ranking — is unchanged)
+    // qq added back per probe, the ranking — is unchanged). The HOF
+    // dot is the measured-best form for the 64-wide argmin: unrolling
+    // it to 512 element_at multiply-add terms per subspace (to chase
+    // whole-stage codegen) measured 15-30 s vs ~8 s at sf0.1 — the
+    // giant flattened Add chains swamp analysis/codegen and the
+    // compact lambda wins despite interpreted evaluation.
     def rScore(x: Column, c: Array[Double]): Column =
       lit(sqSum(c)) - lit(2.0) * dot(x, array(c.map(lit).toSeq: _*))
     // init: sub-vectors of the codebookSize lowest ids (cid = rank)
@@ -383,17 +388,54 @@ object Similarity {
         initRows.indices.map(cid =>
           (cid, initRows(cid).slice(s * sub, (s + 1) * sub)))
       }
+    // Native path: ONE compiled O(codebookSize·sub) loop per
+    // (row, subspace) via graft_pq_argmin — identical accumulation
+    // orders, identical tie-break (lowest index), so the codes are
+    // bit-identical to the expression argmin (parity in NativeSpec).
+    // The expression form's 64 struct lambdas evaluate interpreted
+    // and dominate the whole operator's cost (measured ~8 s -> ~1.8 s
+    // at sf0.1). Gated on float element type (the kernel reads
+    // getFloat, like graft_vector_dot); label mapping stays outside
+    // the kernel so sparse post-Lloyd cids survive.
+    val vecIsFloat = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val nativeArgmin = vecIsFloat && Native.enabled(corpus, "graft_pq_argmin")
     def argminCid(s: Int, x: Column): Column =
-      array_min(array(books(s).map { case (cid, c) =>
-        struct(rScore(x, c).as("r"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+      if (nativeArgmin)
+        element_at(lit(books(s).map(_._1).toArray),
+          call_function("graft_pq_argmin", x,
+            lit(books(s).flatMap(_._2.toSeq).toArray), lit(sub)) + 1)
+      else
+        array_min(array(books(s).map { case (cid, c) =>
+          struct(rScore(x, c).as("r"), lit(cid).as("cid"))
+        }: _*)).getField("cid")
     for (_ <- 0 until lloydIters) {
-      // all subspaces share ONE partial-agg shuffle per iteration
-      val assigned = (0 until subspaces).map { s =>
-        corpus.select(lit(s).as("s"),
-          argminCid(s, sliceS(col(vecCol), s)).as("cid"),
-          sliceS(col(vecCol), s).as("sv"))
-      }.reduce(_.union(_))
+      // all subspaces share ONE corpus scan (the 8 per-subspace
+      // assignments ride one exploded struct array) and ONE
+      // partial-agg shuffle per iteration. This fold is only a win
+      // WITH the native argmin: behind the expression argmin the
+      // same explode builds an 8×64-struct mega-projection that
+      // leaves codegen and measured SLOWER (9.1-10.0 s) than eight
+      // union scans (7.9 s); with graft_pq_argmin the projection is
+      // 8 compiled calls and the single scan wins.
+      val assigned =
+        if (nativeArgmin)
+          corpus
+            .select(explode(array((0 until subspaces).map { s =>
+              struct(lit(s).as("s"),
+                argminCid(s, sliceS(col(vecCol), s)).as("cid"),
+                sliceS(col(vecCol), s).as("sv"))
+            }: _*)).as("a"))
+            .select(col("a.s").as("s"), col("a.cid").as("cid"), col("a.sv").as("sv"))
+        else
+          (0 until subspaces).map { s =>
+            corpus.select(lit(s).as("s"),
+              argminCid(s, sliceS(col(vecCol), s)).as("cid"),
+              sliceS(col(vecCol), s).as("sv"))
+          }.reduce(_.union(_))
       val collected = assigned
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
         .select(col("s"), col("cid"), col("d"),

@@ -24,6 +24,27 @@ class NativeSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("graft_pq_argmin equals the struct-argmin expression, ties to lowest index") {
+    val emb = tables.Tables(spark, sfDir).embeddings.limit(64)
+    // a 4-centroid codebook over the first 8 dims, incl. a DUPLICATED
+    // centroid so the tie lands on the lower index both ways
+    val rows = emb.select(slice(col("embedding"), 1, 8).as("x")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val books: Seq[Array[Double]] = Seq(rows(0), rows(1), rows(1), rows(2))
+    def sq(c: Array[Double]) = c.map(v => v * v).sum
+    val exprArgmin = array_min(array(books.zipWithIndex.map { case (c, i) =>
+      struct((lit(sq(c)) - lit(2.0) * vectors.dot(slice(col("embedding"), 1, 8),
+        array(c.map(lit).toSeq: _*))).as("r"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+    val both = emb.select(
+      call_function("graft_pq_argmin", slice(col("embedding"), 1, 8),
+        lit(books.flatMap(_.toSeq).toArray), lit(8)).as("native"),
+      exprArgmin.as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+    // the duplicated centroid's higher index is never selected
+    assert(both.filter(col("native") === 2).count() == 0)
+  }
+
   test("graft_shingle_hashes produces the expected distinct shingle count") {
     val df = Seq("abcdefg", "aaaaaa", "abc", "").toDF("s")
     val got = df.select(size(call_function("graft_shingle_hashes", col("s"), lit(5))))
