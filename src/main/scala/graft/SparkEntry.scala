@@ -728,6 +728,11 @@ object SparkEntry {
         col("source") === "src0", buckets = 4096)
     }),
 
+    "t29_doc_entropy" -> ((s, dir) => {
+      TextAnalysis.docEntropy(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t11_strat_sample" -> ((s, dir) => {
       Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
           "doc_id", "source", "smp",
@@ -2257,6 +2262,26 @@ object SparkEntry {
                    + sr / (CAST(t.r_total AS DOUBLE) + 2048.0)) * 0.5
                   / 0.6931471805599453 * 10000.0 + 0.5) / 10000.0 AS js_bits
           FROM s CROSS JOIN tot t""",
+
+    "t29_doc_entropy" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+          a AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN c <= 1 THEN CAST(0 AS DECIMAL(38,6))
+                    ELSE CAST(CAST(c AS DECIMAL(14,0)) *
+                      CAST(floor(ln(c) * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(18,6)) AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS s,
+                  count(*) AS nd, sum(c) AS n
+                FROM c GROUP BY 1)
+          SELECT t.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+            CASE WHEN a.n IS NULL OR a.n = 0 THEN 0.0
+                 ELSE floor((floor(ln(a.n) * 1000000.0 + 0.5) / 1000000.0
+                             - a.s / a.n) * 1000000.0 + 0.5) / 1000000.0
+            END AS entropy_nats
+          FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""",
 
     "t11_strat_sample" ->
       """WITH b AS (

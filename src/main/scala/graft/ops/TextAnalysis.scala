@@ -207,6 +207,56 @@ object TextAnalysis {
         fround(js / lit(0.6931471805599453), 4).as("js_bits"))
   }
 
+  /** Per-document unigram Shannon entropy over normalized whitespace
+    * tokens — the within-doc diversity/repetitiveness signal beside
+    * [[repetitionSignals]]' max-run and distinct-ratio (a doc looping
+    * through 20 phrases has a high distinct ratio but low entropy;
+    * template spam collapses here first). H = ln n − (Σ c·ln c)/n in
+    * nats, 0 for empty and single-token docs.
+    *
+    * Scale shape: MAP-ONLY — no explode, no (doc, token) shuffle. The
+    * naive form shuffles every token of the corpus twice (token
+    * count agg, then doc agg); this computes each doc's counts with a
+    * linear run-length `aggregate` fold over the SORTED token array
+    * (equal tokens are adjacent, so state = (prev, run, acc) — one
+    * pass, one array_sort per row), which keeps the whole operator in
+    * the scan stage at any corpus size.
+    *
+    * Engine-portable FP (the t18/t28 recipe): each closed run
+    * contributes c · ln₆(c) as EXACT DECIMAL (c integer × 6dp-rounded
+    * ln — a double sum's order dependence could flip 6dp boundaries),
+    * the per-doc total does ONE trailing IEEE division by n, and
+    * H = round₆(ln₆(n) − Σ/n) reproduces bit-for-bit in DuckDB.
+    */
+  def docEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dec = "decimal(38,6)"
+    // Σ-contribution of a closed run of length c: c · ln₆(c); ln(1)=0
+    // and the run=0 sentinel (fold start) contribute nothing
+    def term(run: Column): Column =
+      when(run <= 1L, lit(0).cast(dec))
+        .otherwise((run.cast("decimal(14,0)") *
+          fround(log(run.cast("double")), 6).cast("decimal(18,6)")).cast(dec))
+    val toks = text.tokens(Native.normOf(docs)(col(textCol)))
+    val base = docs.select(col(idCol).as("doc_id"),
+      array_sort(toks).as("s"), size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val folded = aggregate(col("s"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0).cast(dec).as("acc")),
+      (st, x) => struct(
+        x.as("prev"),
+        when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L)).as("run"),
+        when(x === st.getField("prev"), st.getField("acc"))
+          .otherwise((st.getField("acc") + term(st.getField("run"))).cast(dec))
+          .as("acc")),
+      st => (st.getField("acc") + term(st.getField("run"))).cast(dec))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      when(col("n_tokens") === 0L, lit(0.0))
+        .otherwise(fround(fround(log(col("n_tokens").cast("double")), 6) -
+          folded.cast("double") / col("n_tokens").cast("double"), 6))
+        .as("entropy_nats"))
+  }
+
   /** Rolling-hash fingerprints (Rabin-Karp polynomial fold over the
     * normalized text) alongside the md5 content hash — the
     * incremental-fingerprint family for pipelines that maintain

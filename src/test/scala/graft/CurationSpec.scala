@@ -429,4 +429,35 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunkPassages must be map-only:\n$plan")
   }
+
+  test("docEntropy: hand-computed H, degenerate docs, map-only plan") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "a a b"),          // runs a:2 b:1
+      (2L, "x x x x"),        // uniform single token -> H = 0 exactly
+      (3L, "p q r s"),        // all distinct -> H = ln6(4)
+      (4L, ""),               // empty -> all zeros
+      (5L, "z"),              // single token -> H = 0
+      (6L, "A a. b")          // normalizes to doc 1 -> identical row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    // expected values via the operator's own FP recipe: 6dp-rounded ln
+    // terms, exact integer-weighted sum, one trailing division
+    def ln6(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val hAab = r6(ln6(3.0) - (2.0 * ln6(2.0)) / 3.0)
+    assert(got == Seq(
+      Row(1L, 3L, 2L, hAab),
+      Row(2L, 4L, 1L, 0.0),
+      Row(3L, 4L, 4L, r6(ln6(4.0))),
+      Row(4L, 0L, 0L, 0.0),
+      Row(5L, 1L, 1L, 0.0),
+      Row(6L, 3L, 2L, hAab)))
+    // the scale contract: per-doc counts come from the in-row fold,
+    // never a (doc, token) shuffle — the whole operator is one scan
+    val plan = TextAnalysis.docEntropy(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"docEntropy must be map-only:\n$plan")
+  }
 }
