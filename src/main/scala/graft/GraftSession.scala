@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   *    cluster) — Spark's static default of 200 under-partitions big
   *    shuffles and over-partitions local runs. AQE (on by default in
   *    Spark 4) coalesces from there at runtime.
+  *  - `files.minPartitionNum` = shufflePartitions: asks scans of
+  *    small files for at least session-parallelism splits (normally
+  *    a megabytes-sized file is ONE ceil(bytes/maxPartitionBytes)
+  *    task). Advisory and shuffle-free — but it cannot split below a
+  *    parquet ROW GROUP, so a single-row-group file still scans as
+  *    one task regardless; the probes×corpus scoring operators
+  *    (s1/s2/s3/s7) additionally floor their corpus parallelism with
+  *    a conditional repartition (see `Similarity.widen`), which is
+  *    where the single-task artifact actually bit (s7's sf1 scoring:
+  *    47 s on one core of 32).
   */
 object GraftSession {
 
@@ -34,6 +44,7 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -17,6 +17,23 @@ object Similarity {
 
   private def dotOf(df: DataFrame) = Native.dotOf(df)
 
+  /** Floor a corpus input's parallelism at the session default before
+    * a probes×corpus scoring loop. A small parquet file is one row
+    * group, and a row group is one scan split no matter what
+    * `files.minPartitionNum` asks for — so without this, the O(probes
+    * × corpus) map-side scoring stage inherits ONE task (measured:
+    * s7's sf1 scoring ran ~47 s on one core of 32; the arithmetic was
+    * never the cost). The repartition fires only when the input
+    * arrives UNDER-parallel, which by construction means it is tiny —
+    * a corpus big enough to matter at 100 TB already scans as
+    * thousands of splits and passes through untouched, so this never
+    * shuffles real data to fix a local-file artifact.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Top-k rows per query from a scored candidate set, ranked by
     * (cosine desc, neighbor_id asc).
     *
@@ -49,8 +66,9 @@ object Similarity {
     * Probes must be small enough to broadcast (they are, by contract:
     * a query workload, not the corpus).
     */
-  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+  def bruteForceTopK(corpus0: DataFrame, probes: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val corpus = widen(corpus0)
     val dot = dotOf(corpus)
     // Norms computed once per probe / corpus row, not once per pair.
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -85,9 +103,10 @@ object Similarity {
     * shuffle each; empty clusters keep their previous centroid). With
     * nProbe = numCentroids the result equals bruteForceTopK exactly.
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+  def ivfTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
               idCol: String, k: Int, numCentroids: Int = 16,
               nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val corpus = widen(corpus0)
     val dot = dotOf(corpus)
     // tiny deterministic centroid table → driver (numCentroids rows)
     var cents: Array[Array[Float]] = corpus
@@ -197,11 +216,12 @@ object Similarity {
     * planes at 37× wall for 10× rows). Pass an explicit value to pin
     * the layout, as the oracle-replicated s2 query does.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+  def lshTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int,
               numPlanes: Int = 0, bands: Int = 4,
               probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
+    val corpus = widen(corpus0)
     val nPlanes =
       if (numPlanes > 0) numPlanes
       else bands * autoBandBits(corpus.count(), bands)
@@ -351,9 +371,10 @@ object Similarity {
     * projection as literals); scoring is the s1 broadcast-probes
     * pattern with O(subspaces) per pair; ranking rides `graft_topk`.
     */
-  def pqTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+  def pqTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
              idCol: String, k: Int, subspaces: Int = 8,
              codebookSize: Int = 64, lloydIters: Int = 1): DataFrame = {
+    val corpus = widen(corpus0)
     require(subspaces >= 1, s"subspaces must be >= 1, got $subspaces")
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
@@ -456,24 +477,35 @@ object Similarity {
       (0 until subspaces).map(s =>
         argminCid(s, sliceS(col(vecCol), s)).as(s"code_$s")): _*)
     // probe-side ADC tables, position cid (absent cids get a never-
-    // referenced 0.0 filler — codes only ever take surviving cids)
+    // referenced 0 filler — codes only ever take surviving cids).
+    // Entries are stored in MICRO-UNITS (long = 6dp value × 10⁶,
+    // recovered exactly through a decimal multiply): every term is an
+    // exact multiple of 10⁻⁶, so the per-pair accumulation can run as
+    // plain long adds in whole-stage codegen instead of a 9-deep
+    // BigDecimal chain — and double(Σmicro)/10⁶ is the SAME correctly
+    // rounded double as casting the exact-decimal sum (one IEEE
+    // division of an integer-exact numerator either way), so scores,
+    // ranking, and the oracle compare are bit-identical. Measured:
+    // the decimal fold dominated the whole operator at sf1 (the
+    // probes×corpus pair count grows 100× there).
+    def micro(c: Column): Column =
+      (c.cast("decimal(18,6)") * lit(1000000L)).cast("long")
     val p0 = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val tableCols = (0 until subspaces).map { s =>
       val byCid = books(s).toMap
       val entries = (0 to books(s).map(_._1).max).map { cid =>
         byCid.get(cid)
-          .map(c => num.fround(rScore(sliceS(col("qv"), s), c), 6))
-          .getOrElse(lit(0.0))
+          .map(c => micro(num.fround(rScore(sliceS(col("qv"), s), c), 6)))
+          .getOrElse(lit(0L))
       }
       array(entries: _*).as(s"t_$s")
     }
     val pt = p0.select(Seq(col("query_id"),
-      num.fround(dot(col("qv"), col("qv")), 6).as("qq")) ++ tableCols: _*)
+      micro(num.fround(dot(col("qv"), col("qv")), 6)).as("qq")) ++ tableCols: _*)
     val adist = (0 until subspaces)
-      .map(s => element_at(col(s"t_$s"), col(s"code_$s") + 1)
-        .cast("decimal(18,6)"))
-      .foldLeft(col("qq").cast("decimal(18,6)"))(_ + _)
-      .cast("double")
+      .map(s => element_at(col(s"t_$s"), col(s"code_$s") + 1))
+      .foldLeft(col("qq"))(_ + _)
+      .cast("double") / lit(1000000.0)
     val scored = encoded.crossJoin(broadcast(pt))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adist)
