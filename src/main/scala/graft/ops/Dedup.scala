@@ -256,7 +256,9 @@ object Dedup {
       else hashing.charShingleHashes(col("norm"), shingleK)
     // Hash arrays are sorted once per doc so the pairwise verify can
     // use the allocation-free two-pointer intersect kernel.
-    val hashedPlan = docs
+    // Par.widen: shingling + 128 minhashes per doc is the map-heavy
+    // stage — a single-row-group input must not run it on one core.
+    val hashedPlan = Par.widen(docs)
       .select(col(idCol).as("id"), Native.normOf(docs)(col(textCol)).as("norm"))
       .select(col("id"), array_sort(shingles).as("hs"))
     // The doc→hashes table feeds three subplans (banding + both verify
@@ -430,7 +432,7 @@ object Dedup {
     // simhash (0L) would pair every contentless doc with every other,
     // which is evidence-free — same rationale as minhash's
     // empty-shingle drop
-    val hashed = docs.select(col(idCol).as("id"),
+    val hashed = Par.widen(docs).select(col(idCol).as("id"),
         hashing.portableElementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
       .filter(size(col("th")) > 0)
     if (Native.enabled(docs, "graft_simhash64"))
@@ -477,11 +479,12 @@ object Dedup {
     * column bounds the pair count (pairs only form inside a block);
     * callers pick a key that is skew-safe at their scale.
     */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+  def ngramJaccardPairs(docs0: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.4,
                         persistIntermediate: Boolean = true,
                         verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val docs = Par.widen(docs0)
     // Staged normalize → tokens → grams → hashes (per-element lambdas
     // must see attributes — see wordNgramsOfTokens scaladoc). Grams
     // are hashed to longs once per doc (set-isomorphic, so the Jaccard
@@ -543,8 +546,9 @@ object Dedup {
   /** Embedding-cosine near-dup pairs within a blocking column (e.g.
     * a cluster/label id): pairs with cosine >= threshold.
     */
-  def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
+  def embeddingNearDupPairs(embs0: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
+    val embs = Par.widen(embs0)
     import graft.functions.vectors
     // Norms are computed once per row before the pair join — the
     // per-pair work is then a single dot product (not dot + 2 norms).
@@ -603,12 +607,13 @@ object Dedup {
     * `spark.catalog.clearCache()` between pipelines or pass false,
     * same contract as [[minhashPairs]].
     */
-  def embeddingNearDupPairsLsh(embs: DataFrame, vecCol: String, idCol: String,
+  def embeddingNearDupPairsLsh(embs0: DataFrame, vecCol: String, idCol: String,
                                threshold: Double, dim: Int,
                                numPlanes: Int = 0, bands: Int = 6,
                                seed: Long = 42L,
                                persistIntermediate: Boolean = true,
                                verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val embs = Par.widen(embs0)
     // bands is validated FIRST: the modulo below would otherwise throw
     // a bare ArithmeticException (/ by zero) for bands = 0 instead of
     // the intended message
@@ -715,7 +720,7 @@ object Dedup {
                          chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     import graft.functions.text
-    docs
+    Par.widen(docs)
       .select(col(idCol).as("doc_id"),
         text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")))

@@ -17,22 +17,10 @@ object Similarity {
 
   private def dotOf(df: DataFrame) = Native.dotOf(df)
 
-  /** Floor a corpus input's parallelism at the session default before
-    * a probes×corpus scoring loop. A small parquet file is one row
-    * group, and a row group is one scan split no matter what
-    * `files.minPartitionNum` asks for — so without this, the O(probes
-    * × corpus) map-side scoring stage inherits ONE task (measured:
-    * s7's sf1 scoring ran ~47 s on one core of 32; the arithmetic was
-    * never the cost). The repartition fires only when the input
-    * arrives UNDER-parallel, which by construction means it is tiny —
-    * a corpus big enough to matter at 100 TB already scans as
-    * thousands of splits and passes through untouched, so this never
-    * shuffles real data to fix a local-file artifact.
+  /** See [[Par.widen]] — the probes×corpus scoring loops are the
+    * operators where the single-split artifact bit hardest.
     */
-  private def widen(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  private def widen(df: DataFrame): DataFrame = Par.widen(df)
 
   /** Top-k rows per query from a scored candidate set, ranked by
     * (cosine desc, neighbor_id asc).
