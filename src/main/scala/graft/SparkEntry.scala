@@ -733,6 +733,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t30_score_norm" -> ((s, dir) => {
+      // per-language robust (median/IQR) normalization of the t2
+      // quality signal — makes scores comparable across languages
+      // before one global threshold/ranking consumes them
+      val scored = Tables(s, dir).documents.select(col("doc_id"),
+        col("lang"), text.qualityScore(col("text")).as("quality"))
+      TextAnalysis.normalizeScores(scored, "doc_id", "lang", "quality")
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("score").as("quality"), col("norm_score"))
+        .orderBy("doc_id")
+    }),
+
+    "g2_triangles" -> ((s, dir) => {
+      // per-vertex triangle count + clustering coefficient over the
+      // embedding near-dup pair graph (d5's pairs at a looser 0.2
+      // threshold so real cliques form) — degree-ordered
+      // compact-forward, every triangle materialized exactly once
+      val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+        "embedding", "vec_id", "label", threshold = 0.2)
+      Graph.triangleStats(pairs, "id1", "id2")
+        .orderBy("id")
+    }),
+
     "t11_strat_sample" -> ((s, dir) => {
       Curation.stratifiedSample(Tables(s, dir).documents.select("doc_id", "source"),
           "doc_id", "source", "smp",
@@ -977,6 +1000,32 @@ object SparkEntry {
       Enrich.jsonFieldProfile(Tables(s, dir).events, "props",
           "k BIGINT", "k", "event_type")
         .orderBy("grp")
+    }),
+
+    "q31_pit_join" -> ((s, dir) => {
+      // point-in-time lookup over the q27 SCD2 history: every event
+      // recovers the state version in effect at its own timestamp —
+      // equi-join on user_id with the interval bound as a residual
+      // condition, never a range join; each fact matches <= 1 version
+      val e = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      val history = Enrich.scd2History(e, Seq("user_id"), "event_type",
+        "ts_ms", tieCols = Seq("event_id"))
+      val facts = Tables(s, dir).events.select(col("event_id"),
+        col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      Enrich.pitJoin(facts, history, Seq("user_id"), "ts_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("event_type").as("state"), col("version"))
+        .orderBy("event_id")
+    }),
+
+    "q32_rate_anomaly" -> ((s, dir) => {
+      // rolling z-score spike/drop detection on per-minute event rates
+      // — integer window sums make the score engine-exact; the window
+      // runs over the minute ROLLUP, never the event stream
+      Enrich.rateAnomaly(Tables(s, dir).events, "ts", "event_type",
+          windowRows = 20, minPoints = 5, zThreshold = 3.0)
+        .orderBy("grp", "minute_ms")
     })
   )
 
@@ -2283,6 +2332,70 @@ object SparkEntry {
             END AS entropy_nats
           FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""",
 
+    // t2's quality expression + per-lang quantile_cont stats; med/iqr
+    // floor-round at 6dp so the (score-med)/iqr division runs on
+    // BIT-IDENTICAL inputs in both engines (the t18 recipe)
+    "t30_score_norm" ->
+      s"""WITH f AS (
+            SELECT doc_id, lang,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(text)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(text) AS n_chars_raw
+            FROM documents),
+          q AS (
+            SELECT doc_id, lang,
+              floor((
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+                + 0.2 * (1.0 - least((
+                    (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                    + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                  ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+            FROM f),
+          st AS (
+            SELECT lang,
+              floor(quantile_cont(quality, 0.5) * 1000000 + 0.5) / 1000000 AS med,
+              floor((quantile_cont(quality, 0.75) - quantile_cont(quality, 0.25))
+                * 1000000 + 0.5) / 1000000 AS iqr
+            FROM q GROUP BY lang)
+          SELECT q.doc_id, q.lang, q.quality,
+            CASE WHEN st.iqr <= 0.0 THEN 0.0
+              ELSE floor((q.quality - st.med) / st.iqr * 10000 + 0.5) / 10000
+            END AS norm_score
+          FROM q JOIN st USING (lang) ORDER BY q.doc_id""",
+
+    // d5's label-block pair join at threshold 0.2 (denser graph), then
+    // the mechanism-independent triangle truth: ordered 3-way join,
+    // per-node counts via the 3-way projection union
+    "g2_triangles" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2),
+         d AS (SELECT id, count(*) AS deg FROM
+                 (SELECT ida AS id FROM p UNION ALL SELECT idb FROM p)
+               GROUP BY id),
+         t AS (
+           SELECT e1.ida AS w, e1.idb AS x, e2.idb AS y
+           FROM p e1 JOIN p e2 ON e1.idb = e2.ida
+           JOIN p e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
+         tn AS (SELECT id, count(*) AS n_tri FROM
+                  (SELECT w AS id FROM t UNION ALL SELECT x FROM t
+                   UNION ALL SELECT y FROM t)
+                GROUP BY id)
+         SELECT d.id, d.deg, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg < 2 THEN 0.0
+             ELSE floor(2.0 * CAST(coalesce(tn.n_tri, 0) AS DOUBLE)
+               / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)) * 10000 + 0.5) / 10000
+           END AS clust_coef
+         FROM d LEFT JOIN tn USING (id) ORDER BY d.id""",
+
     "t11_strat_sample" ->
       """WITH b AS (
            SELECT doc_id, source,
@@ -2735,6 +2848,72 @@ object SparkEntry {
          SELECT user_id, version, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
          FROM g ORDER BY user_id, version""",
+
+    // q27's history chain + the point-in-time lookup join: each event
+    // matches the unique half-open version interval covering its ts
+    "q31_pit_join" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+           FROM events),
+         c AS (
+           SELECT *, CASE WHEN row_number() OVER w = 1
+                            OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts_ms, event_id, event_type)),
+         v AS (
+           SELECT *, CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id, event_type
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           FROM c),
+         g AS (
+           SELECT user_id, version, min(event_type) AS event_type,
+             min(ts_ms) AS valid_from
+           FROM v GROUP BY 1, 2),
+         h AS (
+           SELECT user_id, version, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+           FROM g)
+         SELECT f.event_id, f.user_id, epoch_ms(f.ts) AS ts_ms,
+           h.event_type AS state, h.version
+         FROM events f LEFT JOIN h ON f.user_id = h.user_id
+           AND epoch_ms(f.ts) >= h.valid_from
+           AND (h.valid_to IS NULL OR epoch_ms(f.ts) < h.valid_to)
+         ORDER BY f.event_id""",
+
+    // the z expression is ONE double tree over exact integer window
+    // sums — written identically on the Spark side (Enrich.rateAnomaly)
+    "q32_rate_anomaly" ->
+      """WITH m AS (
+           SELECT event_type AS grp,
+             epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT grp, minute_ms, cnt,
+             count(*) OVER win AS n,
+             sum(cnt) OVER win AS s,
+             sum(cnt * cnt) OVER win AS s2
+           FROM m
+           WINDOW win AS (PARTITION BY grp ORDER BY minute_ms
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT grp, minute_ms, cnt,
+             CASE WHEN n >= 5 AND
+                 (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) > 0.0
+               THEN floor((CAST(cnt AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE)) * 10000 + 0.5) / 10000
+             END AS z
+           FROM w)
+         SELECT grp, minute_ms, cnt, z,
+           CAST(CASE WHEN z IS NOT NULL AND abs(z) >= 3.0
+                THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+         FROM z ORDER BY grp, minute_ms""",
 
     // the naive per-stage self-join form the Spark operator avoids —
     // correct semantics, so it serves as the oracle: stage k = min ts

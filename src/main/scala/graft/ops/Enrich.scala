@@ -143,6 +143,98 @@ object Enrich {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
   }
 
+  /** Point-in-time (temporal lookup) join: attach to each fact row the
+    * dimension version in effect at the fact's timestamp — the
+    * consumer of [[scd2History]]'s output ("what was the entity's
+    * state when this event happened"), and the lookup that makes a
+    * type-2 history useful. A fact matches the unique interval with
+    * `valid_from <= ts` and (`valid_to` NULL or `ts < valid_to`);
+    * facts before a key's first version (or with an unknown key) keep
+    * NULL enrichment via the left join.
+    *
+    * Scale shape: an EQUI-join on the dimension keys with the
+    * interval predicate as a RESIDUAL condition — never a range/theta
+    * join (q25's binning exists for the no-equi-key case; here the
+    * key carries the join). Versions of one key are consecutive
+    * half-open intervals, so each fact matches at most ONE history
+    * row and output cardinality = fact cardinality; empty intervals
+    * (two changes at one timestamp) match nothing by the strict
+    * upper bound. The shuffle keys on the high-cardinality dim key;
+    * a dim-sized history broadcasts under AQE like any dim table.
+    *
+    * History columns are prefixed internally so a history derived
+    * from the fact table itself (self-lineage) joins without
+    * ambiguous-attribute resolution.
+    */
+  def pitJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+              tsCol: String): DataFrame = {
+    require(history.columns.contains("valid_from") &&
+      history.columns.contains("valid_to"),
+      "history must carry valid_from/valid_to (the scd2History contract)")
+    val pre = "graft_h_"
+    val h = history.select(history.columns.map(c => col(c).as(pre + c)): _*)
+    val cond = keys.map(k => col(k) <=> col(pre + k)).reduce(_ && _) &&
+      col(tsCol) >= col(pre + "valid_from") &&
+      (col(pre + "valid_to").isNull || col(tsCol) < col(pre + "valid_to"))
+    val enriched = history.columns
+      .filterNot(c => keys.contains(c) || c == "valid_to")
+    facts.join(h, cond, "left")
+      .select(facts.columns.map(col) ++
+        enriched.map(c => col(pre + c).as(c)): _*)
+  }
+
+  /** Rolling z-score anomaly detection over per-minute event rates —
+    * the pipeline-health monitor ("did the crawler/source spike or
+    * die?") every ingestion pipeline runs beside its real queries.
+    * Each (group, minute) rate is scored against the TRAILING
+    * `windowRows` observed minutes (current row excluded, so a spike
+    * can't mask itself); |z| >= `zThreshold` flags the row. Minutes
+    * with fewer than `minPoints` trailing observations score NULL
+    * (cold start), as do zero-variance windows.
+    *
+    * Engine-portable determinism: the window aggregates are INTEGER
+    * sums (n, Σcnt, Σcnt²) — exact under any partitioning — and
+    * mean/variance/z are derived in ONE double expression from those
+    * exact integers, so there is no FP accumulation order anywhere;
+    * z floor-rounds at 4dp and the flag tests the ROUNDED value.
+    *
+    * Scale shape: the corpus-sized work is the minute rollup (one
+    * partial-agg shuffle); the window runs over the ROLLUP (rows =
+    * active minutes × groups — time-bounded, not corpus-bounded),
+    * partitioned by group. Sparse series: the trailing frame spans
+    * the last `windowRows` ACTIVE minutes (empty minutes emit no
+    * rollup row); densify upstream if gaps must count as zero.
+    */
+  def rateAnomaly(df: DataFrame, tsCol: String, groupCol: String,
+                  windowRows: Int = 20, minPoints: Int = 5,
+                  zThreshold: Double = 3.0): DataFrame = {
+    require(windowRows >= 2 && minPoints >= 2,
+      s"windowRows/minPoints must each be >= 2, got $windowRows/$minPoints")
+    val rollup = df
+      .groupBy(col(groupCol).as("grp"),
+        unix_millis(date_trunc("minute", col(tsCol))).as("minute_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("minute_ms")
+      .rowsBetween(-windowRows, -1)
+    val scored = rollup
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+    // variance written EXACTLY as the oracle writes it: one expression
+    // tree over exact integers, no intermediate accumulation
+    val varExpr = (col("s2").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+      (col("n") - 1).cast("double")
+    val zExpr = graft.functions.num.fround(
+      (col("cnt").cast("double") - col("s").cast("double") / col("n").cast("double")) /
+        sqrt(varExpr), 4)
+    scored
+      .withColumn("z", when(col("n") >= minPoints && varExpr > 0.0, zExpr))
+      .withColumn("anomaly",
+        when(col("z").isNotNull && abs(col("z")) >= zThreshold, 1L).otherwise(0L))
+      .select("grp", "minute_ms", "cnt", "z", "anomaly")
+  }
+
   /** Typed extraction from a semi-structured JSON string column +
     * grouped numeric profile — the "parse the event payload" step
     * every telemetry pipeline runs before real analytics (the

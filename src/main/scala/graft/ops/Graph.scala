@@ -318,6 +318,70 @@ object Graph {
     state
   }
 
+  /** Per-vertex triangle count + local clustering coefficient over an
+    * undirected pair table — the density diagnostics of a near-dup /
+    * entity-match graph (a high-coefficient vertex sits inside a dense
+    * duplicate clique; a high-degree, zero-triangle vertex is a hub
+    * linking unrelated docs — usually boilerplate worth inspecting
+    * before cluster-collapsing with [[clusterDedup]]).
+    *
+    * Algorithm: degree-ordered compact-forward (the MapReduce-standard
+    * form). Edges canonicalize to min<max and dedup; each edge then
+    * ORIENTS from its (degree, id)-smaller endpoint to the larger, so
+    * every vertex's out-degree is O(sqrt(E)) regardless of hubs — the
+    * skew bound that makes the wedge join safe at scale (a raw wedge
+    * join on an N-degree hub is N² rows; oriented, a hub receives
+    * edges instead of emitting them). Wedges form on one self-join of
+    * the oriented edges grouped by the pivot (the triangle's
+    * (deg,id)-min vertex), close on one more equi-join against the
+    * oriented edge set, and every triangle materializes EXACTLY once
+    * as (pivot, x, y). Per-vertex counts are one explode + partial-agg
+    * shuffle; coefficient = 2T / (deg · (deg−1)) floor-rounded 4dp
+    * (degree < 2 → 0.0). Output: one row per vertex incident to at
+    * least one edge.
+    */
+  def triangleStats(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import graft.functions.num.fround
+    val e = pairs
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient: (deg, id)-smaller endpoint -> larger; carry the dst's
+    // (deg, id) so the wedge join can keep x strictly before y in the
+    // SAME total order the closing edge is oriented by
+    val withDeg = e
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val oriented = withDeg.select(
+      when(struct(col("da").as("d"), col("a").as("i")) < struct(col("db").as("d"), col("b").as("i")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(struct(col("da").as("d"), col("a").as("i")) < struct(col("db").as("d"), col("b").as("i")), col("b"))
+        .otherwise(col("a")).as("dst"),
+      when(struct(col("da").as("d"), col("a").as("i")) < struct(col("db").as("d"), col("b").as("i")),
+          struct(col("db").as("d"), col("b").as("i")))
+        .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("dk"))
+      // three consumers (both wedge sides + the closing join) — pin the
+      // oriented edge table once so the degree joins don't run 3x
+      .localCheckpoint(true)
+    val tri = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dk") < col("o2.dk"))
+      .select(col("o1.src").as("w"), col("o1.dst").as("x"), col("o2.dst").as("y"))
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val triPerNode = tri
+      .select(explode(array(col("w"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          fround(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")), 4))
+          .as("clust_coef"))
+  }
+
   /** Cluster-level dedup verdict from a pair table: every vertex with
     * its component, the component size, and keep = 1 for the one
     * canonical (min-id) member. Component sizes come from a window

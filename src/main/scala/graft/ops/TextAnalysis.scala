@@ -399,6 +399,44 @@ object TextAnalysis {
         fround(q(0.95), 4).as("p95"))
   }
 
+  /** Per-group ROBUST normalization of a numeric quality signal:
+    * norm = (x − median) / IQR within each group — the step that makes
+    * per-language (or per-source) quality scores COMPARABLE before a
+    * single global threshold, ranking, or mixing pass consumes them
+    * (raw score distributions differ by language; a global cut
+    * over-prunes whichever group scores low). Median/IQR rather than
+    * mean/stddev so a heavy tail of spam can't drag the center.
+    *
+    * Degenerate groups (IQR = 0 — constant or near-constant scores)
+    * normalize to 0.0 rather than NULL/∞: every doc sits AT the
+    * center, which is what "no spread" means for a downstream ranker.
+    *
+    * Engine portability: median/quartiles are exact `percentile`
+    * (linear interpolation — DuckDB's quantile_cont, the t10 recipe),
+    * floor-rounded at 6dp; the normalized score derives in one double
+    * expression from those rounded stats and floor-rounds at 4dp.
+    *
+    * Scale shape: stats are one partial-agg shuffle grouped by the
+    * BOUNDED group key (exact percentile buffers per-group values —
+    * fine for bounded groups; swap approx_percentile past that, the
+    * t10 trade); the stats table is |groups| rows and broadcast-joins
+    * back; the normalization itself is map-side.
+    */
+  def normalizeScores(scored: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val stats = scored.groupBy(col(groupCol).as("grp"))
+      .agg(fround(percentile(col(scoreCol), lit(0.5)), 6).as("med"),
+        fround(percentile(col(scoreCol), lit(0.75)) -
+          percentile(col(scoreCol), lit(0.25)), 6).as("iqr"))
+    scored.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(scoreCol).as("score"))
+      .join(broadcast(stats), Seq("grp"))
+      .select(col("id"), col("grp"), col("score"),
+        when(col("iqr") <= 0.0, lit(0.0))
+          .otherwise(fround((col("score") - col("med")) / col("iqr"), 4))
+          .as("norm_score"))
+  }
+
   /** Unigram-LM mean negative log-likelihood per document — the
     * CCNet/KenLM-style "how surprising is this text under an in-domain
     * language model" quality signal, with the model reduced to unigram

@@ -120,6 +120,73 @@ class OperatorSpec extends AnyFunSuite {
       (1L, 3L, "a", 40L, -1L), (2L, 1L, "x", 15L, -1L)))
   }
 
+  test("pitJoin attaches the version in effect; NULL before first / unknown key") {
+    import spark.implicits._
+    val log = Seq((1L, "a", 10L, 1L), (1L, "b", 30L, 2L), (2L, "x", 5L, 3L))
+      .toDF("user_id", "v", "ts_ms", "event_id")
+    val history = Enrich.scd2History(log, Seq("user_id"), "v", "ts_ms",
+      tieCols = Seq("event_id"))
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 29L),
+      (103L, 1L, 30L), (104L, 1L, 99L), (105L, 9L, 50L))
+      .toDF("fact_id", "user_id", "ts_ms")
+    val got = Enrich.pitJoin(facts, history, Seq("user_id"), "ts_ms")
+      .orderBy("fact_id")
+      .select("fact_id", "v", "version").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (100L, "-", -1L),       // before the key's first version
+      (101L, "a", 1L),        // at valid_from (inclusive)
+      (102L, "a", 1L),        // strictly below the next valid_from
+      (103L, "b", 2L),        // boundary ts belongs to the NEW version
+      (104L, "b", 2L),        // open current version
+      (105L, "-", -1L)))      // unknown key
+  }
+
+  test("rateAnomaly flags a spike; cold-start and zero-variance windows score NULL") {
+    import spark.implicits._
+    // minutes 1..10 alternate 4/6 events (mean 5, var 10/9), minute 11
+    // spikes to 50; trailing stats exclude the current row
+    val rows = (1 to 10).flatMap { m =>
+      val cnt = if (m % 2 == 1) 4 else 6
+      Seq.fill(cnt)((m.toLong, "a"))
+    } ++ Seq.fill(50)((11L, "a"))
+    val df = rows.toDF("m", "grp")
+      .select((col("m") * 60).cast("timestamp").as("ts"), col("grp"))
+    val got = Enrich.rateAnomaly(df, "ts", "grp", windowRows = 20,
+        minPoints = 5, zThreshold = 3.0)
+      .orderBy("minute_ms")
+      .select("cnt", "z", "anomaly").collect()
+    // minutes 1..5: fewer than 5 trailing points -> NULL, no flag
+    (0 until 5).foreach { i => assert(got(i).isNullAt(1) && got(i).getLong(2) == 0L) }
+    // minute 6 scores against 5 points; minute 11 is the spike
+    assert(!got(5).isNullAt(1))
+    val n = 10.0; val s = 50.0; val s2 = 260.0
+    val varr = (s2 - s * s / n) / (n - 1)
+    val want = math.floor((50.0 - s / n) / math.sqrt(varr) * 10000 + 0.5) / 10000
+    assert(got(10).getDouble(1) == want && got(10).getLong(2) == 1L)
+    // constant-rate series: zero variance -> NULL z, never a flag
+    val const = (1 to 8).flatMap(m => Seq.fill(3)((m.toLong, "c"))).toDF("m", "grp")
+      .select((col("m") * 60).cast("timestamp").as("ts"), col("grp"))
+    val gz = Enrich.rateAnomaly(const, "ts", "grp", windowRows = 20,
+      minPoints = 5, zThreshold = 3.0)
+    assert(gz.filter(col("z").isNotNull).count() == 0)
+    assert(gz.filter(col("anomaly") =!= 0L).count() == 0)
+  }
+
+  test("normalizeScores: robust center/spread per group; IQR=0 group collapses to 0.0") {
+    import spark.implicits._
+    val df = Seq((1L, "g1", 0.0), (2L, "g1", 1.0), (3L, "g1", 2.0),
+      (4L, "g1", 3.0), (5L, "g1", 4.0),
+      (6L, "g2", 7.0), (7L, "g2", 7.0), (8L, "g2", 7.0))
+      .toDF("doc_id", "grp", "score")
+    val got = TextAnalysis.normalizeScores(df, "doc_id", "grp", "score")
+      .orderBy("id").select("id", "norm_score").as[(Long, Double)].collect().toSeq
+    // g1: med 2, iqr (p75 - p25) = 2 -> (x - 2) / 2
+    assert(got == Seq((1L, -1.0), (2L, -0.5), (3L, 0.0), (4L, 0.5), (5L, 1.0),
+      (6L, 0.0), (7L, 0.0), (8L, 0.0)))
+  }
+
   test("zValue interleaves bits and orders tiles; known values") {
     import spark.implicits._
     import graft.functions.num

@@ -275,4 +275,34 @@ class GraphWinnowSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("triangleStats: known graph, canonicalized input, exactly-once counting") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on 1 + isolated edge 5-6; input is
+    // messy on purpose: duplicates, reversed direction, a self-loop
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (5L, 6L), (6L, 6L))
+      .toDF("id1", "id2")
+    val got = Graph.triangleStats(pairs, "id1", "id2")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 0.3333),   // 2*1/(3*2)
+      (2L, 2L, 1L, 1.0),
+      (3L, 2L, 1L, 1.0),
+      (4L, 1L, 0L, 0.0),
+      (5L, 1L, 0L, 0.0),
+      (6L, 1L, 0L, 0.0)))
+  }
+
+  test("triangleStats: total triangle count on the K4 clique is 4, each vertex in 3") {
+    import spark.implicits._
+    val pairs = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("id1", "id2")
+    val got = Graph.triangleStats(pairs, "id1", "id2").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0)
+    }
+  }
 }
