@@ -1026,6 +1026,51 @@ object SparkEntry {
       Enrich.rateAnomaly(Tables(s, dir).events, "ts", "event_type",
           windowRows = 20, minPoints = 5, zThreshold = 3.0)
         .orderBy("grp", "minute_ms")
+    }),
+
+    "d17_containment" -> ((s, dir) => {
+      // DIRECTIONAL subset-dup detection: containment of the smaller
+      // gram set — the signal symmetric Jaccard (d4) is blind to when
+      // a doc is quoted whole inside a much larger page
+      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id",
+          col("source"), threshold = 0.5)
+        .orderBy("id_sub", "id_sup")
+    }),
+
+    "g3_label_prop" -> ((s, dir) => {
+      // deterministic synchronous label propagation over the same pair
+      // graph as g2 — community structure FINER than d7's components:
+      // LPA splits a hub-fused hairball at its sparse cuts where CC
+      // merges everything reachable
+      val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+        "embedding", "vec_id", "label", threshold = 0.2)
+      Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+        .orderBy("id")
+    }),
+
+    "s9_range_search" -> ((s, dir) => {
+      // radius query: ALL neighbors above a cosine floor — a pure map
+      // over the corpus scan, no ranking state at all
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.rangeSearch(emb, probes, "embedding", "vec_id", 0.25)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    "t31_weighted_sample" -> ((s, dir) => {
+      // quality-weighted per-language top-k sample: deterministic A-ES
+      // order under a hash-derived u — inclusion ∝ weight, no RNG
+      val scored = Tables(s, dir).documents.select(col("doc_id"),
+        col("lang"), text.qualityScore(col("text")).as("quality"))
+      Curation.weightedSample(scored, "doc_id", "lang", "quality", "ws", 20)
+        .orderBy("grp", "rank")
+    }),
+
+    "t32_source_overlap" -> ((s, dir) => {
+      // source-versus-source n-gram containment matrix — the corpus
+      // audit that catches mirrored/re-crawled sources before mixing
+      TextAnalysis.sourceOverlap(Tables(s, dir).documents, "text", "source")
+        .orderBy("grp_a", "grp_b")
     })
   )
 
@@ -2962,7 +3007,133 @@ object SparkEntry {
              ON ev.t_ms >= win.start_ms AND ev.t_ms < win.start_ms + 600000)
          SELECT incident_id, start_ms, count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms"""
+         FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms""",
+
+    // d4's gram machinery, but DIRECTED: each unordered pair emits up
+    // to two containment rows (inter/|sub|); gram-less docs excluded
+    // (no containment evidence), 4dp floor-round before the threshold
+    "d17_containment" ->
+      s"""WITH prep AS (
+            SELECT doc_id, source AS block,
+              list_distinct(list_transform(range(1, len(${toksSql(normSql)}) - 1),
+                i -> concat_ws(' ', ${toksSql(normSql)}[i], ${toksSql(normSql)}[i+1], ${toksSql(normSql)}[i+2]))) AS grams
+            FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+              len(a.grams) AS n1, len(b.grams) AS n2
+            FROM prep a JOIN prep b ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE len(a.grams) > 0 AND len(b.grams) > 0),
+          d AS (
+            SELECT id1 AS id_sub, id2 AS id_sup,
+              floor(inter / n1 * 10000 + 0.5) / 10000 AS containment FROM pairs
+            UNION ALL
+            SELECT id2, id1, floor(inter / n2 * 10000 + 0.5) / 10000 FROM pairs)
+          SELECT id_sub, id_sup, containment FROM d
+          WHERE containment >= 0.5 ORDER BY id_sub, id_sup""",
+
+    // g2's pair graph; 3 SYNCHRONOUS vote rounds unrolled — argmax by
+    // (vote count DESC, label ASC), labels init to the vertex id
+    "g3_label_prop" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2),
+         ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p),
+         l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS label FROM ed),
+         v1 AS (SELECT ed.dst AS id, l.label, count(*) AS c FROM ed JOIN l0 l ON ed.src = l.id GROUP BY 1, 2),
+         l1 AS (SELECT id, label FROM (SELECT id, label,
+             row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+         v2 AS (SELECT ed.dst AS id, l.label, count(*) AS c FROM ed JOIN l1 l ON ed.src = l.id GROUP BY 1, 2),
+         l2 AS (SELECT id, label FROM (SELECT id, label,
+             row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+         v3 AS (SELECT ed.dst AS id, l.label, count(*) AS c FROM ed JOIN l2 l ON ed.src = l.id GROUP BY 1, 2),
+         l3 AS (SELECT id, label FROM (SELECT id, label,
+             row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM v3) WHERE rn = 1),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM l3 GROUP BY label)
+         SELECT l3.id, l3.label, sz.n_members FROM l3 JOIN sz USING (label) ORDER BY id""",
+
+    // brute-force radius truth: every (probe, corpus) pair above the
+    // floor; filter on the UNROUNDED cosine, 4dp round on output (d5)
+    "s9_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+         s AS (
+           SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM p JOIN e c ON p.vec_id <> c.vec_id)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine FROM s
+         WHERE cos >= 0.25 ORDER BY query_id, neighbor_id""",
+
+    // t30's quality CTEs as the WEIGHT; u from the 60-bit md5 fold of
+    // (doc_id:ws), A-ES key = 6dp-floor-rounded ln(u) / w, top-20 per
+    // lang by (skey DESC, doc_id); weight <= 0 rows excluded
+    "t31_weighted_sample" ->
+      s"""WITH f AS (
+            SELECT doc_id, lang,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(text)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(text) AS n_chars_raw
+            FROM documents),
+          q AS (
+            SELECT doc_id, lang,
+              floor((
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+                + 0.2 * (1.0 - least((
+                    (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                    + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                  ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+            FROM f),
+          h AS (
+            SELECT doc_id, lang, quality,
+              list_reduce(list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), i, 1)) - 1 AS BIGINT)),
+                (acc, dg) -> acc * 16 + dg) AS hv
+            FROM q WHERE quality > 0.0),
+          s AS (
+            SELECT lang AS grp, doc_id AS id,
+              floor(ln(CAST(hv + 1 AS DOUBLE) / 1152921504606846976.0) * 1000000 + 0.5)
+                / 1000000 / quality AS skey
+            FROM h),
+          r AS (SELECT grp, id, skey,
+            row_number() OVER (PARTITION BY grp ORDER BY skey DESC, id) AS rank FROM s)
+          SELECT grp, CAST(rank AS INTEGER) AS rank, id,
+            floor(skey * 1000000 + 0.5) / 1000000 AS skey
+          FROM r WHERE rank <= 20 ORDER BY grp, rank""",
+
+    // distinct (source, gram) set → self-join on the gram key; the
+    // groups x groups frame keeps zero-overlap cells as 0.0
+    "t32_source_overlap" ->
+      s"""WITH t AS (
+            SELECT source AS grp, ${toksSql(normSql)} AS toks FROM documents),
+          g AS (
+            SELECT grp, list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+            FROM t),
+          gs AS (SELECT DISTINCT grp, unnest(grams) AS gm FROM g),
+          totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_a FROM gs GROUP BY grp),
+          shared AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM gs a JOIN gs b ON a.gm = b.gm AND a.grp <> b.grp
+            GROUP BY 1, 2),
+          frame AS (
+            SELECT ta.grp AS grp_a, tb.grp AS grp_b, ta.n_a
+            FROM totals ta JOIN totals tb ON ta.grp <> tb.grp)
+          SELECT grp_a, grp_b, n_a,
+            coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+            floor(CAST(coalesce(n_shared, 0) AS DOUBLE) / CAST(n_a AS DOUBLE) * 10000 + 0.5)
+              / 10000 AS containment
+          FROM frame LEFT JOIN shared USING (grp_a, grp_b)
+          ORDER BY grp_a, grp_b"""
   )
 
   /** Shared CTE chain for the c1/c2/d11 oracles: k-means init (4

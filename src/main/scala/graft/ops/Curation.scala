@@ -157,6 +157,62 @@ object Curation {
       .drop("stratum", "graft_thr")
   }
 
+  /** WEIGHTED sampling without replacement, deterministic: the top-k
+    * rows per group under the A-ES order (Efraimidis & Spirakis, IPL
+    * 97(5), 2006) — each row draws u ∈ (0,1] and ranks by u^(1/w), so
+    * inclusion probability is proportional to weight w without any
+    * second pass over the corpus. The curation shape: "sample 10k
+    * docs per language, biased toward quality" — where an unweighted
+    * split (t8/t11) treats a spam page and a textbook alike.
+    *
+    * Engine-portable and RNG-free (the t8/t11/t13 contract): u is NOT
+    * a random draw but the 60-bit md5-fold of (id:salt) scaled to
+    * (0,1] — a pure function of the row key, so the sample is stable
+    * across runs, engines, partitionings, and corpus growth. Ranking
+    * uses the monotone-equivalent key ln(u)/w (descending): same
+    * order as u^(1/w), but needs only the t18 portable-ln recipe
+    * (6dp-floor-rounded ln on a bit-identical u; the one trailing
+    * division is a single IEEE op on identical inputs) instead of a
+    * cross-engine pow. Rows with weight <= 0 are EXCLUDED — the
+    * w → 0 limit of u^(1/w) is "never sampled", and a negative weight
+    * has no sampling meaning.
+    *
+    * Scale shape: key math is map-only; per-group top-k rides the
+    * `graft_topk` bounded aggregate (partial-agg, fixed k-row state
+    * per task — never a per-group sort of the corpus) with the
+    * window fallback for extension-less sessions. Output:
+    * (grp, rank, id, skey 6dp), rank 1..k by (skey desc, id).
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.num.fround
+    val h = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    // u = (h+1)/2^60 ∈ (0,1]: the int→double conversion rounds the
+    // same way (IEEE nearest-even) in every engine, the division is
+    // an exact power-of-two scale
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val scored = df
+      .filter(col(weightCol) > 0.0)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        (fround(log(u), 6) / col(weightCol)).as("skey"))
+    if (Native.enabled(df, "graft_topk")) {
+      scored.groupBy("grp")
+        .agg(call_function("graft_topk", col("skey"), col("id"), lit(k)).as("topk"))
+        .select(col("grp"), posexplode(col("topk")))
+        .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"), fround(col("col.score"), 6).as("skey"))
+    } else {
+      val w = Window.partitionBy("grp").orderBy(col("skey").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("grp"), col("rank").cast("int").as("rank"), col("id"),
+          fround(col("skey"), 6).as("skey"))
+    }
+  }
+
   /** Deterministic training-order shuffle: a reproducible global
     * order decorrelated from ingest order (the "shuffle the corpus
     * before training" step), with no RNG and no global sort.

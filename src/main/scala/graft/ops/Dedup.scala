@@ -543,6 +543,77 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** DIRECTIONAL n-gram containment pairs: (id_sub, id_sup) where
+    * |grams(sub) ∩ grams(sup)| / |grams(sub)| >= threshold — the
+    * SUBSET-duplicate detector Jaccard is blind to. A doc quoted
+    * whole inside a 10x-larger page has Jaccard ~0.1 against it (the
+    * union is dominated by the big doc) but containment ~1.0; dedup
+    * pipelines drop the contained copy and keep the superset, which
+    * plain d4-style symmetric similarity never flags.
+    *
+    * Same staged machinery as [[ngramJaccardPairs]] (normalize →
+    * tokens → hashed grams, candidates on a slim projection within
+    * `blockCol`, size-gated verify join, native two-pointer
+    * intersect) with TWO deliberate differences:
+    *  - NO size prefilter in the candidate join: containment of the
+    *    smaller side is feasible at ANY size ratio (that asymmetry is
+    *    the point), so gram-count bounds prune nothing — the blocking
+    *    column is the sole candidate gate.
+    *  - each unordered candidate pair is intersected ONCE, then
+    *    emitted as up to two DIRECTED rows (a⊂b and/or b⊂a), so the
+    *    expensive verify work is never doubled.
+    * Both containments floor-round to 4dp before the threshold test
+    * (integer-ratio values land on .xxxx5 boundaries — d4's recipe).
+    */
+  def containmentPairs(docs0: DataFrame, textCol: String, idCol: String,
+                       blockCol: Column, n: Int = 3,
+                       threshold: Double = 0.8,
+                       persistIntermediate: Boolean = true,
+                       verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val docs = Par.widen(docs0)
+    val prepared =
+      if (Native.enabled(docs, "graft_ngram_hashes"))
+        docs.select(col(idCol).as("id"), blockCol.as("block"),
+            text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+          .select(col("id"), col("block"),
+            array_sort(call_function("graft_ngram_hashes", col("toks"), lit(n))).as("grams"))
+      else docs
+        .select(col(idCol).as("id"), blockCol.as("block"),
+          text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+        .select(col("id"), col("block"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
+        .select(col("id"), col("block"), array_sort(hashing.elementHashes(col("g"))).as("grams"))
+    val grams =
+      if (persistIntermediate)
+        prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prepared
+    // gram-less docs (shorter than n tokens) have no containment
+    // evidence either way — candidates need both sides non-empty
+    val slim = grams.select(col("id"), col("block"))
+      .where(size(col("grams")) > 0)
+    val candidates = slim.as("a").join(slim.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val verified = candidates
+      .join(verifyHinted(grams.select(col("id"), col("grams")), verifyBroadcast).as("h1"),
+        col("id1") === col("h1.id"))
+      .join(verifyHinted(grams.select(col("id"), col("grams")), verifyBroadcast).as("h2"),
+        col("id2") === col("h2.id"))
+      .withColumn("inter",
+        Dedup.intersectSize(docs, col("h1.grams"), col("h2.grams")).cast("double"))
+    import graft.functions.num.fround
+    val c12 = fround(col("inter") / size(col("h1.grams")).cast("double"), 4)
+    val c21 = fround(col("inter") / size(col("h2.grams")).cast("double"), 4)
+    verified
+      .select(explode(array(
+        struct(col("id1").as("id_sub"), col("id2").as("id_sup"), c12.as("containment")),
+        struct(col("id2").as("id_sub"), col("id1").as("id_sup"), c21.as("containment"))))
+        .as("r"))
+      .select(col("r.id_sub"), col("r.id_sup"), col("r.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g.
     * a cluster/label id): pairs with cosine >= threshold.
     */

@@ -396,4 +396,67 @@ object Graph {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("keep", when(col("id") === col("component"), 1).otherwise(0))
   }
+
+  /** COMMUNITY detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76:036106, 2007) — the
+    * finer-than-components view of a near-dup / entity graph:
+    * connected components merge everything a chain of pairs touches
+    * (one boilerplate hub fuses unrelated clusters into a giant
+    * component), while LPA splits such a component at its sparse cuts,
+    * because a vertex adopts the label its NEIGHBORHOOD votes for, not
+    * the min of everything reachable.
+    *
+    * Determinism (classic LPA is run-order random — useless for a
+    * reproducible pipeline or a SQL oracle): updates are SYNCHRONOUS
+    * (iteration i+1 reads only iteration i's labels — no intra-round
+    * order), the tie-break is fixed (max neighbor-vote count, then
+    * SMALLEST label), and the round count is a parameter rather than
+    * a convergence test, so the output is a pure function of
+    * (graph, iters). Labels init to the vertex id.
+    *
+    * Per round: one join shuffle (each directed edge delivers its
+    * src's current label to dst) + one partial-agg shuffle per vote
+    * count + one partial-agg argmax per vertex via
+    * `max(struct(count, -label))` — O(E) traffic, no windows, no
+    * driver state; `localCheckpoint` every `checkpointEvery` rounds
+    * bounds lineage exactly like [[pageRank]]. Vertices = edge
+    * endpoints (an isolated doc is its own community by definition).
+    *
+    * Returns (id, label, n_members): the converged-after-`iters`
+    * community label and its community size.
+    */
+  def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3, checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // canonicalize + dedup so a pair listed twice (or in both
+    // directions) votes once per direction, then expand to directed
+    // edges; checkpoint once — the edge table feeds every round
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var state = e.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id"))
+    for (i <- 1 to iters) {
+      val votes = e.join(state, col("src") === col("id"))
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (vote count, smallest label): struct compare is
+      // positional, so negating the label turns lexicographic max
+      // into the (max count, min label) rule
+      val next = votes.groupBy(col("vid").as("id"))
+        .agg(max(struct(col("c").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+      state =
+        if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
+        else next
+    }
+    val sizes = state.groupBy("label").agg(count(lit(1)).as("n_members"))
+    state.join(sizes, Seq("label")).select("id", "label", "n_members")
+  }
 }

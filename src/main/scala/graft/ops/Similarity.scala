@@ -70,6 +70,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** RADIUS search: every corpus neighbor with cosine >= `minCosine`
+    * for each probe — the "find ALL matches above a floor" twin of
+    * [[bruteForceTopK]] (top-k bounds the answer count; a radius
+    * query bounds the answer QUALITY, the shape retrieval-augmented
+    * filtering and near-dup probe checks want). Same scale posture as
+    * s1: probes broadcast (a query workload, not the corpus), corpus
+    * scanned once map-side, norms computed once per row — and NO
+    * ranking stage at all: the result is a filter, so the operator is
+    * a pure map over the corpus scan with no shuffle, no window, no
+    * top-k state. Emits (query_id, neighbor_id, cosine 4dp).
+    */
+  def rangeSearch(corpus0: DataFrame, probes: DataFrame, vecCol: String,
+                  idCol: String, minCosine: Double): DataFrame = {
+    val corpus = widen(corpus0)
+    val dot = dotOf(corpus)
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+    val nn = col("qn") * col("cn")
+    c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dot(col("qv"), col("cv")) / nn))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Engine-portable deterministic sample order: an affine map over a
     * prime modulus decorrelates selection from id order (a low-id
     * prefix is a biased "sample" on any corpus where id correlates

@@ -145,6 +145,61 @@ object TextAnalysis {
       .agg(distinctAgg.as("n_vocab"), count(lit(1)).as("n_tokens"))
   }
 
+  /** CROSS-GROUP n-gram overlap matrix: for every ordered pair of
+    * groups (A, B), how much of A's distinct n-gram vocabulary also
+    * appears in B — containment |G_A ∩ G_B| / |G_A|. The
+    * source-versus-source contamination diagnostic a corpus audit
+    * runs before mixing: a high A→B containment with a low B→A says
+    * "A is mostly a subset of B" (a mirror or re-crawl — weight one
+    * of them down in t26's mixture), and eval→train containment is
+    * the corpus-level early-warning d6 then pins to specific doc
+    * pairs.
+    *
+    * Shape: grams hash to longs once (d4's machinery), dedup to the
+    * distinct (group, gram) set (one partial-agg shuffle), self-join
+    * on the GRAM key — per-gram fan-out is bounded by #groups, so the
+    * join is O(distinct grams × groups²) worst case, never
+    * corpus-quadratic; pair counts and group totals are bounded-size
+    * aggregates. The zero-overlap pairs are kept (a 0.0 cell is the
+    * finding "these sources share nothing"), via a groups×groups
+    * frame from the bounded totals table. Output: (grp_a, grp_b,
+    * n_a = |G_A|, n_shared, containment 4dp) for every A ≠ B.
+    */
+  def sourceOverlap(docs0: DataFrame, textCol: String, groupCol: String,
+                    n: Int = 3): DataFrame = {
+    val docs = Par.widen(docs0)
+    val prepared =
+      if (Native.enabled(docs, "graft_ngram_hashes"))
+        docs.select(col(groupCol).as("grp"),
+            text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+          .select(col("grp"),
+            call_function("graft_ngram_hashes", col("toks"), lit(n)).as("grams"))
+      else docs
+        .select(col(groupCol).as("grp"),
+          text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+        .select(col("grp"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
+        .select(col("grp"), graft.functions.hashing.elementHashes(col("g")).as("grams"))
+    val gset = prepared
+      .select(col("grp"), explode(col("grams")).as("g")).distinct()
+    val totals = gset.groupBy("grp").agg(count(lit(1)).as("n_a"))
+    val shared = gset.as("a")
+      .join(gset.as("b"), col("a.g") === col("b.g") && col("a.grp") =!= col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // groups×groups frame from the bounded totals table (broadcast
+    // non-equi join on |groups| rows — same class as the 1-row stats
+    // crossJoins elsewhere), so empty intersections surface as 0.0
+    val frame = totals.as("ta")
+      .join(broadcast(totals.as("tb")), col("ta.grp") =!= col("tb.grp"))
+      .select(col("ta.grp").as("grp_a"), col("tb.grp").as("grp_b"),
+        col("ta.n_a").as("n_a"))
+    frame.join(shared, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"), col("n_a"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        fround(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_a").cast("double"), 4).as("containment"))
+  }
+
   /** Token-distribution drift between a corpus slice and the rest —
     * the Jensen-Shannon divergence a data pipeline watches between
     * ingest batches, sources, or time windows to catch a crawler or

@@ -460,4 +460,74 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"docEntropy must be map-only:\n$plan")
   }
+
+  /** Independent reimplementation of the A-ES key for the test: the
+    * 60-bit md5 fold of (id:salt) → u in (0,1] → 6dp-rounded ln / w.
+    */
+  private def aesKey(id: Long, salt: String, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val u = (h + 1L).toDouble / 1152921504606846976.0
+    math.floor(math.log(u) * 1e6 + 0.5) / 1e6 / w
+  }
+
+  test("weightedSample ranks by the A-ES key; non-positive weights excluded") {
+    val df = Seq(
+      (1L, "g", 5.0), (2L, "g", 1.0), (3L, "g", 2.0),
+      (4L, "g", 0.0), (5L, "g", -1.0), (6L, "g", 1.0)
+    ).toDF("id", "grp", "w")
+    val eligible = Seq(1L -> 5.0, 2L -> 1.0, 3L -> 2.0, 6L -> 1.0)
+    val expected = eligible
+      .map { case (id, w) => (id, aesKey(id, "ws", w)) }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(3)
+      .zipWithIndex
+      .map { case ((id, k), i) =>
+        ("g", i + 1, id, math.floor(k * 1e6 + 0.5) / 1e6) }
+    val got = Curation.weightedSample(df, "id", "grp", "w", "ws", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // k past the eligible count returns all eligible rows, never a
+    // zero/negative-weight id
+    val all = Curation.weightedSample(df, "id", "grp", "w", "ws", 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("weightedSample: native topk path equals the window fallback") {
+    val df = Seq.tabulate(40) { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 0.5 + (i % 7) * 0.3)
+    }.toDF("id", "grp", "w")
+    val native = Curation.weightedSample(df, "id", "grp", "w", "s", 5)
+      .orderBy("grp", "rank").collect().toSeq
+    spark.conf.set("graft.native.disabled", "true")
+    val fallback =
+      try Curation.weightedSample(df, "id", "grp", "w", "s", 5)
+        .orderBy("grp", "rank").collect().toSeq
+      finally spark.conf.unset("graft.native.disabled")
+    assert(native == fallback)
+  }
+
+  test("sourceOverlap: hand-computed containment matrix incl. zero cells") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "A"),   // dup doc: must not inflate n_a
+      (3L, "alpha beta gamma epsilon", "B"),
+      (4L, "one two three", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceOverlap(docs, "text", "source")
+      .orderBy("grp_a", "grp_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // A = {alpha beta gamma, beta gamma delta}, B = {alpha beta gamma,
+    // beta gamma epsilon}, C = {one two three}; A∩B = 1 gram
+    assert(got == Seq(
+      ("A", "B", 2L, 1L, 0.5), ("A", "C", 2L, 0L, 0.0),
+      ("B", "A", 2L, 1L, 0.5), ("B", "C", 2L, 0L, 0.0),
+      ("C", "A", 1L, 0L, 0.0), ("C", "B", 1L, 0L, 0.0)))
+  }
 }

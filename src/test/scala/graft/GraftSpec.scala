@@ -313,6 +313,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(s => s(0) >= s(1)))
   }
 
+  test("containmentPairs flags the subset-dup symmetric Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = "one two three four five six seven " + small +
+      " eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, small, "s"),               // 3 grams, all inside doc 2
+      (2L, big, "s"),                 // 15 grams
+      (3L, "unrelated totally different words here", "s"),
+      (4L, small, "t")                // identical to 1 but other block
+    ).toDF("doc_id", "text", "block")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", col("block"),
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the DIRECTED row survives: 1 ⊂ 2 at 3/3 = 1.0; the reverse
+    // direction is 3/15 = 0.2, and Jaccard (0.2) would miss the pair
+    // entirely at this threshold; block 't' never pairs with 's'
+    assert(got == Seq((1L, 2L, 1.0)))
+    val loose = Dedup.containmentPairs(docs, "text", "doc_id", col("block"),
+        threshold = 0.2)
+      .orderBy("id_sub", "id_sup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(loose == Seq((1L, 2L, 1.0), (2L, 1L, 0.2)))
+  }
+
+  test("rangeSearch returns every neighbor above the floor, map-only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.rangeSearch(corpus, probes, "embedding", "vec_id", 0.5)
+      .orderBy("neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // self excluded; cos(0,1)=1, cos(0,4)=1/sqrt(2); 2 and 3 below floor
+    assert(got == Seq((0L, 1L, 1.0), (0L, 4L, 0.7071)))
+    // a radius query is a filter, not a ranking: no shuffle anywhere
+    val plan = Similarity.rangeSearch(corpus, probes, "embedding", "vec_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"rangeSearch must not shuffle:\n$plan")
+  }
+
   test("ivfTopK with nProbe = numCentroids equals brute force exactly") {
     import spark.implicits._
     val emb = Tables(spark, sfDir).embeddings

@@ -305,4 +305,42 @@ class GraphWinnowSpec extends AnyFunSuite {
       assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0)
     }
   }
+
+  test("labelPropagation: barbell graph splits at the bridge; hand-traced 3 rounds") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by the bridge 3-10.
+    // Connected components would merge all six; synchronous LPA with
+    // the (max votes, min label) rule hand-traces to communities
+    // {1,2,3}->1 and {10,11,12}->3 after round 3.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("id1", "id2")
+    val got = Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 3L, 3L), (11L, 3L, 3L), (12L, 3L, 3L)))
+    // ONE component under CC — the communities are genuinely finer
+    val cc = Graph.connectedComponents(pairs, "id1", "id2")
+      .select("comp").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("labelPropagation is invariant to edge direction, duplication, and iters=0 is identity") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("id1", "id2")
+    // reversed + duplicated edge list must not change a single label
+    // (canonicalize + distinct makes votes direction/count-blind)
+    val messy = pairs.select(col("id2").as("id1"), col("id1").as("id2"))
+      .unionAll(pairs).unionAll(pairs)
+    val a = Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+      .orderBy("id").collect().toSeq
+    val b = Graph.labelPropagation(messy, "id1", "id2", iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // zero rounds: every endpoint keeps its own id as label
+    val z = Graph.labelPropagation(pairs, "id1", "id2", iters = 0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(z == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(i => (i, i)))
+  }
 }
