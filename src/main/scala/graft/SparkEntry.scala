@@ -1057,6 +1057,15 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    "s10_knn_graph" -> ((s, dir) => {
+      // corpus-wide top-5 neighbor graph over d8's pinned 24-plane /
+      // 6-band LSH blocking — candidate generation AND the symmetric
+      // per-vertex ranking are both oracle-replicated
+      Similarity.knnGraph(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 5, dim = 64, numPlanes = 24, bands = 6)
+        .orderBy("id", "rank")
+    }),
+
     "t31_weighted_sample" -> ((s, dir) => {
       // quality-weighted per-language top-k sample: deterministic A-ES
       // order under a hash-derived u — inclusion ∝ weight, no RNG
@@ -3054,6 +3063,38 @@ object SparkEntry {
              row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM v3) WHERE rn = 1),
          sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM l3 GROUP BY label)
          SELECT l3.id, l3.label, sz.n_members FROM l3 JOIN sz USING (label) ORDER BY id""",
+
+    // d8's band-replication chain, then each undirected candidate
+    // feeds BOTH endpoints and ranks (cosine DESC, neighbor) per id
+    "s10_knn_graph" -> {
+      val sigTerms = sigTermsSql(24)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2),
+          sym AS (
+            SELECT id1 AS id, id2 AS nb, cos FROM scored
+            UNION ALL SELECT id2, id1, cos FROM scored),
+          r AS (
+            SELECT id, nb, cos,
+              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
+            FROM sym)
+          SELECT id, CAST(rank AS INTEGER) AS rank, nb AS neighbor_id,
+            round(cos, 4) AS cosine
+          FROM r WHERE rank <= 5 ORDER BY id, rank"""
+    },
 
     // brute-force radius truth: every (probe, corpus) pair above the
     // floor; filter on the UNROUNDED cosine, 4dp round on output (d5)

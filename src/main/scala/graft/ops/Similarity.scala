@@ -279,6 +279,86 @@ object Similarity {
     topKPerQuery(cands, k)
   }
 
+  /** Corpus-wide k-NN GRAPH: every vector's top-k cosine neighbors —
+    * the building block graph-based curation consumes (SemDeDup-style
+    * cluster graphs, density sampling, g1/g2/g3 edge lists) when no
+    * similarity THRESHOLD is known a priori: top-k per vertex is
+    * density-adaptive where a fixed threshold (d8) over-connects
+    * dense modes and strands sparse ones.
+    *
+    * This is corpus × corpus, so the scale posture is the whole
+    * design: candidates come from d8's hyperplane band equi-join
+    * (only (id, band) travels — never vectors), each undirected
+    * candidate pair scores its exact cosine ONCE, the pair then feeds
+    * BOTH endpoints' rankings via a union, and per-vertex top-k rides
+    * the `graft_topk` bounded aggregate (fixed k-row state per task —
+    * shuffle volume O(k · vertices · partitions), never a
+    * per-vertex sort of the candidate set) with the window fallback.
+    * No broadcast of anything corpus-sized, no cross product.
+    *
+    * `numPlanes <= 0` derives band bits from the corpus count
+    * ([[autoBandBits]] — the scale-safe default); pass an explicit
+    * layout to pin it, as the oracle-replicated query does. A vertex
+    * whose buckets are all singletons gets NO rows (an isolated
+    * vector has no LSH-visible neighbors; raise bands / lower bits
+    * for more recall — the s2/s5 recall harness measures the trade).
+    * Output: (id, rank, neighbor_id, cosine 4dp), rank 1..<=k by
+    * (cosine desc, neighbor_id).
+    */
+  def knnGraph(corpus0: DataFrame, vecCol: String, idCol: String, k: Int,
+               dim: Int, numPlanes: Int = 0, bands: Int = 6,
+               seed: Long = 42L,
+               persistIntermediate: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val corpus = widen(corpus0)
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else bands * autoBandBits(corpus.count(), bands)
+    require(nPlanes % bands == 0 && nPlanes <= 63,
+      s"numPlanes ($nPlanes) must be a multiple of bands ($bands) and <= 63")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bitsPerBand = nPlanes / bands
+    val dot = dotOf(corpus)
+    val sigOf: Column => Column =
+      if (Native.enabled(corpus, "graft_hyperplane_sig"))
+        v => call_function("graft_hyperplane_sig",
+          v, lit(planes.flatten.toArray), lit(dim))
+      else v => vectors.hyperplaneSig(v, planes)
+    val preparedPlan = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+      .withColumn("sig", sigOf(col("v")))
+    // feeds the band join once and the verify join twice
+    val prepared =
+      if (persistIntermediate)
+        preparedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else preparedPlan
+    val bandCols = (0 until bands).map { bn =>
+      struct(lit(bn).as("b"),
+        shiftrightunsigned(col("sig"), bn * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1).as("v"))
+    }
+    val banded = prepared.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val vecs = prepared.select(col("id"), col("v"), col("nrm"))
+    val nn = col("h1.nrm") * col("h2.nrm")
+    val scored = candidates
+      .join(vecs.as("h1"), col("id1") === col("h1.id"))
+      .join(vecs.as("h2"), col("id2") === col("h2.id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dot(col("h1.v"), col("h2.v")) / nn))
+      .select(col("id1"), col("id2"), col("cosine"))
+    val sym = scored
+      .select(col("id1").as("query_id"), col("id2").as("neighbor_id"),
+        col("cosine"))
+      .unionAll(scored.select(col("id2").as("query_id"),
+        col("id1").as("neighbor_id"), col("cosine")))
+    topKPerQuery(sym, k).withColumnRenamed("query_id", "id")
+  }
+
   /** Per-query recall@k of an approximate ANN result against exact
     * ground truth — the eval harness every approximate index needs
     * before it replaces the exact path (you don't ship an LSH/IVF

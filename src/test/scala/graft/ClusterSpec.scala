@@ -251,4 +251,38 @@ class ClusterSpec extends AnyFunSuite {
       .orderBy("rank").collect().toSeq
     assert(a == b)
   }
+
+  test("knnGraph: ranking structure, no self-loops, symmetric scoring, fallback parity") {
+    import graft.ops.Similarity
+    val g = Similarity.knnGraph(embs, "embedding", "vec_id", k = 5,
+      dim = 64, numPlanes = 24, bands = 6)
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, _, nb, _) => id != nb }, "self-loop")
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length).toSeq,
+        s"ranks for $id not contiguous")
+      assert(rs.length <= 5)
+      val cs = sorted.map(_._4)
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"cosine not non-increasing for $id")
+    }
+    // the pair scores once but feeds both endpoints: if b is a's
+    // rank-1 neighbor with cosine c, then (b, a) carries the same c
+    // somewhere in b's list OR was outranked by 5 better neighbors —
+    // check the top-1 edges of the densest vertices survive reversed
+    val edge = rows.map { case (id, _, nb, c) => ((id, nb), c) }.toMap
+    val mutual = rows.filter { case (id, _, nb, _) => edge.contains((nb, id)) }
+    assert(mutual.forall { case (id, _, nb, c) => edge((nb, id)) == c },
+      "reversed edge must carry the identical cosine")
+    // native bounded-aggregate ranking == window fallback
+    val native = g.orderBy("id", "rank").collect().toSeq
+    val fb = withNativeDisabled {
+      Similarity.knnGraph(embs, "embedding", "vec_id", k = 5,
+        dim = 64, numPlanes = 24, bands = 6).orderBy("id", "rank").collect().toSeq
+    }
+    assert(native == fb)
+  }
 }
