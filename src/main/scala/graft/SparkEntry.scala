@@ -1028,6 +1028,15 @@ object SparkEntry {
         .orderBy("grp", "minute_ms")
     }),
 
+    "q33_retention" -> ((s, dir) => {
+      // cohort = first-purchase day; activity = any event; the
+      // (cohort, offset) grid prices as two partial aggs + one
+      // co-partitioned user join — never a per-cohort rescan
+      Enrich.retentionCohorts(Tables(s, dir).events, "ts", "user_id",
+          col("event_type") === "purchase")
+        .orderBy("cohort_ms", "offset_days")
+    }),
+
     "d17_containment" -> ((s, dir) => {
       // DIRECTIONAL subset-dup detection: containment of the smaller
       // gram set — the signal symmetric Jaccard (d4) is blind to when
@@ -3017,6 +3026,20 @@ object SparkEntry {
          SELECT incident_id, start_ms, count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms""",
+
+    "q33_retention" ->
+      """WITH f AS (
+           SELECT user_id, epoch_ms(date_trunc('day', min(ts))) AS cohort_ms
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         ua AS (
+           SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms
+           FROM events),
+         j AS (
+           SELECT f.cohort_ms,
+             CAST((ua.day_ms - f.cohort_ms) // 86400000 AS INTEGER) AS offset_days
+           FROM ua JOIN f USING (user_id) WHERE ua.day_ms >= f.cohort_ms)
+         SELECT cohort_ms, offset_days, CAST(count(*) AS BIGINT) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY cohort_ms, offset_days""",
 
     // d4's gram machinery, but DIRECTED: each unordered pair emits up
     // to two containment rows (inter/|sub|); gram-less docs excluded

@@ -292,4 +292,46 @@ object Enrich {
         seqCols.map(c => col(s"graft_last.$c").as(c)) ++
         payloadCols.map(c => col(s"graft_last.$c").as(c)): _*)
   }
+
+  /** COHORT RETENTION matrix: users grouped by the day of their first
+    * `anchor` event (the cohort), counted on each subsequent day any
+    * activity occurred — the (cohort day, day offset) → active-users
+    * grid every product/ops dashboard draws, and the
+    * pipeline-freshness analog ("of sources first seen on day D, how
+    * many still deliver at D+k"). Rows: (cohort_ms, offset_days,
+    * n_users); a user contributes at offset k iff they had ANY event
+    * exactly k days after their cohort day (offset 0 always exists:
+    * the anchor event itself is activity). Users who never fire the
+    * anchor are absent — they have no cohort.
+    *
+    * Scale shape — this is the "don't rescan history per cell" form:
+    * 1. cohort anchor = one partial-agg shuffle keyed user
+    *    (`min(day)` over the anchor-filtered scan);
+    * 2. activity dedups to distinct (user, day) — a second partial
+    *    agg, collapsing the event stream to at most users × days rows
+    *    BEFORE any join;
+    * 3. both sides are then keyed by user, so the join co-partitions
+    *    (one exchange each, no re-shuffle), and the final (cohort,
+    *    offset) count is a partial agg on a BOUNDED key grid
+    *    (days × days). No windows, no distinct-count state, no
+    *    per-cohort scans.
+    * Day arithmetic is integer millis on UTC day-truncated stamps, so
+    * offsets are engine-exact.
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String, userCol: String,
+                       anchorFilter: Column): DataFrame = {
+    val dayMs = (c: Column) => unix_millis(date_trunc("day", c))
+    val firsts = events.filter(anchorFilter)
+      .groupBy(col(userCol).as("uid"))
+      .agg(min(dayMs(col(tsCol))).as("cohort_ms"))
+    val activity = events
+      .select(col(userCol).as("uid"), dayMs(col(tsCol)).as("day_ms"))
+      .distinct()
+    activity.join(firsts, "uid")
+      .filter(col("day_ms") >= col("cohort_ms"))
+      .groupBy(col("cohort_ms"),
+        ((col("day_ms") - col("cohort_ms")) / lit(86400000L))
+          .cast("int").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -78,4 +78,33 @@ class FunnelSpec extends AnyFunSuite {
     assert(hashEx <= 2, s"expected a single reused hash exchange, plan:\n$plan")
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
+
+  test("retentionCohorts: hand-computed grid; pre-cohort activity and anchorless users excluded") {
+    import graft.ops.Enrich
+    val day = 86400000L
+    def ts(d: Int) = new java.sql.Timestamp(d * day + 3600_000L) // 01:00 UTC on day d
+    val events = Seq(
+      // u1: purchase day 1; active days 1, 2, 5 → offsets 0, 1, 4
+      (1L, "purchase", ts(1)), (1L, "view", ts(2)), (1L, "click", ts(5)),
+      // u2: purchase day 2; day-1 activity is PRE-cohort → only 0, 1
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "view", ts(3)),
+      // u2 twice on day 3: distinct (user, day) counts once
+      (2L, "click", ts(3)),
+      // u3: never purchases → no cohort, absent entirely
+      (3L, "view", ts(1)), (3L, "view", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Enrich.retentionCohorts(events, "ts", "user_id",
+        col("event_type") === "purchase")
+      .orderBy("cohort_ms", "offset_days").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1 * day, 0, 1L), (1 * day, 1, 1L), (1 * day, 4, 1L),
+      (2 * day, 0, 1L), (2 * day, 1, 1L)))
+    // scale contract: partial aggs + one user join, never a window or
+    // a per-cohort pass
+    val plan = Enrich.retentionCohorts(events, "ts", "user_id",
+      col("event_type") === "purchase").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"retentionCohorts must not window:\n$plan")
+    assert(plan.contains("partial"), s"expected partial aggregation:\n$plan")
+  }
 }
