@@ -193,6 +193,91 @@ object EventStream {
       }
   }
 
+  case class RateEvent(event_type: String, ts: Timestamp)
+  case class RateState(pending: Map[Long, Long], hist: List[Long], lastMin: Long)
+  case class RateOut(grp: String, minute_ms: Long, cnt: Long,
+                     z: Option[Double], anomaly: Long)
+
+  /** Streaming rate-anomaly detection (streaming q32_rate_anomaly):
+    * per-minute event counts per group, z-scored against the trailing
+    * `windowRows` EMITTED minutes — the spike/drop monitor running on
+    * the live stream instead of the rollup table.
+    *
+    * A minute bucket [m, m+60s) SEALS once the watermark reaches
+    * m+60s: every row of the bucket has ts < m+60s, and Spark's late
+    * filter drops rows strictly older than the watermark, so no
+    * further arrival can change the count — emission is deterministic
+    * under replay (the [[runningAvg]] contract). Sealed minutes emit
+    * in minute order, so the trailing history SEEN by each z-score is
+    * exactly the batch form's `rowsBetween(-windowRows, -1)` over the
+    * minute rollup: minutes with no events are skipped in both.
+    * z replicates `Enrich.rateAnomaly`'s integer-sum expression
+    * bit-for-bit (exact Long sums, one double expression, 4dp
+    * floor-round), so batch↔stream parity is cell-exact.
+    *
+    * State per group = unsealed minute counts (bounded by lateness:
+    * the watermark constantly seals) + `windowRows` trailing Longs;
+    * groups idle past `evictAfterMs` of event time are evicted.
+    * Works on batch datasets too (no watermark — everything seals,
+    * the exact q32 semantics).
+    */
+  def rateAnomalyStream(events: Dataset[RateEvent], windowRows: Int = 20,
+                        minPoints: Int = 5, zThreshold: Double = 3.0,
+                        watermarkDelay: String = "10 minutes",
+                        evictAfterMs: Long = 3600 * 1000L): Dataset[RateOut] = {
+    require(windowRows >= 2 && minPoints >= 2,
+      s"windowRows/minPoints must each be >= 2, got $windowRows/$minPoints")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (grp: String, rows: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val prev = state.getOption.getOrElse(RateState(Map.empty, Nil, Long.MinValue))
+          val pending = rows.foldLeft(prev.pending) { (m, e) =>
+            val k = math.floorDiv(e.ts.getTime, 60000L) * 60000L
+            m + (k -> (m.getOrElse(k, 0L) + 1L))
+          }
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (ripe0, rest) = pending.partition { case (m, _) => m + 60000L <= wm }
+          val ripe = ripe0.toList.sortBy(_._1)
+          var hist = prev.hist // most-recent-first emitted counts
+          val out = ripe.map { case (m, cnt) =>
+            val frame = hist.take(windowRows)
+            val n = frame.length
+            val zOpt =
+              if (n >= minPoints) {
+                // one double expression over exact integer sums — the
+                // batch varExpr/zExpr tree, identically associated
+                val s = frame.sum.toDouble
+                val s2 = frame.map(c => c * c).sum.toDouble
+                val vr = (s2 - s * s / n) / (n - 1).toDouble
+                if (vr > 0.0)
+                  Some(math.floor((cnt.toDouble - s / n) / math.sqrt(vr)
+                    * 10000.0 + 0.5) / 10000.0)
+                else None
+              } else None
+            hist = (cnt :: hist).take(windowRows)
+            RateOut(grp, m, cnt, zOpt,
+              if (zOpt.exists(z => math.abs(z) >= zThreshold)) 1L else 0L)
+          }
+          val lastMin = if (ripe.nonEmpty) ripe.last._1 else prev.lastMin
+          val idle = rest.isEmpty &&
+            lastMin != Long.MinValue && wm >= lastMin + evictAfterMs
+          if (state.hasTimedOut && idle) state.remove()
+          else {
+            state.update(RateState(rest, hist, lastMin))
+            if (streaming) state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                if (rest.nonEmpty) rest.keys.min + 60000L
+                else if (lastMin != Long.MinValue) lastMin + evictAfterMs
+                else wm + evictAfterMs))
+          }
+          out.iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long, ts: Timestamp,
                         event_type: String)
   case class FunnelState(pending: List[(Long, Long, String)],

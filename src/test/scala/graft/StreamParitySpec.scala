@@ -176,6 +176,58 @@ class StreamParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parity: rateAnomalyStream — streamed sealed minutes equal the batch z-scores") {
+    import graft.streaming.EventStream.{RateEvent, RateOut}
+    import graft.ops.Enrich
+    def m(i: Int) = t0 + i * 60000L
+    // per-minute counts: a = [1,2,3,2,5,2] on minutes 0..5 (the 5 is
+    // the planted spike), b = [2,_,_,4,1] with real GAPS (trailing
+    // frames must skip missing minutes, as the batch rollup window
+    // does); events spread inside each minute
+    def burst(grp: String, minute: Long, n: Int): Seq[(String, Long)] =
+      (0 until n).map(j => (grp, minute + 1000L * (j + 1)))
+    val real = burst("a", m(0), 1) ++ burst("a", m(1), 2) ++
+      burst("a", m(2), 3) ++ burst("a", m(3), 2) ++ burst("a", m(4), 5) ++
+      burst("a", m(5), 2) ++
+      burst("b", m(0), 2) ++ burst("b", m(3), 4) ++ burst("b", m(4), 1)
+    val batchDf = real.map { case (g, t) => (ts(t), g) }.toDF("ts", "event_type")
+    def normBatch = Enrich.rateAnomaly(batchDf, "ts", "event_type",
+        windowRows = 4, minPoints = 3, zThreshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))).toSet
+    val batch = normBatch
+    // the planted spike must actually trip the detector in batch truth
+    assert(batch.exists { case (g, mm, _, _, a) => g == "a" && a == 1L },
+      s"expected an anomaly in $batch")
+
+    val mst = MemoryStream[RateEvent]
+    val q = EventStream.rateAnomalyStream(mst.toDS(), windowRows = 4,
+        minPoints = 3, zThreshold = 2.0, watermarkDelay = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_rate").start()
+    def ev(g: String, t: Long) = RateEvent(g, ts(t))
+    try {
+      // batch 1: minutes 0-3 delivered shuffled (one m3 row held back)
+      val b1 = (burst("a", m(2), 3) ++ burst("a", m(0), 1) ++
+        burst("b", m(3), 4) ++ burst("a", m(3), 1) ++ burst("a", m(1), 2) ++
+        burst("b", m(0), 2)).map { case (g, t) => ev(g, t) }
+      mst.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: the LATE m3 straggler (inside lateness) + minutes 4-5
+      mst.addData((burst("a", m(3), 2).drop(1) ++ burst("a", m(4), 5) ++
+        burst("b", m(4), 1) ++ burst("a", m(5), 2))
+        .map { case (g, t) => ev(g, t) }: _*)
+      q.processAllAvailable()
+      // flush: a far-future group drives the watermark past everything
+      mst.addData(ev("zz_flush", m(100)))
+      q.processAllAvailable()
+      val streamed = spark.table("par_rate").as[RateOut].collect()
+        .filter(_.grp != "zz_flush")
+        .map(r => (r.grp, r.minute_ms, r.cnt, r.z, r.anomaly)).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
