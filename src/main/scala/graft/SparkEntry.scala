@@ -1028,6 +1028,24 @@ object SparkEntry {
         .orderBy("grp", "minute_ms")
     }),
 
+    "m4_binary_dedup" -> ((s, dir) => {
+      // byte-exact payload dedup — the first rung of multimodal dedup
+      // (same image under ten URLs); only the 32-hex digest shuffles
+      val docs = Tables(s, dir).documents
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.payloadDedup(docs, "payload", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q34_active_users" -> ((s, dir) => {
+      // DAU/WAU/stickiness: sliding-window distinct users WITHOUT
+      // window distinct state — bounded x7 explode over the
+      // (user, day) dedup, then plain partial-agg counts
+      Enrich.activeUsers(Tables(s, dir).events, "ts", "user_id")
+        .orderBy("day_ms")
+    }),
+
     "q33_retention" -> ((s, dir) => {
       // cohort = first-purchase day; activity = any event; the
       // (cohort, offset) grid prices as two partial aggs + one
@@ -3026,6 +3044,30 @@ object SparkEntry {
          SELECT incident_id, start_ms, count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms""",
+
+    // md5 of the UTF-8 text bytes == md5 of the encoded payload, so
+    // the oracle fingerprints the text directly
+    "m4_binary_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         c AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp)
+         SELECT f.doc_id, f.fp, c.canonical_id,
+           CAST(CASE WHEN f.doc_id <> c.canonical_id THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         FROM f JOIN c USING (fp) ORDER BY f.doc_id""",
+
+    "q34_active_users" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts)) AS d
+           FROM events),
+         dau AS (SELECT d AS day_ms, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY d),
+         cover AS (
+           SELECT DISTINCT user_id, d + 86400000 * o AS w
+           FROM ud, (SELECT unnest(range(7)) AS o)),
+         wau AS (SELECT w AS day_ms, CAST(count(*) AS BIGINT) AS wau
+                 FROM cover GROUP BY w)
+         SELECT day_ms, dau, wau,
+           floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000 AS stickiness
+         FROM dau JOIN wau USING (day_ms) ORDER BY day_ms""",
 
     "q33_retention" ->
       """WITH f AS (

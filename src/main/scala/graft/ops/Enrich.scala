@@ -318,6 +318,41 @@ object Enrich {
     * Day arithmetic is integer millis on UTC day-truncated stamps, so
     * offsets are engine-exact.
     */
+  /** DAU / WAU active-user counts with stickiness (DAU/WAU) per day —
+    * the engagement panel, and the distinct-count-over-sliding-window
+    * problem done WITHOUT window distinct-count state: a user active
+    * on day d contributes to the 7 window-end days d..d+6, so WAU
+    * falls out of a bounded explode (×7) + dedup + partial-agg count.
+    * The event stream first collapses to distinct (user, day) — at
+    * most users × days rows — so the explode never touches raw
+    * events. No windows, no per-day rescans, no approximate sketch
+    * needed (though t19's HLL swap-in applies if users × days
+    * itself is the bottleneck). Rows = days with ≥ 1 active user
+    * (a silent day has no DAU row by definition). Day math is
+    * integer millis on UTC-truncated stamps.
+    */
+  def activeUsers(events: DataFrame, tsCol: String, userCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("uid"),
+        unix_millis(date_trunc("day", col(tsCol))).as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d").as("day_ms"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("uid"),
+        explode(sequence(lit(0), lit(6))).as("o"),
+        col("d"))
+      .select(col("uid"), (col("d") + col("o").cast("long") * lit(86400000L)).as("w"))
+      .distinct()
+      .groupBy(col("w").as("day_ms"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day_ms")
+      .select(col("day_ms"), col("dau"), col("wau"),
+        graft.functions.num.fround(
+          col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+  }
+
   def retentionCohorts(events: DataFrame, tsCol: String, userCol: String,
                        anchorFilter: Column): DataFrame = {
     val dayMs = (c: Column) => unix_millis(date_trunc("day", c))

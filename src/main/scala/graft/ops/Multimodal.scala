@@ -181,4 +181,25 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** BYTE-EXACT payload dedup — the multimodal analog of d1: identical
+    * binary payloads (the same image re-crawled under ten URLs, the
+    * same PDF mirrored across sites) collapse on their md5, keeping
+    * the LOWEST-id occurrence as canonical. Exact-bytes is the first
+    * dedup rung of every image/audio pipeline (perceptual/embedding
+    * near-dup — d5/d8's job — only runs on what survives it).
+    *
+    * Scale shape: the fingerprint is map-side (one md5 per payload;
+    * only the 32-hex digest + id travel — payloads NEVER shuffle);
+    * canonical = one partial-agg `min(id)` shuffle keyed by digest;
+    * the verdict join is on the same key, so Catalyst reuses the
+    * exchange. Output: (id, fp, canonical_id, is_dup 0/1).
+    */
+  def payloadDedup(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), md5(col(payloadCol)).as("fp"))
+    val firsts = fps.groupBy("fp").agg(min(col("id")).as("canonical_id"))
+    fps.join(firsts, "fp")
+      .select(col("id"), col("fp"), col("canonical_id"),
+        when(col("id") =!= col("canonical_id"), 1).otherwise(0).as("is_dup"))
+  }
 }

@@ -79,6 +79,23 @@ class FunnelSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
 
+  test("activeUsers: hand-computed DAU/WAU incl. the 7-day boundary and gaps") {
+    import graft.ops.Enrich
+    val day = 86400000L
+    def ts(d: Int) = new java.sql.Timestamp(d * day + 1000L)
+    val events = Seq(
+      (1L, ts(1)), (2L, ts(1)), (1L, ts(1)),   // day 1: u1 twice, u2
+      (1L, ts(2)),                             // day 2: u1
+      (3L, ts(9))                              // day 9: u3 (d2 is 7 days back — OUTSIDE)
+    ).toDF("user_id", "ts")
+    val got = Enrich.activeUsers(events, "ts", "user_id")
+      .orderBy("day_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // WAU(d1)={u1,u2}; WAU(d2)=d(-4..2) window={u1,u2}; WAU(d9)=d3..9={u3}
+    assert(got == Seq(
+      (1 * day, 2L, 2L, 1.0), (2 * day, 1L, 2L, 0.5), (9 * day, 1L, 1L, 1.0)))
+  }
+
   test("retentionCohorts: hand-computed grid; pre-cohort activity and anchorless users excluded") {
     import graft.ops.Enrich
     val day = 86400000L

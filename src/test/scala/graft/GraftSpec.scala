@@ -368,6 +368,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("payloadDedup: identical bytes collapse to the lowest id; payloads never shuffle") {
+    import spark.implicits._
+    val docs = Seq((5L, "same bytes"), (2L, "same bytes"), (9L, "unique"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val got = Multimodal.payloadDedup(docs, "payload", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((2L, 2L, 0), (5L, 2L, 1), (9L, 9L, 0)))
+    // scale contract: only (id, digest) reaches the exchange
+    val plan = Multimodal.payloadDedup(docs, "payload", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.filter(_.contains("Exchange"))
+      .exists(_.contains("payload")), s"payload must not shuffle:\n$plan")
+  }
+
   test("frameSample emits strided frames; resizeStub shrinks by factor") {
     import spark.implicits._
     val df = Seq((7L, "ab" * 2048)).toDF("doc_id", "text") // 4096 bytes
