@@ -1102,6 +1102,14 @@ object SparkEntry {
         .orderBy("grp", "rank")
     }),
 
+    "t33_pmi" -> ((s, dir) => {
+      // windowed co-occurrence PMI: map-only pair formation, partial
+      // aggs, minCount prune before the unigram joins, TakeOrdered
+      TextAnalysis.pmiPairs(Tables(s, dir).documents, "text",
+          window = 3, minCount = 5L, topN = 50)
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+    }),
+
     "t32_source_overlap" -> ((s, dir) => {
       // source-versus-source n-gram containment matrix — the corpus
       // audit that catches mirrored/re-crawled sources before mixing
@@ -3215,6 +3223,35 @@ object SparkEntry {
           SELECT grp, CAST(rank AS INTEGER) AS rank, id,
             floor(skey * 1000000 + 0.5) / 1000000 AS skey
           FROM r WHERE rank <= 20 ORDER BY grp, rank""",
+
+    // pair mass M sums over ALL pairs before the minCount prune; PMI
+    // argument = cp*N*N / (M*ca*cb) with the denominator in DOUBLE
+    // from the first factor, 6dp-floor-rounded ln (t18 recipe)
+    "t33_pmi" ->
+      s"""WITH t AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
+          nn AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM t),
+          cu AS (SELECT tk, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY tk),
+          pr AS (
+            SELECT least(toks[i], toks[i + d]) AS a,
+                   greatest(toks[i], toks[i + d]) AS b
+            FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+            CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS d)
+            WHERE i + d <= len(toks)),
+          cp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cp FROM pr GROUP BY a, b),
+          mm AS (SELECT CAST(sum(cp) AS BIGINT) AS m FROM cp),
+          s AS (
+            SELECT cp.a, cp.b, cp.cp,
+              floor(ln(CAST(cp.cp AS DOUBLE) * nn.n * nn.n
+                       / (CAST(mm.m AS DOUBLE) * ca.cu * cb.cu)) * 1000000 + 0.5)
+                / 1000000 AS pmi
+            FROM cp
+            JOIN cu ca ON ca.tk = cp.a
+            JOIN cu cb ON cb.tk = cp.b
+            CROSS JOIN nn CROSS JOIN mm
+            WHERE cp.cp >= 5)
+          SELECT a, b, cp AS n_pair, pmi FROM s
+          ORDER BY pmi DESC, a, b LIMIT 50""",
 
     // distinct (source, gram) set → self-join on the gram key; the
     // groups x groups frame keeps zero-overlap cells as 0.0

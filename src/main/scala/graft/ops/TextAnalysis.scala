@@ -165,6 +165,66 @@ object TextAnalysis {
     * frame from the bounded totals table. Output: (grp_a, grp_b,
     * n_a = |G_A|, n_shared, containment 4dp) for every A ≠ B.
     */
+  /** Windowed co-occurrence PMI: the top-N token pairs by pointwise
+    * mutual information ln(p(a,b) / (p(a)·p(b))) over all unordered
+    * pairs within `window` positions — the collocation/association
+    * miner (phrase detection, domain-vocabulary discovery, the
+    * "which terms travel together" audit of a corpus slice).
+    *
+    * Scale shape: pair formation is MAP-ONLY (nested array
+    * transforms build the in-row pair list over the materialized
+    * token column — no positional self-join, no per-token shuffle);
+    * pair counts and unigram counts are partial aggs; the `minCount`
+    * floor prunes the pair table BEFORE its two unigram joins (rare
+    * pairs are PMI noise anyway — the classic estimator bias); the
+    * corpus totals ride 1-row broadcasts. Top-N by (pmi desc, a, b)
+    * plans TakeOrdered — never a global sort.
+    *
+    * Engine-exact: the PMI argument is ONE double expression over
+    * exact integer counts, identically associated in the oracle
+    * (`cp·N·N / (M·ca·cb)`), then the t18 6dp-floor-rounded ln.
+    */
+  def pmiPairs(docs0: DataFrame, textCol: String, window: Int = 3,
+               minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val docs = Par.widen(docs0)
+    val toksDf = docs.select(
+      text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+    val nTok = size(col("toks"))
+    val pairList = flatten(transform(
+      sequence(lit(1), nTok - 1),
+      i => transform(sequence(i + 1, least(i + lit(window), nTok)), j =>
+        struct(
+          least(element_at(col("toks"), i), element_at(col("toks"), j)).as("a"),
+          greatest(element_at(col("toks"), i), element_at(col("toks"), j)).as("b")))))
+    // sequence(1, 0) would DESCEND — short docs guard to the empty list
+    val prs = toksDf.select(explode(when(nTok >= 2, pairList)
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cp = prs.groupBy("a", "b").agg(count(lit(1)).as("cp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = toksDf.select(explode(col("toks")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cu"))
+    val totalToks = toksDf.agg(sum(nTok.cast("long")).as("n"))
+    // M sums over ALL pairs (the denominator is the full pair mass,
+    // not the surviving-pair mass), so it must aggregate before the
+    // minCount prune
+    val totalPairs = cp.agg(sum(col("cp")).as("m"))
+    cp.filter(col("cp") >= minCount)
+      .join(cu.withColumnRenamed("tk", "a").withColumnRenamed("cu", "ca"), "a")
+      .join(cu.withColumnRenamed("tk", "b").withColumnRenamed("cu", "cb"), "b")
+      .crossJoin(broadcast(totalToks))
+      .crossJoin(broadcast(totalPairs))
+      .select(col("a"), col("b"), col("cp").as("n_pair"),
+        // denominator in DOUBLE from the first factor: the long
+        // product m·ca·cb would overflow at corpus scale
+        fround(log(col("cp").cast("double") * col("n") * col("n") /
+          (col("m").cast("double") * col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   def sourceOverlap(docs0: DataFrame, textCol: String, groupCol: String,
                     n: Int = 3): DataFrame = {
     val docs = Par.widen(docs0)

@@ -511,6 +511,23 @@ class CurationSpec extends AnyFunSuite {
     assert(native == fallback)
   }
 
+  test("pmiPairs: hand-computed PMI, short-doc guard, rare pair outranks frequent") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // N=7 tokens, M=3 pairs, cu: a2 b2 c1 d1 z1; cp: (a,b)=2, (c,d)=1
+    def pmi(cp: Long, ca: Long, cb: Long): Double =
+      math.floor(math.log(cp.toDouble * 7 * 7 / (3.0 * ca * cb)) * 1e6 + 0.5) / 1e6
+    val got = TextAnalysis.pmiPairs(docs, "text", window = 3,
+        minCount = 1L, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the rarer pair carries the higher association — the classic PMI
+    // shape — and the 1-token doc forms no pair without crashing
+    assert(got == Seq(("c", "d", 1L, pmi(1, 1, 1)), ("a", "b", 2L, pmi(2, 2, 2))))
+    assert(got.head._4 > got(1)._4)
+  }
+
   test("sourceOverlap: hand-computed containment matrix incl. zero cells") {
     import graft.ops.TextAnalysis
     val docs = Seq(
