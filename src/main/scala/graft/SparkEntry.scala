@@ -1046,6 +1046,13 @@ object SparkEntry {
         .orderBy("day_ms")
     }),
 
+    "q35_value_profile" -> ((s, dir) => {
+      // grouped describe(): decimal-exact mean/std over 4dp-rounded
+      // values + interpolated quantiles, one partial-agg shuffle
+      Enrich.numericProfile(Tables(s, dir).events, "event_type", "value")
+        .orderBy("grp")
+    }),
+
     "q33_retention" -> ((s, dir) => {
       // cohort = first-purchase day; activity = any event; the
       // (cohort, offset) grid prices as two partial aggs + one
@@ -3076,6 +3083,32 @@ object SparkEntry {
          SELECT day_ms, dau, wau,
            floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000 AS stickiness
          FROM dau JOIN wau USING (day_ms) ORDER BY day_ms""",
+
+    // 4dp-round first, DECIMAL sums, one-expression stddev, t10's
+    // quantile_cont parity on the rounded values
+    "q35_value_profile" ->
+      """WITH st AS (
+           SELECT event_type AS grp, value AS v,
+             floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS r
+           FROM events),
+         a AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(v) AS BIGINT) AS n_null,
+             min(v) AS v_min, max(v) AS v_max,
+             CAST(sum(CAST(r AS DECIMAL(28,4))) AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(r AS DECIMAL(28,4)) * CAST(r AS DECIMAL(28,4))
+               AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+             CAST(count(v) AS DOUBLE) AS nv,
+             quantile_cont(r, 0.5) AS q50, quantile_cont(r, 0.9) AS q90
+           FROM st GROUP BY grp)
+         SELECT grp, n, n_null, v_min, v_max,
+           floor(s / nv * 1000000 + 0.5) / 1000000 AS v_mean,
+           CASE WHEN nv >= 2 THEN
+             floor(sqrt((s2 - s * s / nv) / (nv - 1)) * 1000000 + 0.5) / 1000000
+           END AS v_std,
+           floor(q50 * 1000000 + 0.5) / 1000000 AS p50,
+           floor(q90 * 1000000 + 0.5) / 1000000 AS p90
+         FROM a ORDER BY grp""",
 
     "q33_retention" ->
       """WITH f AS (

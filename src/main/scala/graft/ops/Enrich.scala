@@ -318,6 +318,46 @@ object Enrich {
     * Day arithmetic is integer millis on UTC day-truncated stamps, so
     * offsets are engine-exact.
     */
+  /** Grouped NUMERIC PROFILE — the `describe()` of a measure column
+    * as one scale-safe query: per group n, null count, min/max, and
+    * engine-exact mean / sample-stddev / p50 / p90. The data-quality
+    * panel every ingest pipeline runs on its numeric columns (a
+    * broken upstream shows up as a null spike, a shifted mean, or a
+    * collapsed p90 long before anything downstream fails).
+    *
+    * Engine-portable FP on arbitrary doubles: values 4dp-floor-round
+    * FIRST, then sums accumulate in exact DECIMAL (t18's recipe —
+    * 4dp values sum exactly in (28,4), their squares exactly in
+    * (38,8)), so mean and the one-expression sample stddev
+    * sqrt((s2 − s²/n)/(n−1)) see identical inputs in every engine;
+    * quantiles interpolate over the SAME rounded values (t10's
+    * percentile ↔ quantile_cont parity). min/max compare raw doubles
+    * (exact). Stddev is NULL for n < 2; all derived stats are NULL
+    * for all-null groups. ONE partial-agg shuffle; the percentile
+    * state is the only per-group buffer (swap approx_percentile when
+    * a single group's values exceed executor memory — t10's trade).
+    */
+  def numericProfile(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import graft.functions.num.fround
+    val v = col(valCol).cast("double")
+    val staged = df.select(col(groupCol).as("grp"), v.as("v"),
+      fround(v, 4).as("r"))
+      .withColumn("dv", col("r").cast("decimal(28,4)"))
+    val nv = count(col("v"))
+    val s = sum(col("dv")).cast("double")
+    val s2 = sum((col("dv") * col("dv")).cast("decimal(38,8)")).cast("double")
+    staged.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - nv).as("n_null"),
+        min("v").as("v_min"), max("v").as("v_max"),
+        fround(s / nv.cast("double"), 6).as("v_mean"),
+        when(nv >= 2, fround(sqrt(
+          (s2 - s * s / nv.cast("double")) / (nv - 1).cast("double")), 6))
+          .as("v_std"),
+        fround(percentile(col("r"), lit(0.5)), 6).as("p50"),
+        fround(percentile(col("r"), lit(0.9)), 6).as("p90"))
+  }
+
   /** DAU / WAU active-user counts with stickiness (DAU/WAU) per day —
     * the engagement panel, and the distinct-count-over-sliding-window
     * problem done WITHOUT window distinct-count state: a user active

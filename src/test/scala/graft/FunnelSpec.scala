@@ -79,6 +79,26 @@ class FunnelSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
 
+  test("numericProfile: hand-computed stats incl. nulls and the n<2 stddev guard") {
+    import graft.ops.Enrich
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(7.5))
+    ).toDF("event_type", "value")
+    val got = Enrich.numericProfile(df, "event_type", "value")
+      .orderBy("grp").collect()
+    val a = got(0)
+    assert((a.getString(0), a.getLong(1), a.getLong(2)) == ("a", 4L, 1L))
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 3.0)
+    assert(a.getDouble(5) == 2.0)                   // mean
+    assert(a.getDouble(6) == 1.0)                   // sample stddev of 1,2,3
+    assert(a.getDouble(7) == 2.0)                   // p50
+    assert(a.getDouble(8) == 2.8)                   // p90 = 1 + 1.8
+    val b = got(1)
+    assert(b.getLong(1) == 1L && b.isNullAt(6), "n=1 group must have NULL stddev")
+    assert(b.getDouble(5) == 7.5 && b.getDouble(7) == 7.5)
+  }
+
   test("activeUsers: hand-computed DAU/WAU incl. the 7-day boundary and gaps") {
     import graft.ops.Enrich
     val day = 86400000L
