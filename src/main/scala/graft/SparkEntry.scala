@@ -1046,6 +1046,22 @@ object SparkEntry {
         .orderBy("day_ms")
     }),
 
+    "q36_rollup_merge" -> ((s, dir) => {
+      // incremental view maintenance: history and delta roll up
+      // SEPARATELY into mergeable state (count + exact-decimal sum),
+      // merge by addition, serve-time derivations on the merged
+      // state — oracle = the single-pass rollup of everything, so
+      // merge(rollup(A), rollup(B)) == rollup(A ∪ B) is cell-checked
+      val e = Tables(s, dir).events
+      val cutoff = 1705363200000L // 2024-01-16 00:00 UTC
+      val hist = e.filter(unix_millis(col("ts")) < cutoff)
+      val delta = e.filter(unix_millis(col("ts")) >= cutoff)
+      Enrich.mergeRollups(Seq(
+          Enrich.hourlyRollupState(hist, "ts", "event_type", "value"),
+          Enrich.hourlyRollupState(delta, "ts", "event_type", "value")))
+        .orderBy("event_type", "hb_ms")
+    }),
+
     "q35_value_profile" -> ((s, dir) => {
       // grouped describe(): decimal-exact mean/std over 4dp-rounded
       // values + interpolated quantiles, one partial-agg shuffle
@@ -3083,6 +3099,16 @@ object SparkEntry {
          SELECT day_ms, dau, wau,
            floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000 AS stickiness
          FROM dau JOIN wau USING (day_ms) ORDER BY day_ms""",
+
+    // single-pass truth: the query merges two disjoint slice states;
+    // equality here IS the mergeability proof
+    "q36_rollup_merge" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hb_ms,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, hb_ms""",
 
     // 4dp-round first, DECIMAL sums, one-expression stddev, t10's
     // quantile_cont parity on the rounded values

@@ -318,6 +318,47 @@ object Enrich {
     * Day arithmetic is integer millis on UTC day-truncated stamps, so
     * offsets are engine-exact.
     */
+  /** Hourly rollup in MERGEABLE-STATE form: (keys..., hour, n, sum as
+    * exact decimal) — no derived ratios, so two rollups over disjoint
+    * slices merge into the rollup of their union by plain addition.
+    * The persisted-aggregate shape incremental maintenance needs.
+    */
+  def hourlyRollupState(events: DataFrame, tsCol: String, typeCol: String,
+                        valCol: String): DataFrame =
+    events.groupBy(col(typeCol).as("event_type"),
+        unix_millis(date_trunc("hour", col(tsCol))).as("hb_ms"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,6)")).as("sum_value"))
+
+  /** INCREMENTAL ROLLUP MAINTENANCE: merge a new slice's rollup state
+    * into the accumulated state and derive the serving columns — the
+    * "today's partition updates the dashboard without rescanning
+    * history" operator, the single most important cost shape at
+    * 100 TB (the full-recompute alternative rereads the corpus per
+    * batch; this reads ONLY the delta plus the bounded state table).
+    *
+    * Correct because the state is MERGEABLE: counts and exact-decimal
+    * sums are associative/commutative, so `merge(rollup(A),
+    * rollup(B)) == rollup(A ∪ B)` bit-for-bit — which is exactly what
+    * the oracle asserts (the query merges two disjoint slices and is
+    * compared against DuckDB's single-pass rollup of everything).
+    * Derived ratios (avg) compute AT SERVE TIME from the merged
+    * state, never stored — storing them would break mergeability.
+    * Shape: union + ONE partial-agg shuffle on the bounded
+    * (type, hour) grid.
+    */
+  def mergeRollups(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeRollups needs at least one state")
+    states.reduce(_ unionAll _)
+      .groupBy("event_type", "hb_ms")
+      .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sv"))
+      .select(col("event_type"), col("hb_ms"), col("n"),
+        // q11's serve-time derivations, from the MERGED exact state
+        round(col("sv").cast("double"), 2).as("sum_value"),
+        graft.functions.num.fround(
+          col("sv").cast("double") / col("n"), 4).as("avg_value"))
+  }
+
   /** Grouped NUMERIC PROFILE — the `describe()` of a measure column
     * as one scale-safe query: per group n, null count, min/max, and
     * engine-exact mean / sample-stddev / p50 / p90. The data-quality

@@ -79,6 +79,29 @@ class FunnelSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
 
+  test("mergeRollups: merge of arbitrary disjoint slices equals the one-shot rollup") {
+    import graft.ops.Enrich
+    val events = Seq.tabulate(60) { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 180000L),
+        if (i % 2 == 0) "a" else "b", (i % 7) + 0.25)
+    }.toDF("ts", "event_type", "value")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "hb_ms").collect().toSeq
+    val oneShot = served(Enrich.mergeRollups(Seq(
+      Enrich.hourlyRollupState(events, "ts", "event_type", "value"))))
+    // three-way split on an arbitrary predicate, merged
+    val s1 = events.filter(col("value") < 2.0)
+    val s2 = events.filter(col("value") >= 2.0 && col("value") < 5.0)
+    val s3 = events.filter(col("value") >= 5.0)
+    val merged = served(Enrich.mergeRollups(Seq(s1, s2, s3).map(
+      Enrich.hourlyRollupState(_, "ts", "event_type", "value"))))
+    assert(merged == oneShot)
+    // empty slices are identity elements
+    val withEmpty = served(Enrich.mergeRollups(Seq(events, events.limit(0)).map(
+      Enrich.hourlyRollupState(_, "ts", "event_type", "value"))))
+    assert(withEmpty == oneShot)
+  }
+
   test("numericProfile: hand-computed stats incl. nulls and the n<2 stddev guard") {
     import graft.ops.Enrich
     val df = Seq(
