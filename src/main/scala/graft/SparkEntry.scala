@@ -3080,10 +3080,13 @@ object SparkEntry {
     // the oracle fingerprints the text directly
     "m4_binary_dedup" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
-         c AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp)
-         SELECT f.doc_id, f.fp, c.canonical_id,
-           CAST(CASE WHEN f.doc_id <> c.canonical_id THEN 1 ELSE 0 END AS INTEGER) AS is_dup
-         FROM f JOIN c USING (fp) ORDER BY f.doc_id""",
+         c AS (SELECT fp, min(doc_id) AS canonical_id FROM f
+               WHERE fp IS NOT NULL GROUP BY fp)
+         SELECT f.doc_id, f.fp,
+           coalesce(c.canonical_id, f.doc_id) AS canonical_id,
+           CAST(CASE WHEN f.doc_id <> coalesce(c.canonical_id, f.doc_id)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         FROM f LEFT JOIN c USING (fp) ORDER BY f.doc_id""",
 
     "q34_active_users" ->
       """WITH ud AS (

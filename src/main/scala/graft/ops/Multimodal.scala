@@ -197,9 +197,16 @@ object Multimodal {
     */
   def payloadDedup(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val fps = df.select(col(idCol).as("id"), md5(col(payloadCol)).as("fp"))
-    val firsts = fps.groupBy("fp").agg(min(col("id")).as("canonical_id"))
-    fps.join(firsts, "fp")
-      .select(col("id"), col("fp"), col("canonical_id"),
-        when(col("id") =!= col("canonical_id"), 1).otherwise(0).as("is_dup"))
+    // a NULL payload is UNKNOWN content, not shared content: such rows
+    // keep themselves as canonical (never merged, never dropped) — the
+    // left join + coalesce, where an inner equi-join would silently
+    // drop every null-key row
+    val firsts = fps.where(col("fp").isNotNull)
+      .groupBy("fp").agg(min(col("id")).as("canonical_id"))
+    fps.join(firsts, Seq("fp"), "left")
+      .select(col("id"), col("fp"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"),
+        when(col("id") =!= coalesce(col("canonical_id"), col("id")), 1)
+          .otherwise(0).as("is_dup"))
   }
 }

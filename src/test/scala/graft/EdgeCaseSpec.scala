@@ -116,4 +116,47 @@ class EdgeCaseSpec extends AnyFunSuite {
       assert(e.getMessage.contains("__asof_"), s"wrong failure: ${e.getMessage}")
     } finally spark.conf.unset("graft.native.disabled")
   }
+
+  test("round-6 operators tolerate degenerate inputs") {
+    import graft.ops.{Curation, Enrich, Graph, Multimodal, Similarity, TextAnalysis}
+    // containment: null/empty/short docs form no pairs; real subset found
+    val cp = Dedup.containmentPairs(docs, "text", "doc_id", col("block"),
+        threshold = 0.9, persistIntermediate = false)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(cp.contains((1L, 2L)) && cp.forall(p => Set(1L, 2L)(p._1)))
+    // LPA: self-loops only → every vertex is its own singleton? a
+    // self-pair carries no edge, so the vertex set is empty
+    val selfOnly = Seq((7L, 7L)).toDF("id1", "id2")
+    assert(Graph.labelPropagation(selfOnly, "id1", "id2", iters = 2).count() == 0)
+    assert(Graph.labelPropagation(selfOnly.limit(0), "id1", "id2").count() == 0)
+    // rangeSearch: zero-norm corpus vector scores 0.0, never NaN
+    val zc = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rs = Similarity.rangeSearch(zc, zc.filter(col("vec_id") === 2),
+      "embedding", "vec_id", -1.0).collect()
+    assert(rs.length == 1 && rs.head.getDouble(2) == 0.0)
+    // knnGraph: empty corpus (auto band bits) → empty result
+    assert(Similarity.knnGraph(zc.limit(0), "embedding", "vec_id", k = 3,
+      dim = 2, persistIntermediate = false).count() == 0)
+    // weightedSample: all weights non-positive → empty
+    val ws = Seq((1L, "g", 0.0), (2L, "g", -3.0)).toDF("id", "grp", "w")
+    assert(Curation.weightedSample(ws, "id", "grp", "w", "s", 5).count() == 0)
+    // sourceOverlap: a single source has no pairs (no 0-row crash)
+    val one = Seq((1L, "alpha beta gamma delta", "only")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sourceOverlap(one, "text", "source").count() == 0)
+    // pmiPairs: corpus of 1-token docs → no pairs
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(TextAnalysis.pmiPairs(tiny, "text", minCount = 1L).count() == 0)
+    // payloadDedup: null payloads group together, never crash
+    val np = Seq((1L, null.asInstanceOf[Array[Byte]]), (2L, Array[Byte](1, 2)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.payloadDedup(np, "payload", "doc_id").count() == 2)
+    // empty events → empty panels
+    val ee = Seq.empty[(java.sql.Timestamp, Long, String, Double)]
+      .toDF("ts", "user_id", "event_type", "value")
+    assert(Enrich.activeUsers(ee, "ts", "user_id").count() == 0)
+    assert(Enrich.retentionCohorts(ee, "ts", "user_id",
+      col("event_type") === "x").count() == 0)
+    assert(Enrich.numericProfile(ee, "event_type", "value").count() == 0)
+  }
 }
