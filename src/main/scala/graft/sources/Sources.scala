@@ -151,4 +151,35 @@ object Sources {
         .mkString("\t"))
     }
   }
+
+  /** SMALL-FILES COMPACTION: rewrite a parquet dataset into
+    * ~`targetRowsPerFile`-row files — the maintenance pass every
+    * streaming/incremental sink needs, because a 100 TB table built
+    * from per-batch appends degrades into millions of KB-sized files
+    * whose open/footer cost dominates every subsequent scan (and
+    * whose listing alone can stall a driver).
+    *
+    * Row-count based (not byte-based) so the result is deterministic
+    * and testable; callers translate bytes→rows from their known row
+    * width. Uses `repartition(n)` — a full shuffle, the point: it
+    * rebalances skewed input files into uniform outputs (coalesce
+    * would only glue adjacent small files and cannot split a big
+    * one). Writes to `outPath` then returns the file count — callers
+    * swap directories atomically at the catalog/metastore layer (an
+    * in-place rewrite could destroy data on job failure, so this
+    * operator REFUSES outPath == inPath).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
+    require(new java.io.File(outPath).getCanonicalPath !=
+      new java.io.File(inPath).getCanonicalPath,
+      "compactParquet refuses in-place rewrite: outPath must differ from inPath")
+    val df = spark.read.parquet(inPath)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

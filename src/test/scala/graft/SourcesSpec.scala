@@ -135,4 +135,25 @@ class SourcesSpec extends AnyFunSuite {
     // z-order: only the tile row b∈[16,32) (4 of 16 tiles) + straddlers
     assert(zHit <= 10, s"z-order hit $zHit of $zFiles files")
   }
+
+  test("compactParquet rebalances a many-small-files dataset; refuses in-place") {
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"
+    // 40 tiny files of 25 rows each — the streaming-append degradation
+    spark.range(1000).toDF("id").repartition(40)
+      .write.parquet(inDir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) == 40)
+    val n = Sources.compactParquet(spark, inDir, outDir, targetRowsPerFile = 250)
+    assert(n == 4 && parquetFiles(outDir) == 4)
+    // content survives exactly
+    assert(spark.read.parquet(outDir).agg(sum("id")).head.getLong(0)
+      == 999L * 1000 / 2)
+    val e = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, inDir, s"$base/./in", 100)
+    }
+    assert(e.getMessage.contains("in-place"))
+  }
 }
