@@ -1116,6 +1116,15 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    "s11_knn_auto" -> ((s, dir) => {
+      // s10 with CORPUS-SIZE-DERIVED band bits — the d9 analog: the
+      // scale knob itself is oracle-checked (incl. at sf1, where the
+      // pinned layout measured 13x slower)
+      Similarity.knnGraph(Tables(s, dir).embeddings, "embedding", "vec_id",
+          k = 5, dim = 64, bands = 6)
+        .orderBy("id", "rank")
+    }),
+
     "t31_weighted_sample" -> ((s, dir) => {
       // quality-weighted per-language top-k sample: deterministic A-ES
       // order under a hash-derived u — inclusion ∝ weight, no RNG
@@ -3208,6 +3217,44 @@ object SparkEntry {
           bb AS (
             SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
             FROM sigs, (SELECT unnest(range(6)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2),
+          sym AS (
+            SELECT id1 AS id, id2 AS nb, cos FROM scored
+            UNION ALL SELECT id2, id1, cos FROM scored),
+          r AS (
+            SELECT id, nb, cos,
+              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
+            FROM sym)
+          SELECT id, CAST(rank AS INTEGER) AS rank, nb AS neighbor_id,
+            round(cos, 4) AS cosine
+          FROM r WHERE rank <= 5 ORDER BY id, rank"""
+    },
+
+    // s10's symmetric ranking over d9's count-derived banding params
+    // (shared-prefix 60-plane signatures; bits from count(*))
+    "s11_knn_auto" -> {
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 10) AS bits
+            FROM (SELECT unnest(range(2, 11)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b), params),
           cand AS (
             SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
             FROM bb a JOIN bb c USING (b, bv)
