@@ -1062,6 +1062,15 @@ object SparkEntry {
         .orderBy("event_type", "hb_ms")
     }),
 
+    "q37_histogram" -> ((s, dir) => {
+      // binned distribution per type: bounded stats broadcast back,
+      // map-side bin, partial agg on the (group, bin) grid; empty
+      // bins kept as 0 via the groups x bins frame
+      Enrich.histogram(Tables(s, dir).events, "event_type", "value",
+          bins = 20)
+        .orderBy("grp", "bin")
+    }),
+
     "q35_value_profile" -> ((s, dir) => {
       // grouped describe(): decimal-exact mean/std over 4dp-rounded
       // values + interpolated quantiles, one partial-agg shuffle
@@ -3121,6 +3130,30 @@ object SparkEntry {
            floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
              * 10000 + 0.5) / 10000 AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, hb_ms""",
+
+    // bin = floor((r - min)/w) clamped to bins-1, w = (max-min)/20,
+    // all on 4dp-rounded values; empty bins surface as 0
+    "q37_histogram" ->
+      """WITH st AS (
+           SELECT event_type AS grp,
+             floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS r
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT grp, min(r) AS vmin, max(r) AS vmax FROM st GROUP BY grp),
+         c AS (
+           SELECT st.grp,
+             CASE WHEN s.vmax = s.vmin THEN 0
+               ELSE CAST(least(floor((st.r - s.vmin) / ((s.vmax - s.vmin) / 20.0)),
+                 19) AS INTEGER) END AS bin,
+             CAST(count(*) AS BIGINT) AS n
+           FROM st JOIN s USING (grp) GROUP BY 1, 2),
+         f AS (
+           SELECT grp, vmin, vmax, unnest(range(20)) AS bin FROM s)
+         SELECT f.grp, CAST(f.bin AS INTEGER) AS bin,
+           floor((f.vmin + f.bin * ((f.vmax - f.vmin) / 20.0)) * 1000000 + 0.5)
+             / 1000000 AS bin_lo,
+           coalesce(c.n, CAST(0 AS BIGINT)) AS n
+         FROM f LEFT JOIN c ON c.grp = f.grp AND c.bin = f.bin
+         ORDER BY f.grp, bin""",
 
     // 4dp-round first, DECIMAL sums, one-expression stddev, t10's
     // quantile_cont parity on the rounded values

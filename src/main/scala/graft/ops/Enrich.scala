@@ -399,6 +399,44 @@ object Enrich {
         fround(percentile(col("r"), lit(0.9)), 6).as("p90"))
   }
 
+  /** Equi-width HISTOGRAM per group: `bins` equal-width buckets over
+    * the group's own [min, max] — the binned-distribution view q35's
+    * moments can't show (bimodality, heaping, truncation). Two
+    * passes, both bounded: a per-group min/max partial agg broadcast
+    * back (|groups| rows), then a map-side bin index + one partial
+    * agg on the bounded (group, bin) grid. Empty bins are kept as 0
+    * (a gap IS the finding) via a groups×bins frame from the bounded
+    * stats table. Engine-exact binning: the bin index is
+    * floor((v−min)/w) on 4dp-rounded values with w = (max−min)/bins
+    * computed once — identical IEEE ops everywhere — clamped so
+    * v = max lands in the last bin; a zero-width group (all values
+    * equal) puts everything in bin 0.
+    */
+  def histogram(df: DataFrame, groupCol: String, valCol: String,
+                bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    import graft.functions.num.fround
+    val staged = df.select(col(groupCol).as("grp"),
+        fround(col(valCol).cast("double"), 4).as("r"))
+      .where(col("r").isNotNull)
+    val stats = staged.groupBy("grp")
+      .agg(min(col("r")).as("vmin"), max(col("r")).as("vmax"))
+    val w = (col("vmax") - col("vmin")) / lit(bins.toDouble)
+    val bin = when(col("vmax") === col("vmin"), lit(0))
+      .otherwise(least(floor((col("r") - col("vmin")) / w).cast("int"),
+        lit(bins - 1)))
+    val counts = staged.join(broadcast(stats), "grp")
+      .groupBy(col("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val frame = stats.select(col("grp"), col("vmin"), col("vmax"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    frame.join(counts, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"),
+        fround(col("vmin") + col("bin").cast("double") *
+          ((col("vmax") - col("vmin")) / lit(bins.toDouble)), 6).as("bin_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** DAU / WAU active-user counts with stickiness (DAU/WAU) per day —
     * the engagement panel, and the distinct-count-over-sliding-window
     * problem done WITHOUT window distinct-count state: a user active

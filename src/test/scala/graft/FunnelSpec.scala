@@ -102,6 +102,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(withEmpty == oneShot)
   }
 
+  test("histogram: hand-computed bins incl. empty bins, max-edge clamp, zero-width group") {
+    import graft.ops.Enrich
+    val df = Seq(
+      ("a", 0.0), ("a", 0.0), ("a", 2.5), ("a", 10.0),  // range [0,10], w=2.5
+      ("b", 7.0), ("b", 7.0)                             // zero-width
+    ).toDF("event_type", "value")
+    val got = Enrich.histogram(df, "event_type", "value", bins = 4)
+      .orderBy("grp", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    // a: bin0 [0,2.5) holds the two 0.0s; 2.5 lands in bin1; 10.0
+    // clamps into bin3; bin2 is EMPTY but present
+    assert(got == Seq(
+      ("a", 0, 0.0, 2L), ("a", 1, 2.5, 1L), ("a", 2, 5.0, 0L), ("a", 3, 7.5, 1L),
+      ("b", 0, 7.0, 2L), ("b", 1, 7.0, 0L), ("b", 2, 7.0, 0L), ("b", 3, 7.0, 0L)))
+  }
+
   test("numericProfile: hand-computed stats incl. nulls and the n<2 stddev guard") {
     import graft.ops.Enrich
     val df = Seq(
