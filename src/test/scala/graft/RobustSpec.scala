@@ -372,4 +372,33 @@ class RobustSpec extends AnyFunSuite {
       .groupBy("query_id").count().collect().map(_.getLong(1)).toSet
     assert(counts == Set(5L))
   }
+
+  test("round-6 operators are partitioning-invariant") {
+    import graft.ops.{Curation, Graph, TextAnalysis}
+    def run[A](f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               src: org.apache.spark.sql.DataFrame): Seq[String] =
+      Seq(src.repartition(13), src.coalesce(1), src)
+        .map(d => f(d).collect().mkString("|"))
+    // g3: labels must not depend on how edges are partitioned
+    val pairs = Dedup.embeddingNearDupPairs(embs, "embedding", "vec_id",
+      "label", 0.2)
+    val g3 = run(p => Graph.labelPropagation(p, "id1", "id2", iters = 3)
+      .orderBy("id"), pairs)
+    assert(g3.distinct.size == 1, "labelPropagation diverges across partitionings")
+    // s10: the k-NN graph is a pure function of the corpus
+    val s10 = run(e => Similarity.knnGraph(e, "embedding", "vec_id", 5,
+      dim = 64, numPlanes = 24, bands = 6, persistIntermediate = false)
+      .orderBy("id", "rank"), embs)
+    assert(s10.distinct.size == 1, "knnGraph diverges across partitionings")
+    // t31: the A-ES sample is a pure function of (ids, weights)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      graft.functions.text.qualityScore(col("text")).as("q"))
+    val t31 = run(d => Curation.weightedSample(d, "doc_id", "lang", "q", "ws", 5)
+      .orderBy("grp", "rank"), scored)
+    assert(t31.distinct.size == 1, "weightedSample diverges across partitionings")
+    // t33: PMI totals are global aggregates — no partition sensitivity
+    val t33 = run(d => TextAnalysis.pmiPairs(d, "text", minCount = 2L, topN = 20),
+      docs)
+    assert(t33.distinct.size == 1, "pmiPairs diverges across partitionings")
+  }
 }
