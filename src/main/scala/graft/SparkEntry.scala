@@ -1054,7 +1054,10 @@ object SparkEntry {
       // merge(rollup(A), rollup(B)) == rollup(A ∪ B) is cell-checked
       val e = Tables(s, dir).events
       val cutoff = 1705363200000L // 2024-01-16 00:00 UTC
-      val hist = e.filter(unix_millis(col("ts")) < cutoff)
+      // null-COMPLETE split: unix_millis(null) is null, so a bare
+      // `< / >=` pair would drop null-ts rows from BOTH slices while
+      // the single-pass oracle keeps them in a null-hour group
+      val hist = e.filter(unix_millis(col("ts")) < cutoff || col("ts").isNull)
       val delta = e.filter(unix_millis(col("ts")) >= cutoff)
       Enrich.mergeRollups(Seq(
           Enrich.hourlyRollupState(hist, "ts", "event_type", "value"),
@@ -1231,6 +1234,35 @@ object SparkEntry {
 
   private def bm25QueriesValuesSql: String =
     Bm25Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+
+  /** Shared tail of the s10/s11 oracles: from a prepared `bb(vec_id,
+    * b, bv)` band table — candidates on the band equi-join, exact
+    * cosine ONCE per unordered pair, symmetric per-vertex rank. One
+    * definition so the two gates can never assert different truths.
+    */
+  private def knnRankSql(prefixCtes: String): String =
+    s"""$prefixCtes,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2),
+          sym AS (
+            SELECT id1 AS id, id2 AS nb, cos FROM scored
+            UNION ALL SELECT id2, id1, cos FROM scored),
+          r AS (
+            SELECT id, nb, cos,
+              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
+            FROM sym)
+          SELECT id, CAST(rank AS INTEGER) AS rank, nb AS neighbor_id,
+            round(cos, 4) AS cosine
+          FROM r WHERE rank <= 5 ORDER BY id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3245,39 +3277,18 @@ object SparkEntry {
     // feeds BOTH endpoints and ranks (cosine DESC, neighbor) per id
     "s10_knn_graph" -> {
       val sigTerms = sigTermsSql(24)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      knnRankSql(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
           bb AS (
             SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
-            FROM sigs, (SELECT unnest(range(6)) AS b)),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
-            FROM bb a JOIN bb c USING (b, bv)
-            WHERE a.vec_id < c.vec_id),
-          scored AS (
-            SELECT id1, id2,
-              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
-                   ELSE list_dot_product(ea.v, eb.v)
-                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
-            FROM cand JOIN e ea ON ea.vec_id = cand.id1
-                      JOIN e eb ON eb.vec_id = cand.id2),
-          sym AS (
-            SELECT id1 AS id, id2 AS nb, cos FROM scored
-            UNION ALL SELECT id2, id1, cos FROM scored),
-          r AS (
-            SELECT id, nb, cos,
-              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
-            FROM sym)
-          SELECT id, CAST(rank AS INTEGER) AS rank, nb AS neighbor_id,
-            round(cos, 4) AS cosine
-          FROM r WHERE rank <= 5 ORDER BY id, rank"""
+            FROM sigs, (SELECT unnest(range(6)) AS b))""")
     },
 
     // s10's symmetric ranking over d9's count-derived banding params
     // (shared-prefix 60-plane signatures; bits from count(*))
     "s11_knn_auto" -> {
       val sigTerms = sigTermsSql(60)
-      s"""WITH params AS (
+      knnRankSql(s"""WITH params AS (
             SELECT COALESCE(MIN(b), 10) AS bits
             FROM (SELECT unnest(range(2, 11)) AS b),
                  (SELECT count(*) AS c FROM embeddings) n
@@ -3287,28 +3298,7 @@ object SparkEntry {
           bb AS (
             SELECT vec_id, b,
               (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
-            FROM sigs, (SELECT unnest(range(6)) AS b), params),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
-            FROM bb a JOIN bb c USING (b, bv)
-            WHERE a.vec_id < c.vec_id),
-          scored AS (
-            SELECT id1, id2,
-              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
-                   ELSE list_dot_product(ea.v, eb.v)
-                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
-            FROM cand JOIN e ea ON ea.vec_id = cand.id1
-                      JOIN e eb ON eb.vec_id = cand.id2),
-          sym AS (
-            SELECT id1 AS id, id2 AS nb, cos FROM scored
-            UNION ALL SELECT id2, id1, cos FROM scored),
-          r AS (
-            SELECT id, nb, cos,
-              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
-            FROM sym)
-          SELECT id, CAST(rank AS INTEGER) AS rank, nb AS neighbor_id,
-            round(cos, 4) AS cosine
-          FROM r WHERE rank <= 5 ORDER BY id, rank"""
+            FROM sigs, (SELECT unnest(range(6)) AS b), params)""")
     },
 
     // brute-force radius truth: every (probe, corpus) pair above the

@@ -293,31 +293,6 @@ object Enrich {
         payloadCols.map(c => col(s"graft_last.$c").as(c)): _*)
   }
 
-  /** COHORT RETENTION matrix: users grouped by the day of their first
-    * `anchor` event (the cohort), counted on each subsequent day any
-    * activity occurred — the (cohort day, day offset) → active-users
-    * grid every product/ops dashboard draws, and the
-    * pipeline-freshness analog ("of sources first seen on day D, how
-    * many still deliver at D+k"). Rows: (cohort_ms, offset_days,
-    * n_users); a user contributes at offset k iff they had ANY event
-    * exactly k days after their cohort day (offset 0 always exists:
-    * the anchor event itself is activity). Users who never fire the
-    * anchor are absent — they have no cohort.
-    *
-    * Scale shape — this is the "don't rescan history per cell" form:
-    * 1. cohort anchor = one partial-agg shuffle keyed user
-    *    (`min(day)` over the anchor-filtered scan);
-    * 2. activity dedups to distinct (user, day) — a second partial
-    *    agg, collapsing the event stream to at most users × days rows
-    *    BEFORE any join;
-    * 3. both sides are then keyed by user, so the join co-partitions
-    *    (one exchange each, no re-shuffle), and the final (cohort,
-    *    offset) count is a partial agg on a BOUNDED key grid
-    *    (days × days). No windows, no distinct-count state, no
-    *    per-cohort scans.
-    * Day arithmetic is integer millis on UTC day-truncated stamps, so
-    * offsets are engine-exact.
-    */
   /** Hourly rollup in MERGEABLE-STATE form: (keys..., hour, n, sum as
     * exact decimal) — no derived ratios, so two rollups over disjoint
     * slices merge into the rollup of their union by plain addition.
@@ -472,6 +447,31 @@ object Enrich {
           .as("stickiness"))
   }
 
+  /** COHORT RETENTION matrix: users grouped by the day of their first
+    * `anchor` event (the cohort), counted on each subsequent day any
+    * activity occurred — the (cohort day, day offset) → active-users
+    * grid every product/ops dashboard draws, and the
+    * pipeline-freshness analog ("of sources first seen on day D, how
+    * many still deliver at D+k"). Rows: (cohort_ms, offset_days,
+    * n_users); a user contributes at offset k iff they had ANY event
+    * exactly k days after their cohort day (offset 0 always exists:
+    * the anchor event itself is activity). Users who never fire the
+    * anchor are absent — they have no cohort.
+    *
+    * Scale shape — this is the "don't rescan history per cell" form:
+    * 1. cohort anchor = one partial-agg shuffle keyed user
+    *    (`min(day)` over the anchor-filtered scan);
+    * 2. activity dedups to distinct (user, day) — a second partial
+    *    agg, collapsing the event stream to at most users × days rows
+    *    BEFORE any join;
+    * 3. both sides are then keyed by user, so the join co-partitions
+    *    (one exchange each, no re-shuffle), and the final (cohort,
+    *    offset) count is a partial agg on a BOUNDED key grid
+    *    (days × days). No windows, no distinct-count state, no
+    *    per-cohort scans.
+    * Day arithmetic is integer millis on UTC day-truncated stamps, so
+    * offsets are engine-exact.
+    */
   def retentionCohorts(events: DataFrame, tsCol: String, userCol: String,
                        anchorFilter: Column): DataFrame = {
     val dayMs = (c: Column) => unix_millis(date_trunc("day", c))

@@ -185,12 +185,20 @@ object TextAnalysis {
     * (`cp·N·N / (M·ca·cb)`), then the t18 6dp-floor-rounded ln.
     */
   def pmiPairs(docs0: DataFrame, textCol: String, window: Int = 3,
-               minCount: Long = 5L, topN: Int = 50): DataFrame = {
+               minCount: Long = 5L, topN: Int = 50,
+               persistIntermediate: Boolean = true): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val docs = Par.widen(docs0)
-    val toksDf = docs.select(
+    // the tokenize pass feeds THREE consumers (pairs, unigram counts,
+    // token total) — persist it or the regex normalization runs per
+    // consumer (the Curation.seqPack precedent)
+    val toksPlan = docs.select(
       text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
+    val toksDf =
+      if (persistIntermediate)
+        toksPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toksPlan
     val nTok = size(col("toks"))
     val pairList = flatten(transform(
       sequence(lit(1), nTok - 1),

@@ -173,8 +173,16 @@ object Sources {
                      targetRowsPerFile: Long): Long = {
     require(targetRowsPerFile >= 1,
       s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
-    require(new java.io.File(outPath).getCanonicalPath !=
-      new java.io.File(inPath).getCanonicalPath,
+    // qualify through the Hadoop filesystem, not java.io.File: the
+    // paths here are Hadoop URIs ("file:///x" vs "/x", hdfs vs
+    // defaultFS), and a local-File comparison would let two spellings
+    // of the SAME directory through the guard
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(outPath) != qualified(inPath),
       "compactParquet refuses in-place rewrite: outPath must differ from inPath")
     val df = spark.read.parquet(inPath)
     val rows = df.count()

@@ -213,7 +213,13 @@ object EventStream {
     * minute rollup: minutes with no events are skipped in both.
     * z replicates `Enrich.rateAnomaly`'s integer-sum expression
     * bit-for-bit (exact Long sums, one double expression, 4dp
-    * floor-round), so batch↔stream parity is cell-exact.
+    * floor-round), so batch↔stream parity is cell-exact FOR GROUPS
+    * WHOSE IDLE GAPS STAY UNDER `evictAfterMs`: eviction is the state
+    * bound (the batch form keeps all history; a stream cannot), and a
+    * group quiet past the horizon restarts COLD — its next minutes
+    * z-score as cold-start NULLs until the trailing window refills,
+    * where batch would score them against the pre-gap baseline. Size
+    * `evictAfterMs` above the longest outage you want to alarm on.
     *
     * State per group = unsealed minute counts (bounded by lateness:
     * the watermark constantly seals) + `windowRows` trailing Longs;
