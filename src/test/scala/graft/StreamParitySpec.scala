@@ -228,6 +228,41 @@ class StreamParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rateAnomalyStream: a group quiet past evictAfterMs restarts COLD (the documented state bound)") {
+    import graft.streaming.EventStream.{RateEvent, RateOut}
+    def m(i: Int) = t0 + i * 60000L
+    val mst = MemoryStream[RateEvent]
+    // tiny evictAfterMs (3 min): the gap from minute 5 to minute 30
+    // crosses the horizon, so minutes 30-33 must score as cold-start
+    // NULLs even though 6 pre-gap minutes exist
+    val q = EventStream.rateAnomalyStream(mst.toDS(), windowRows = 4,
+        minPoints = 3, zThreshold = 2.0, watermarkDelay = "1 minutes",
+        evictAfterMs = 3 * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_rate_evict").start()
+    def burst(minute: Long, n: Int) =
+      (0 until n).map(j => RateEvent("g", ts(minute + 1000L * (j + 1))))
+    try {
+      mst.addData((0 to 5).flatMap(i => burst(m(i), 2 + i % 3)): _*)
+      q.processAllAvailable()
+      mst.addData(RateEvent("wm1", ts(m(10)))) // seal + pass the horizon
+      q.processAllAvailable()
+      mst.addData((30 to 33).flatMap(i => burst(m(i), 3)): _*)
+      q.processAllAvailable()
+      mst.addData(RateEvent("wm2", ts(m(60))))
+      q.processAllAvailable()
+      val rows = spark.table("par_rate_evict").as[RateOut].collect()
+        .filter(_.grp == "g").sortBy(_.minute_ms)
+      assert(rows.length == 10, s"expected 10 emitted minutes, got ${rows.toSeq}")
+      // pre-gap minutes 3-5 have warm z-scores; post-gap minutes 30-32
+      // are cold (state evicted) and 33 is still refilling (n=3 history
+      // meets minPoints=3 only at the 4th post-gap minute)
+      assert(rows.take(6).drop(3).forall(_.z.isDefined))
+      assert(rows.drop(6).take(3).forall(_.z.isEmpty),
+        s"post-gap minutes must restart cold: ${rows.drop(6).toSeq}")
+    } finally q.stop()
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
