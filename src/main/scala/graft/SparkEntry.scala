@@ -1065,6 +1065,23 @@ object SparkEntry {
         .orderBy("event_type", "hb_ms")
     }),
 
+    "q38_spatial_join" -> ((s, dir) => {
+      // distance-bounded pair finding via 3x3 grid-cell blocking
+      // (recall 1.0 by the Chebyshev bound — the oracle is
+      // mechanism-independent brute force); q8's synthetic lattice
+      // coords, every 5th customer
+      val c = Tables(s, dir).customer
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("lat", lit(geo.TownCenterLat) +
+          (col("c_custkey") % 21 - lit(10)).cast("double") * lit(0.01))
+        .withColumn("lon", lit(geo.TownCenterLon) +
+          (floor(col("c_custkey") / 21.0).cast("bigint") % 21 - lit(10))
+            .cast("double") * lit(0.01))
+      Spatial.withinDistancePairs(c, "c_custkey", col("lat"), col("lon"),
+          maxDist = 0.025)
+        .orderBy("id1", "id2")
+    }),
+
     "q37_histogram" -> ((s, dir) => {
       // binned distribution per type: bounded stats broadcast back,
       // map-side bin, partial agg on the (group, bin) grid; empty
@@ -3162,6 +3179,24 @@ object SparkEntry {
            floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
              * 10000 + 0.5) / 10000 AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, hb_ms""",
+
+    // brute-force truth (mechanism-independent — validates the grid
+    // blocking's recall-1.0 claim, not just its arithmetic); filter
+    // on the UNROUNDED squared distance, 6dp round on output
+    "q38_spatial_join" ->
+      """WITH pts AS (
+           SELECT c_custkey AS id,
+             35.2226 + CAST(c_custkey % 21 - 10 AS DOUBLE) * 0.01 AS lat,
+             -97.4395 + CAST(CAST(floor(c_custkey / 21.0) AS BIGINT) % 21 - 10 AS DOUBLE) * 0.01 AS lon
+           FROM customer WHERE c_custkey % 5 = 0)
+         SELECT a.id AS id1, b.id AS id2,
+           floor(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon)) * 1000000 + 0.5)
+             / 1000000 AS dist
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) <= 0.025 * 0.025
+         ORDER BY id1, id2""",
 
     // bin = floor((r - min)/w) clamped to bins-1, w = (max-min)/20,
     // all on 4dp-rounded values; empty bins surface as 0

@@ -313,6 +313,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(s => s(0) >= s(1)))
   }
 
+  test("withinDistancePairs: brute-force parity, exactly-once pairs, cell-boundary recall") {
+    import graft.ops.Spatial
+    import spark.implicits._
+    // a lattice + near-boundary stragglers: pairs straddling cell
+    // edges are exactly the ones naive per-cell joins lose
+    val pts = Seq(
+      (1L, 0.000, 0.000), (2L, 0.009, 0.000),   // same cell, dist .009
+      (3L, 0.011, 0.000),                        // next cell, dist .002 from 2
+      (4L, 0.0, 0.011), (5L, 0.05, 0.05),        // 5 isolated
+      (6L, -0.001, -0.001)                       // negative coords cell
+    ).toDF("id", "lat", "lon")
+    val got = Spatial.withinDistancePairs(pts, "id", col("lat"), col("lon"),
+        maxDist = 0.01).orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute-force truth in scala
+    val raw = Seq((1L, 0.000, 0.000), (2L, 0.009, 0.000), (3L, 0.011, 0.000),
+      (4L, 0.0, 0.011), (5L, 0.05, 0.05), (6L, -0.001, -0.001))
+    val truth = (for {
+      (a, la, lo) <- raw; (b, lb, lob) <- raw if a < b
+      if (la - lb) * (la - lb) + (lo - lob) * (lo - lob) <= 0.01 * 0.01
+    } yield (a, b)).sorted
+    assert(got == truth, s"got $got expected $truth")
+    // exactly-once: no duplicate unordered pairs even via 9 cells
+    assert(got.distinct == got)
+    // the straddler (2,3) crosses a cell boundary and must be found
+    assert(got.contains((2L, 3L)))
+  }
+
   test("containmentPairs flags the subset-dup symmetric Jaccard misses") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon"
