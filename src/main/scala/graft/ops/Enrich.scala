@@ -22,13 +22,36 @@ object Enrich {
       .withColumn("flag", when(flagCol === marker, 1).otherwise(0))
 
   /** Frequency rank of `key` (reference `src/db/incidents.py:66-73`):
-    * RANK() OVER (ORDER BY COUNT(*) DESC). The global window is safe —
-    * it sorts the GROUPED counts (|distinct keys| rows), never the fact
-    * table; the count itself is a partial-agg-friendly shuffle.
+    * RANK() OVER (ORDER BY COUNT(*) DESC). The global window is safe
+    * ONLY for dictionary-cardinality keys (locations, natures — the
+    * reference's use): it sorts the GROUPED counts, so all |distinct
+    * keys| rows move to ONE partition. Handing it a high-cardinality
+    * key (user id, doc id) funnels the whole distinct-key set through
+    * a single task — for that shape use [[frequencyRankTop]], which
+    * bounds the windowed table at `topN` rows regardless of key
+    * cardinality. The count itself is a partial-agg-friendly shuffle
+    * either way.
     */
   def frequencyRank(df: DataFrame, key: String): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", rank().over(Window.orderBy(col("cnt").desc)))
+
+  /** [[frequencyRank]] bounded at the `topN` most frequent keys — the
+    * high-cardinality-safe form. The grouped counts pass through
+    * TakeOrdered (per-partition top-N merged on the driver — no global
+    * sort, no single-partition window over the full key set); the rank
+    * window then runs over at most `topN` rows. Ranks of retained rows
+    * equal their global ranks (rank counts strictly-greater rows, all
+    * of which are retained); WHICH rows survive a tie straddling the
+    * cutoff is unspecified, as with any top-N.
+    */
+  def frequencyRankTop(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topN)
+      .withColumn("rank", rank().over(Window.orderBy(col("cnt").desc)))
+  }
 
   /** Attach the frequency rank back onto each row (the reference's
     * UPDATE ... FROM LocationFrequency). Rank table is tiny → broadcast.
@@ -359,9 +382,18 @@ object Enrich {
     val staged = df.select(col(groupCol).as("grp"), v.as("v"),
       fround(v, 4).as("r"))
       .withColumn("dv", col("r").cast("decimal(28,4)"))
+      // squares use (18,4): (18,4)×(18,4) = decimal(37,8) — EXACT.
+      // Squaring dv at (28,4) would ask for (57,8), which Spark's
+      // allowPrecisionLoss rule silently truncates to (38,6) — each
+      // square HALF_UP-rounded to 6dp before summing, diverging from
+      // an exact-scale-8 oracle on any value with nonzero 3rd/4th
+      // fractional digits. 14 integer digits is ample for profiled
+      // measures; a value overflowing (18,4) nulls out loudly rather
+      // than rounding silently.
+      .withColumn("dv18", col("r").cast("decimal(18,4)"))
     val nv = count(col("v"))
     val s = sum(col("dv")).cast("double")
-    val s2 = sum((col("dv") * col("dv")).cast("decimal(38,8)")).cast("double")
+    val s2 = sum((col("dv18") * col("dv18")).cast("decimal(38,8)")).cast("double")
     staged.groupBy("grp")
       .agg(count(lit(1)).as("n"),
         (count(lit(1)) - nv).as("n_null"),

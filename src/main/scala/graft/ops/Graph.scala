@@ -417,7 +417,7 @@ object Graph {
     * Per round: one join shuffle (each directed edge delivers its
     * src's current label to dst) + one partial-agg shuffle per vote
     * count + one partial-agg argmax per vertex via
-    * `max(struct(count, -label))` — O(E) traffic, no windows, no
+    * `min(struct(-count, label))` — O(E) traffic, no windows, no
     * driver state; `localCheckpoint` every `checkpointEvery` rounds
     * bounds lineage exactly like [[pageRank]]. Vertices = edge
     * endpoints (an isolated doc is its own community by definition).
@@ -447,11 +447,14 @@ object Graph {
         .groupBy(col("dst").as("vid"), col("label"))
         .agg(count(lit(1)).as("c"))
       // argmax by (vote count, smallest label): struct compare is
-      // positional, so negating the label turns lexicographic max
-      // into the (max count, min label) rule
+      // positional, so negating the COUNT (always numeric — it is a
+      // count(*)) turns lexicographic min into the (max count, min
+      // label) rule while the label field passes through un-negated —
+      // order-safe for ANY orderable label/vertex-id type (string ids
+      // included), unlike negating the label itself
       val next = votes.groupBy(col("vid").as("id"))
-        .agg(max(struct(col("c").as("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("label"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("label"))
       state =
         if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
         else next

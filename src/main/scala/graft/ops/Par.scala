@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism floor for map-heavy pipeline inputs. */
 object Par {
@@ -17,9 +18,31 @@ object Par {
     * matter at 100 TB already scans as thousands of splits and passes
     * through untouched, so this never shuffles real data to fix a
     * local-file artifact.
+    *
+    * The partition probe is gated on the plan SHAPE: only a narrow
+    * chain over leaf scans (project/filter/limit — the one shape that
+    * can inherit a single-row-group split count) is probed, via
+    * `queryExecution.toRdd` (skips Dataset.rdd's row-deserializer
+    * wrap). A plan that already passed through an exchange
+    * (aggregate/join/sort/repartition) is partitioned at the
+    * session's shuffle parallelism, so probing it would re-plan the
+    * whole upstream subtree — per widened input, per composed
+    * pipeline stage — just to learn a number the config already
+    * fixes; those plans pass through without any planning work.
     */
   def widen(df: DataFrame): DataFrame = {
+    @annotation.tailrec
+    def narrowChain(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: LocalLimit | _: GlobalLimit |
+           _: SubqueryAlias =>
+        narrowChain(p.children.head)
+      case _ => false
+    }
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (!narrowChain(df.queryExecution.analyzed)) df
+    else if (df.queryExecution.toRdd.getNumPartitions < want)
+      df.repartition(want)
+    else df
   }
 }

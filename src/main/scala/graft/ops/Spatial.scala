@@ -19,11 +19,18 @@ object Spatial {
     * grid cells, each point probes its 3×3 cell neighborhood, pairs
     * verify on the exact distance.
     *
-    * Exactness of the blocking: with cellSize >= maxDist, two points
-    * within maxDist differ by < cellSize per axis, so their cells
-    * differ by <= 1 per axis — the 3×3 probe covers EVERY qualifying
-    * pair (Chebyshev bound), recall 1.0 by construction, which is why
-    * the oracle can be mechanism-independent brute force. Each
+    * Exactness of the blocking: with cellSize STRICTLY greater than
+    * maxDist, two points within maxDist differ by < cellSize per
+    * axis, so their cells differ by <= 1 per axis — the 3×3 probe
+    * covers EVERY qualifying pair (Chebyshev bound), recall 1.0 by
+    * construction, which is why the oracle can be
+    * mechanism-independent brute force. Strictness matters at the
+    * exact boundary: the real-number argument needs delta < cellSize,
+    * and with cellSize == maxDist a pair whose per-axis delta equals
+    * exactly maxDist can land 2 cells apart through FP rounding of
+    * floor(x/cs) — so the default is nextUp(maxDist) (one ulp wider,
+    * closing the boundary with no measurable change to cell
+    * population) and an explicit cellSize must be > maxDist. Each
     * unordered pair surfaces EXACTLY once without a dedup pass: the
     * probe side explodes into 9 cells, the build side keeps its home
     * cell, so an (a, b) pair matches on exactly one (probe, home)
@@ -42,9 +49,11 @@ object Spatial {
                           lonCol: Column, maxDist: Double,
                           cellSize: Double = 0.0): DataFrame = {
     require(maxDist > 0.0, s"maxDist must be > 0, got $maxDist")
-    val cs = if (cellSize > 0.0) cellSize else maxDist
-    require(cs >= maxDist,
-      s"cellSize ($cs) must be >= maxDist ($maxDist) for the 3x3 recall bound")
+    val cs = if (cellSize > 0.0) cellSize else Math.nextUp(maxDist)
+    require(cs > maxDist,
+      s"cellSize ($cs) must be STRICTLY greater than maxDist ($maxDist): " +
+        "the 3x3 recall bound needs per-axis delta < cellSize, and an " +
+        "exact-boundary pair can land 2 cells apart when they are equal")
     val pts = df.select(col(idCol).as("id"), latCol.as("lat"), lonCol.as("lon"),
       floor(latCol / cs).cast("long").as("cx"),
       floor(lonCol / cs).cast("long").as("cy"))

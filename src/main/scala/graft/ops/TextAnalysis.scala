@@ -145,26 +145,6 @@ object TextAnalysis {
       .agg(distinctAgg.as("n_vocab"), count(lit(1)).as("n_tokens"))
   }
 
-  /** CROSS-GROUP n-gram overlap matrix: for every ordered pair of
-    * groups (A, B), how much of A's distinct n-gram vocabulary also
-    * appears in B — containment |G_A ∩ G_B| / |G_A|. The
-    * source-versus-source contamination diagnostic a corpus audit
-    * runs before mixing: a high A→B containment with a low B→A says
-    * "A is mostly a subset of B" (a mirror or re-crawl — weight one
-    * of them down in t26's mixture), and eval→train containment is
-    * the corpus-level early-warning d6 then pins to specific doc
-    * pairs.
-    *
-    * Shape: grams hash to longs once (d4's machinery), dedup to the
-    * distinct (group, gram) set (one partial-agg shuffle), self-join
-    * on the GRAM key — per-gram fan-out is bounded by #groups, so the
-    * join is O(distinct grams × groups²) worst case, never
-    * corpus-quadratic; pair counts and group totals are bounded-size
-    * aggregates. The zero-overlap pairs are kept (a 0.0 cell is the
-    * finding "these sources share nothing"), via a groups×groups
-    * frame from the bounded totals table. Output: (grp_a, grp_b,
-    * n_a = |G_A|, n_shared, containment 4dp) for every A ≠ B.
-    */
   /** Windowed co-occurrence PMI: the top-N token pairs by pointwise
     * mutual information ln(p(a,b) / (p(a)·p(b))) over all unordered
     * pairs within `window` positions — the collocation/association
@@ -233,6 +213,26 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** CROSS-GROUP n-gram overlap matrix: for every ordered pair of
+    * groups (A, B), how much of A's distinct n-gram vocabulary also
+    * appears in B — containment |G_A ∩ G_B| / |G_A|. The
+    * source-versus-source contamination diagnostic a corpus audit
+    * runs before mixing: a high A→B containment with a low B→A says
+    * "A is mostly a subset of B" (a mirror or re-crawl — weight one
+    * of them down in t26's mixture), and eval→train containment is
+    * the corpus-level early-warning d6 then pins to specific doc
+    * pairs.
+    *
+    * Shape: grams hash to longs once (d4's machinery), dedup to the
+    * distinct (group, gram) set (one partial-agg shuffle), self-join
+    * on the GRAM key — per-gram fan-out is bounded by #groups, so the
+    * join is O(distinct grams × groups²) worst case, never
+    * corpus-quadratic; pair counts and group totals are bounded-size
+    * aggregates. The zero-overlap pairs are kept (a 0.0 cell is the
+    * finding "these sources share nothing"), via a groups×groups
+    * frame from the bounded totals table. Output: (grp_a, grp_b,
+    * n_a = |G_A|, n_shared, containment 4dp) for every A ≠ B.
+    */
   def sourceOverlap(docs0: DataFrame, textCol: String, groupCol: String,
                     n: Int = 3): DataFrame = {
     val docs = Par.widen(docs0)

@@ -182,11 +182,28 @@ object Sources {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp)
     }
-    require(qualified(outPath) != qualified(inPath),
-      "compactParquet refuses in-place rewrite: outPath must differ from inPath")
+    val qIn = qualified(inPath)
+    val qOut = qualified(outPath)
+    // equality is not enough: mode("overwrite") deletes outPath
+    // RECURSIVELY before the lazy re-read of inPath, so an outPath
+    // that is an ancestor of inPath would destroy the input too (and
+    // inPath an ancestor of outPath would make the write read its own
+    // output directory) — refuse any containment in either direction
+    def isAncestorOrSelf(a: org.apache.hadoop.fs.Path,
+                         b: org.apache.hadoop.fs.Path): Boolean = {
+      var p = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(!isAncestorOrSelf(qOut, qIn) && !isAncestorOrSelf(qIn, qOut),
+      s"compactParquet refuses in-place/nested rewrite: $qOut and $qIn " +
+        "must not be the same path or contain one another " +
+        "(overwrite deletes outPath recursively before inPath is read)")
     val df = spark.read.parquet(inPath)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    require(nFiles <= Int.MaxValue,
+      s"file count $nFiles exceeds repartition's Int range — raise targetRowsPerFile")
     df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outPath)
     nFiles
   }

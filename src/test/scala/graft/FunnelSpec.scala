@@ -138,6 +138,20 @@ class FunnelSpec extends AnyFunSuite {
     assert(b.getDouble(5) == 7.5 && b.getDouble(7) == 7.5)
   }
 
+  test("numericProfile: squares are exact at scale 8 for full-4dp values") {
+    import graft.ops.Enrich
+    // chosen so the EXACT scale-8 square sum and a 6dp-HALF_UP-rounded
+    // square sum (what decimal(28,4)*decimal(28,4) under Spark's
+    // allowPrecisionLoss rule would produce) diverge at the 6dp output:
+    // exact v_std = 0.761929, the lossy path gives 0.761928. events
+    // data carries only 2 fractional digits, so this datum is the gate.
+    val df = Seq(("a", 0.9715), ("a", 0.4525), ("a", 1.9528))
+      .toDF("event_type", "value")
+    val got = Enrich.numericProfile(df, "event_type", "value").collect()(0)
+    assert(got.getDouble(6) == 0.761929,
+      s"v_std must use exact scale-8 squares, got ${got.getDouble(6)}")
+  }
+
   test("activeUsers: hand-computed DAU/WAU incl. the 7-day boundary and gaps") {
     import graft.ops.Enrich
     val day = 86400000L

@@ -341,6 +341,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.contains((2L, 3L)))
   }
 
+  test("withinDistancePairs: exact-boundary delta == maxDist is found; cellSize == maxDist refused") {
+    import graft.ops.Spatial
+    import spark.implicits._
+    // per-axis delta EXACTLY maxDist: the real-number Chebyshev bound
+    // needs delta < cellSize, so the default must be one ulp wider
+    // than maxDist or FP floor can park the pair 2 cells apart
+    val pts = Seq((1L, 0.01, 0.0), (2L, 0.02, 0.0)).toDF("id", "lat", "lon")
+    val got = Spatial.withinDistancePairs(pts, "id", col("lat"), col("lon"),
+        maxDist = 0.01).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)), s"boundary pair lost: $got")
+    // an explicit cellSize equal to maxDist silently breaks that
+    // recall guarantee — the API refuses it outright
+    val e = intercept[IllegalArgumentException] {
+      Spatial.withinDistancePairs(pts, "id", col("lat"), col("lon"),
+        maxDist = 0.01, cellSize = 0.01)
+    }
+    assert(e.getMessage.contains("STRICTLY"))
+  }
+
+  test("frequencyRankTop: ranks equal the global ranks for the retained keys") {
+    import graft.ops.Enrich
+    import spark.implicits._
+    // key k repeated k times → counts 1..6, no ties: top-3 is {6,5,4}
+    val df = (for { k <- 1 to 6; _ <- 1 to k } yield k.toString)
+      .toDF("k")
+    val full = Enrich.frequencyRank(df, "k")
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val top = Enrich.frequencyRankTop(df, "k", topN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(top == Seq(("6", 1), ("5", 2), ("4", 3)))
+    assert(top.forall { case (k, r) => full(k) == r })
+  }
+
   test("containmentPairs flags the subset-dup symmetric Jaccard misses") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon"

@@ -343,4 +343,24 @@ class GraphWinnowSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(z == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(i => (i, i)))
   }
+
+  test("labelPropagation accepts STRING vertex ids with the same tie-break") {
+    import spark.implicits._
+    // the same barbell under a lexicographic alphabet: the (max votes,
+    // min label) rule must order the LABELS themselves (negating a
+    // string column would fail analysis — only the numeric vote count
+    // may be negated in the argmax struct)
+    val name = Map(1L -> "ant", 2L -> "bee", 3L -> "cat",
+      10L -> "dog", 11L -> "elk", 12L -> "fox")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .map { case (a, b) => (name(a), name(b)) }.toDF("id1", "id2")
+    val got = Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // isomorphic to the numeric trace: {ant,bee,cat}->ant, {dog,elk,fox}->cat
+    assert(got == Seq(("ant", "ant", 3L), ("bee", "ant", 3L),
+      ("cat", "ant", 3L), ("dog", "cat", 3L), ("elk", "cat", 3L),
+      ("fox", "cat", 3L)))
+  }
 }

@@ -155,5 +155,18 @@ class SourcesSpec extends AnyFunSuite {
       Sources.compactParquet(spark, inDir, s"$base/./in", 100)
     }
     assert(e.getMessage.contains("in-place"))
+    // ancestor containment in EITHER direction is the same footgun:
+    // overwrite deletes outPath recursively before inPath is read, so
+    // outPath=$base would wipe $base/in — and input data with it
+    val eUp = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, inDir, base, 100)
+    }
+    assert(eUp.getMessage.contains("contain"))
+    val eDown = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, inDir, s"$inDir/nested_out", 100)
+    }
+    assert(eDown.getMessage.contains("contain"))
+    // the input survived every refusal
+    assert(spark.read.parquet(inDir).count() == 1000)
   }
 }
