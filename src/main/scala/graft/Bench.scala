@@ -29,37 +29,81 @@ object Bench {
         (familyRank.getOrElse(name.head, 9),
           name.drop(1).takeWhile(_.isDigit).toInt)
       }
-    // Untimed warmup: absorbs one-time session costs (parquet reader
-    // init, codegen compiler, JIT) so per-query numbers are steady.
-    // The pairwise ops run once on a tiny slice to JIT their native
-    // kernels and compile their generated classes.
+    // ---- Warmup phase A: page cache + parquet footers -------------
+    // A cold recording box charges the first scan of every table its
+    // disk reads; count() each input once so timed runs measure the
+    // query, not the storage layer's first touch.
     try {
-      import org.apache.spark.sql.functions.col
       spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64).cache()
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
-      graft.ops.Dedup.minhashPairs(docs, "text", "doc_id",
-        persistIntermediate = false).count()
-      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id").count()
-      graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", col("source")).count()
-      graft.ops.Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", "label", 0.3).count()
-      graft.ops.Similarity.lshTopK(emb, emb.limit(4), "embedding", "vec_id", 5, 64).count()
-      docs.unpersist(); emb.unpersist()
+      val dir = new java.io.File(sfDir)
+      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      tables.foreach(p => spark.read.parquet(p).count())
     } catch {
-      // a warmup failure is not a result (the timed runs surface real
-      // errors in the JSON), but it must not be silent either: a cold
-      // first query would read as a regression
       case e: Throwable =>
-        System.err.println(s"[bench] warmup failed (timings may include " +
-          s"one-time costs): ${e.getClass.getSimpleName}: ${e.getMessage}")
+        System.err.println(s"[bench] table warmup failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
-    // Two timed runs per query, min reported: steady-state latency,
-    // robust to one-off GC/compilation hiccups. A query that throws is
-    // NOT silently timed as fast: its error surfaces in the JSON.
+    // ---- Warmup phase B: one untimed pass of every selected query -
+    // Runs each query end-to-end at a small SF (default: the sibling
+    // sf0.001 of sfDir; SPARK_GRAFT_WARMUP_DIR overrides, empty
+    // disables). Generated-code classes are plan-derived, not
+    // data-derived, so the tiny-SF pass compiles the same codegen
+    // classes and JITs the same kernels the timed run executes — this
+    // is what lets the heavy ITERATIVE tail (graph ops, composed
+    // pipelines), whose wall clock keeps falling with repeat depth
+    // (the documented d7 monotone-warmth effect), reach steady state
+    // within min-of-2 even in a cold single-session recording.
+    val warmDir: Option[String] = sys.env.get("SPARK_GRAFT_WARMUP_DIR") match {
+      case Some("") => None
+      case Some(d) => Some(d)
+      case None =>
+        val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sib.isDirectory) Some(sib.getPath) else None
+    }
+    warmDir match {
+      case Some(wd) =>
+        ordered.foreach { case (name, fn) =>
+          try { fn(spark, wd).count() }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] warmup of $name at $wd failed: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
+        }
+      case None =>
+        // no small-SF sibling: fall back to warming the pairwise-op
+        // kernels on a tiny slice so their native/codegen paths are
+        // at least compiled before timing
+        try {
+          import org.apache.spark.sql.functions.col
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64).cache()
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
+          graft.ops.Dedup.minhashPairs(docs, "text", "doc_id",
+            persistIntermediate = false).count()
+          graft.ops.Dedup.simhashPairs(docs, "text", "doc_id").count()
+          graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", col("source")).count()
+          graft.ops.Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", "label", 0.3).count()
+          graft.ops.Similarity.lshTopK(emb, emb.limit(4), "embedding", "vec_id", 5, 64).count()
+          docs.unpersist(); emb.unpersist()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup failed (timings may include " +
+              s"one-time costs): ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+    }
+    // ---- Timed runs: min-of-2, adaptive third ----------------------
+    // min over repeats = steady-state latency, robust to one-off
+    // GC/compilation hiccups. When the two runs still disagree by
+    // >30% on a non-trivial query, the query is still descending its
+    // warmth curve (or caught a scheduling hiccup) — one more run
+    // decides which; the extra cost is bounded to the queries that
+    // need it. A query that throws is NOT silently timed as fast: its
+    // error surfaces in the JSON.
     val results = ordered.map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).flatMap { _ =>
+      def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -70,6 +114,11 @@ object Bench {
         // a failed run's duration is not a latency — min over failures
         // would report a fast-failing query as a speedup
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      var times = (1 to 2).flatMap(_ => timedRun())
+      if (times.size == 2 && times.min > 0.3 &&
+          times.max / times.min > 1.3) {
+        times = times ++ timedRun()
       }
       // release the ops' persisted intermediates between queries so the
       // cached blocks of one query never occupy the next one's memory
