@@ -263,6 +263,117 @@ class StreamParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart: sessionize — checkpointed stop/start mid-session; restored state merges a late event") {
+    // same data as the sessionize parity test, but the query is STOPPED
+    // after the sessions open and RESTARTED from its checkpoint before
+    // the late event and the closers arrive: the merged sessions span
+    // events delivered on BOTH sides of the restart, so equality with
+    // batch truth proves the mapGroupsWithState state (and the
+    // watermark) survive recovery, not just a single run
+    val evs = Seq(
+      Event(1, 1, ts(t0)), Event(1, 2, ts(t0 + 60000)), Event(1, 3, ts(t0 + 30000)),
+      Event(1, 4, ts(t0 + 2 * 3600000)),
+      Event(2, 10, ts(t0 + 1000)), Event(2, 11, ts(t0 + 300000)),
+      Event(2, 12, ts(t0 + 2 * 3600000 + 60000)))
+    val batch = EventStream.sessionize(evs.toDS()).collect().toSet
+
+    // the memory sink refuses checkpoint recovery — a FILE sink is the
+    // recovery-capable sink (and its _spark_metadata log makes the
+    // final read exactly-once across both runs)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_sess")
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val ms = MemoryStream[Event]
+    def startQuery() =
+      EventStream.sessionize(ms.toDS(), watermarkDelay = "5 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    def readOut(): Set[SessionOut] = {
+      val files = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(outDir).as[SessionOut].collect().toSet
+    }
+    val q1 = startQuery()
+    val out1 =
+      try {
+        ms.addData(evs(0), evs(1), evs(4))    // sessions OPEN, none closed
+        q1.processAllAvailable()
+        readOut()
+      } finally q1.stop()
+    assert(out1.isEmpty, s"no session may close before the restart: $out1")
+    val q2 = startQuery()
+    try {
+      ms.addData(evs(2), evs(5))              // late merge INTO RESTORED STATE
+      q2.processAllAvailable()
+      ms.addData(evs(3), evs(6))              // gap events close both sessions
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // every emission happened after the restart, from state written
+    // before it — equality with batch truth proves the state (and the
+    // watermark) survived recovery
+    assert(readOut() == batch, s"post-restart ${readOut()} != batch $batch")
+  }
+
+  test("restart: funnel — checkpointed stop/start with completions spanning the restart") {
+    import graft.streaming.EventStream.{FunnelOut, TypedEvent}
+    import graft.ops.Funnel
+    val steps = Seq("view", "cart", "buy")
+    val evs = Seq(
+      TypedEvent(1, 1, ts(t0), "view"), TypedEvent(1, 2, ts(t0 + 60000), "cart"),
+      TypedEvent(1, 3, ts(t0 + 120000), "buy"),
+      TypedEvent(2, 10, ts(t0), "buy"), TypedEvent(2, 11, ts(t0 + 1000), "view"),
+      TypedEvent(2, 12, ts(t0 + 2000), "cart"),
+      TypedEvent(3, 20, ts(t0), "view"), TypedEvent(3, 21, ts(t0 + 1000), "buy"),
+      TypedEvent(3, 22, ts(t0 + 2000), "cart"), TypedEvent(3, 23, ts(t0 + 3000), "buy"),
+      TypedEvent(4, 30, ts(t0), "view"), TypedEvent(4, 31, ts(t0 + 1000), "cart"),
+      TypedEvent(9, 99, ts(t0 + 3600000), "view"))
+    val real = evs.filter(_.user_id != 9)
+    val batch = Funnel.stages(real.toDS().toDF(), "user_id", "event_type",
+        "ts", steps)
+      .filter(col("ts_view").isNotNull && col("ts_cart").isNotNull &&
+        col("ts_buy").isNotNull)
+      .collect().map(r => FunnelOut(r.getLong(0),
+        Seq(r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime))).toSet
+
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_funnel")
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val ms = MemoryStream[TypedEvent]
+    def startQuery() =
+      EventStream.funnel(ms.toDS(), steps, watermarkDelay = "3 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    def readOut(): Set[FunnelOut] = {
+      val files = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(outDir).as[FunnelOut].collect().toSet
+    }
+    // phase 1: u1's LAST stage, u3's middle stage, u4's cart — every
+    // eventual completion needs state written before the restart AND
+    // stages delivered after it
+    val q1 = startQuery()
+    val out1 =
+      try {
+        ms.addData(evs(2), evs(8), evs(11))
+        q1.processAllAvailable()
+        readOut()
+      } finally q1.stop()
+    assert(out1.isEmpty, s"no funnel may complete before the restart: $out1")
+    // phase 2: restart from the checkpoint, deliver the rest
+    val q2 = startQuery()
+    try {
+      ms.addData(evs(0), evs(4), evs(6), evs(7), evs(9))
+      q2.processAllAvailable()
+      ms.addData(evs(1), evs(3), evs(5), evs(10))
+      q2.processAllAvailable()
+      ms.addData(evs(12))                     // watermark past all real rows
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(readOut() == batch, s"post-restart ${readOut()} != batch $batch")
+    assert(batch.map(_.user_id) == Set(1L, 3L))
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
