@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Planted cross-shard near-dup recovery check at sf1 (d2, d9, d16).
+
+gen_sf1_planted.py plants known exact + bounded-edit duplicates whose
+pairs STRADDLE the corpus-growth boundary (pseudo-shard 10 vs shards
+1..9) — the one regime the Caesar-rotation construction of sf1 cannot
+exercise. This check asserts the three growth-sensitive operators
+recover exactly that planted structure from the merged view:
+
+  d2_minhash_lsh           every planted pair present with the exact
+                           4dp Jaccard; PRECISION: every emitted pair
+                           involving a planted id re-verified by exact
+                           string-shingle Jaccard in DuckDB
+  d9_embed_lsh_auto        every planted (base, 2.0x copy) pair present
+                           at cosine 1.0; precision on planted ids
+  d16_neardup_incremental  every planted doc (all delta by id choice)
+                           verdicted against its base across the
+                           index/delta boundary the md5 split draws
+
+Usage: check_sf1_planted.py <plantedViewDir> <verifyOutDir>
+  <plantedViewDir>  testdata-sf1-planted (contains manifest.json)
+  <verifyOutDir>    Verify output over the planted view containing
+                    d2_minhash_lsh/ d9_embed_lsh_auto/
+                    d16_neardup_incremental/
+"""
+import glob
+import hashlib
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))")
+
+
+def load(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    assert files, f"no result parquet under {outdir}/{name}"
+    return pd.concat([pd.read_parquet(f) for f in files]).reset_index(drop=True)
+
+
+def split_of(doc_id, salt="graft"):
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+    return "index" if h < "b333" else "delta"
+
+
+def main(viewdir, outdir):
+    man = json.load(open(f"{viewdir}/manifest.json"))
+    plant_base = man["plant_base"]
+    docs_glob = f"{viewdir}/documents.parquet/*.parquet"
+    embs_glob = f"{viewdir}/embeddings.parquet/*.parquet"
+    con = duckdb.connect()
+
+    # ---------------- d2: planted-pair recall + precision -------------
+    d2 = load(outdir, "d2_minhash_lsh")
+    have = {(r.id1, r.id2): r.jaccard for r in d2.itertuples()}
+    missing = [(p["base"], p["planted"]) for p in man["doc_pairs"]
+               if (p["base"], p["planted"]) not in have]
+    assert not missing, f"d2 missed planted cross-shard pairs: {missing}"
+    # reported jaccard must equal the exact string-shingle truth
+    con.execute(
+        "CREATE TABLE dp AS SELECT * FROM (VALUES " +
+        ",".join(f"({p['base']},{p['planted']})" for p in man["doc_pairs"]) +
+        ") t(id1, id2)")
+    truth = con.sql(f"""
+        WITH prep AS (
+          SELECT doc_id,
+            CASE WHEN length({NORM}) >= 5
+                 THEN list_distinct(list_transform(range(1, length({NORM}) - 3),
+                        i -> substr({NORM}, i, 5)))
+                 ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM '{docs_glob}'
+          WHERE doc_id IN (SELECT id1 FROM dp UNION SELECT id2 FROM dp)),
+        j AS (
+          SELECT dp.id1, dp.id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS szsum
+          FROM dp JOIN prep a ON a.doc_id = dp.id1
+                  JOIN prep b ON b.doc_id = dp.id2)
+        SELECT id1, id2,
+          floor((CASE WHEN szsum - inter = 0 THEN 0
+                      ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 AS truth
+        FROM j""").df()
+    for r in truth.itertuples():
+        got = have[(r.id1, r.id2)]
+        assert abs(got - r.truth) < 5e-5, \
+            f"d2 jaccard for planted pair ({r.id1},{r.id2}): {got} != {r.truth}"
+    n_exact = sum(1 for p in man["doc_pairs"] if p["kind"] == "exact")
+    print(f"d2: all {len(man['doc_pairs'])} planted pairs recovered "
+          f"({n_exact} exact + {len(man['doc_pairs']) - n_exact} truncated), "
+          f"jaccards exact")
+    # precision: every emitted pair touching a planted id is a true pair
+    touched = d2[(d2.id1 >= plant_base) | (d2.id2 >= plant_base)]
+    con.execute("CREATE TABLE tp AS SELECT * FROM touched")
+    bad = con.sql(f"""
+        WITH prep AS (
+          SELECT doc_id,
+            CASE WHEN length({NORM}) >= 5
+                 THEN list_distinct(list_transform(range(1, length({NORM}) - 3),
+                        i -> substr({NORM}, i, 5)))
+                 ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM '{docs_glob}'
+          WHERE doc_id IN (SELECT id1 FROM tp UNION SELECT id2 FROM tp)),
+        j AS (
+          SELECT tp.id1, tp.id2, tp.jaccard,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS szsum
+          FROM tp JOIN prep a ON a.doc_id = tp.id1
+                  JOIN prep b ON b.doc_id = tp.id2)
+        SELECT * FROM (
+          SELECT id1, id2, jaccard,
+            floor((CASE WHEN szsum - inter = 0 THEN 0
+                        ELSE inter / (szsum - inter) END) * 10000 + 0.5) / 10000 AS truth
+          FROM j) WHERE jaccard <> truth OR truth < 0.5""").df()
+    assert bad.empty, f"d2 planted-id pairs failing exact verify:\n{bad}"
+    print(f"d2: precision OK on all {len(touched)} planted-id pairs")
+
+    # ---------------- d9: planted-vector recall + precision -----------
+    d9 = load(outdir, "d9_embed_lsh_auto")
+    ehave = {(r.id1, r.id2): r.cosine for r in d9.itertuples()}
+    emissing = [(p["base"], p["planted"]) for p in man["emb_pairs"]
+                if (p["base"], p["planted"]) not in ehave]
+    assert not emissing, f"d9 missed planted vector pairs: {emissing}"
+    for p in man["emb_pairs"]:
+        c = ehave[(p["base"], p["planted"])]
+        assert abs(c - 1.0) < 5e-5, \
+            f"d9 cosine for 2.0x copy ({p['base']},{p['planted']}) = {c}, want 1.0"
+    etouched = d9[(d9.id1 >= plant_base) | (d9.id2 >= plant_base)]
+    con.execute("CREATE TABLE ep AS SELECT * FROM etouched")
+    ebad = con.sql(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM '{embs_glob}'
+                   WHERE vec_id IN (SELECT id1 FROM ep UNION SELECT id2 FROM ep))
+        SELECT * FROM (
+          SELECT ep.id1, ep.id2, ep.cosine,
+            round(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+                       ELSE list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v))) END, 4) AS truth
+          FROM ep JOIN e a ON a.vec_id = ep.id1
+                  JOIN e b ON b.vec_id = ep.id2)
+        WHERE abs(cosine - truth) > 0.0001 OR truth < 0.4""").df()
+    assert ebad.empty, f"d9 planted-id pairs failing exact cosine:\n{ebad}"
+    print(f"d9: all {len(man['emb_pairs'])} planted vector pairs recovered at "
+          f"cosine 1.0; precision OK on all {len(etouched)} planted-id pairs")
+
+    # ---------------- d16: verdicts across the growth boundary --------
+    d16 = load(outdir, "d16_neardup_incremental").set_index("doc_id")
+    n_bi, n_bd = 0, 0
+    for p in man["doc_pairs"]:
+        pid, bid = p["planted"], p["base"]
+        assert split_of(pid) == "delta", \
+            f"planted id {pid} not delta — regenerate with gen_sf1_planted.py"
+        row = d16.loc[pid]
+        if split_of(bid) == "index":
+            n_bi += 1
+            assert row.verdict == "dup_index" and row.n_index_matches >= 1, \
+                f"planted {pid} (base {bid} in INDEX) got {row.verdict}"
+        else:
+            n_bd += 1
+            assert row.n_delta_matches >= 1, \
+                f"planted {pid} (base {bid} in DELTA) has no delta match"
+    assert n_bi >= 1 and n_bd >= 1, \
+        f"split mix too degenerate to test both legs (index={n_bi}, delta={n_bd})"
+    print(f"d16: all {len(man['doc_pairs'])} planted delta docs verdicted "
+          f"against their base ({n_bi} across index/delta boundary, "
+          f"{n_bd} within-delta)")
+    print("\nplanted cross-shard near-dups @ sf1: ALL CHECKS PASS")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

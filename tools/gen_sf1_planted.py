@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Plant known CROSS-SHARD near-duplicates over the sf1 corpus.
+
+gen_sf1.py builds sf1 as 10 Caesar-rotated shards, which makes
+cross-shard near-dups impossible BY CONSTRUCTION — so the 10x gate
+can never exercise duplicates that straddle corpus growth (the shape a
+real 10x crawl has). This tool closes that regime without touching the
+pristine sf1 tables (every existing sf1 result stays valid):
+
+ - picks one base document per shard 1..9 (deterministic: the smallest
+   doc_id whose normalized text is >= 200 chars and has no exact twin
+   anywhere in the corpus) and plants, under NEW ids >= 1,000,000
+   (a pseudo-shard 10 the real shards never touch):
+     * an EXACT copy   (5-gram Jaccard 1.0  — the banding MUST pair it)
+     * a TRUNCATED copy (prefix cut, exact Jaccard computed here and
+       asserted >= 0.6 — above d2/d16's 0.5 threshold with margin)
+   Planted doc ids are chosen so the t8/d16 md5 split assigns them all
+   to DELTA, making every planted pair visible to d16's delta-vs-index
+   verdict regardless of where the base lands.
+ - picks one base embedding per shard 1..9 (smallest vec_id with
+   vec_id % 100 != 0 — never a probe — and nonzero norm) and plants a
+   2.0x-scaled copy: scaling by a power of two is EXACT in IEEE floats,
+   so the hyperplane sign pattern (hence every LSH band key) and the
+   cosine (exactly 1.0) are bit-identical — d9 MUST pair it.
+
+Outputs (never modifies testdata-sf1's own tables):
+  testdata-sf1/planted/documents_planted.parquet
+  testdata-sf1/planted/embeddings_planted.parquet
+  testdata-sf1/planted/manifest.json
+  testdata-sf1-planted/   — a merged VIEW: symlinks to every pristine
+    table, except documents.parquet / embeddings.parquet which become
+    directories holding (pristine, planted) file pairs; Spark reads the
+    directory transparently, so Verify runs against it unchanged.
+
+Check with tools/check_sf1_planted.py after running Verify:
+  SPARK_GRAFT_QUERIES=d2_minhash_lsh,d9_embed_lsh_auto,d16_neardup_incremental \
+    sbt "runMain graft.Verify <repo>/testdata-sf1-planted /tmp/sf1p_out"
+"""
+import hashlib
+import json
+import math
+import os
+import re
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, "testdata-sf1")
+PLANTED = os.path.join(SF1, "planted")
+VIEW = os.path.join(REPO, "testdata-sf1-planted")
+SHARD = 100000
+PLANT_BASE = 1000000
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm(text):
+    return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+
+
+def shingles(text, k=5):
+    n = norm(text)
+    if len(n) < k:
+        return set()
+    return {n[i:i + k] for i in range(len(n) - k + 1)}
+
+
+def jaccard(a, b):
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def split_of(doc_id, salt="graft"):
+    # the t8/d16 deterministic split: md5 hex prefix < 'b333' -> index
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+    return "index" if h < "b333" else "delta"
+
+
+def main():
+    os.makedirs(PLANTED, exist_ok=True)
+    con = duckdb.connect()
+
+    # ---- base documents: one per shard 1..9, long + twin-free --------
+    bases = con.sql(f"""
+        WITH n AS (
+          SELECT doc_id, text, lang, source,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS nt
+          FROM '{SF1}/documents.parquet'),
+        fp AS (SELECT md5(nt) AS f, count(*) AS c FROM n GROUP BY 1)
+        SELECT doc_id, text, lang, source
+        FROM n JOIN fp ON md5(n.nt) = fp.f
+        WHERE length(nt) >= 200 AND fp.c = 1
+          AND doc_id // {SHARD} BETWEEN 1 AND 9
+        -- shard s contributes its s-th qualifying doc, so the 9 bases
+        -- are rotations of 9 DIFFERENT underlying documents (rank 1
+        -- everywhere would select 9 rotations of the same sf0.1 doc)
+        QUALIFY row_number() OVER (PARTITION BY doc_id // {SHARD}
+                                   ORDER BY doc_id) = doc_id // {SHARD}
+        ORDER BY doc_id""").fetchall()
+    assert len(bases) == 9, f"expected 9 base docs, got {len(bases)}"
+
+    # ---- planted ids: all DELTA under the d16 split -------------------
+    delta_ids = [i for i in range(PLANT_BASE, PLANT_BASE + 2000)
+                 if split_of(i) == "delta"]
+    exact_ids, trunc_ids = delta_ids[:9], delta_ids[9:18]
+
+    doc_rows, doc_pairs = [], []
+    for (bid, text, lang, source), pe, pt in zip(bases, exact_ids, trunc_ids):
+        doc_rows.append((pe, text, lang, source, len(text)))
+        doc_pairs.append({"base": bid, "planted": pe, "kind": "exact",
+                          "jaccard": 1.0})
+        base_sh = shingles(text)
+        cut_text, j = None, 0.0
+        for frac in (0.85, 0.90, 0.95):
+            cand = text[:math.ceil(frac * len(text))]
+            j = jaccard(base_sh, shingles(cand))
+            if j >= 0.6:
+                cut_text = cand
+                break
+        assert cut_text is not None, \
+            f"no truncation of doc {bid} reaches jaccard 0.6 (last j={j})"
+        doc_rows.append((pt, cut_text, lang, source, len(cut_text)))
+        doc_pairs.append({"base": bid, "planted": pt, "kind": "truncated",
+                          "jaccard": round(j, 4)})
+
+    doc_tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in doc_rows], pa.int64()),
+        "text": pa.array([r[1] for r in doc_rows], pa.string()),
+        "lang": pa.array([r[2] for r in doc_rows], pa.string()),
+        "source": pa.array([r[3] for r in doc_rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in doc_rows], pa.int64()),
+    })
+    pq.write_table(doc_tbl, f"{PLANTED}/documents_planted.parquet")
+
+    # ---- base embeddings: one per shard 1..9, non-probe, nonzero ------
+    ebases = con.sql(f"""
+        SELECT vec_id, embedding
+        FROM '{SF1}/embeddings.parquet'
+        WHERE vec_id % 100 != 0 AND vec_id // {SHARD} BETWEEN 1 AND 9
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+        -- s-th qualifying vector per shard: 9 distinct underlying
+        -- vectors, same reasoning as the document bases
+        QUALIFY row_number() OVER (PARTITION BY vec_id // {SHARD}
+                                   ORDER BY vec_id) = vec_id // {SHARD}
+        ORDER BY vec_id""").fetchall()
+    assert len(ebases) == 9, f"expected 9 base vectors, got {len(ebases)}"
+
+    emb_rows, emb_pairs = [], []
+    for k, (vid, emb) in enumerate(ebases, start=1):
+        pid = PLANT_BASE + k            # 1000001..1000009: never % 100 == 0
+        assert pid % 100 != 0
+        emb_rows.append((pid, [2.0 * x for x in emb], 9000 + k))
+        emb_pairs.append({"base": vid, "planted": pid, "cosine": 1.0})
+
+    emb_tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in emb_rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in emb_rows], pa.int32()),
+    })
+    pq.write_table(emb_tbl, f"{PLANTED}/embeddings_planted.parquet")
+
+    manifest = {"doc_pairs": doc_pairs, "emb_pairs": emb_pairs,
+                "plant_base": PLANT_BASE, "shard": SHARD}
+    with open(f"{PLANTED}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    # ---- merged view directory ----------------------------------------
+    if os.path.isdir(VIEW):
+        for root, dirs, files in os.walk(VIEW, topdown=False):
+            for x in files:
+                os.unlink(os.path.join(root, x))
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
+    os.makedirs(VIEW, exist_ok=True)
+    for t in TABLES:
+        src = f"{SF1}/{t}.parquet"
+        if t in ("documents", "embeddings"):
+            d = f"{VIEW}/{t}.parquet"
+            os.makedirs(d, exist_ok=True)
+            os.symlink(src, f"{d}/part-00000.parquet")
+            os.symlink(f"{PLANTED}/{t}_planted.parquet",
+                       f"{d}/part-00001.parquet")
+        else:
+            os.symlink(src, f"{VIEW}/{t}.parquet")
+    os.symlink(f"{PLANTED}/manifest.json", f"{VIEW}/manifest.json")
+
+    print(f"planted {len(doc_rows)} docs ({len(doc_pairs)} pairs), "
+          f"{len(emb_rows)} vectors ({len(emb_pairs)} pairs)")
+    for p in doc_pairs:
+        print(f"  doc  base={p['base']} planted={p['planted']} "
+              f"{p['kind']} j={p['jaccard']}")
+    for p in emb_pairs:
+        print(f"  vec  base={p['base']} planted={p['planted']} cos=1.0")
+    print(f"view: {VIEW}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
