@@ -147,6 +147,21 @@ def main(viewdir, outdir):
     print(f"d9: all {len(man['emb_pairs'])} planted vector pairs recovered at "
           f"cosine 1.0; precision OK on all {len(etouched)} planted-id pairs")
 
+    # ---------------- s10 (optional): planted rank recovery -----------
+    # a 2.0x copy has cosine exactly 1.0 with its base AND identical
+    # band keys, so each must appear among the other's top-k at 1.0 —
+    # a targeted recall check on the k-NN graph at the growth boundary
+    if glob.glob(f"{outdir}/s10_knn_graph/*.parquet"):
+        g = load(outdir, "s10_knn_graph")
+        edges = {(r.id, r.neighbor_id): r.cosine for r in g.itertuples()}
+        for p in man["emb_pairs"]:
+            for a, b in ((p["base"], p["planted"]), (p["planted"], p["base"])):
+                c = edges.get((a, b))
+                assert c is not None and abs(c - 1.0) < 5e-5, \
+                    f"s10: planted neighbor {b} missing from {a}'s top-k (got {c})"
+        print(f"s10: all {len(man['emb_pairs'])} planted pairs present in both "
+              "endpoints' top-k at cosine 1.0")
+
     # ---------------- d16: verdicts across the growth boundary --------
     d16 = load(outdir, "d16_neardup_incremental").set_index("doc_id")
     n_bi, n_bd = 0, 0
