@@ -480,6 +480,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s12_ann_rerank" -> ((s, dir) => {
+      // two-stage ANN: s7's compressed ADC scan proposes 50 candidates
+      // per probe, an exact-cosine pass over ONLY those candidates
+      // reranks to the final top-5 — the production architecture
+      // (codes scan + bounded full-precision fetch), both stages
+      // oracle-replicated
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.pqRerankTopK(emb, probes, "embedding", "vec_id",
+          k = 5, candidates = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "s8_mmr_select" -> ((s, dir) => {
       // diversity-aware exemplar pick: greedy MMR against the corpus
       // mean vector — k representative-yet-mutually-distinct rows,
@@ -1127,6 +1140,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "g4_cc_incremental" -> ((s, dir) => {
+      // the daily-crawl shape for the CLUSTER step: base components
+      // from ~70% of the near-dup edges, the rest merged in
+      // incrementally (contracted delta graph + broadcast relabel —
+      // the base labeling is scanned, never re-iterated). The oracle
+      // recomputes CC FROM SCRATCH over all edges, so the gate proves
+      // incremental == full recompute
+      val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+          "embedding", "vec_id", "label", 0.35)
+        .localCheckpoint(true) // both splits read it — never re-pair
+      val isOld = pmod(col("id1") * 31 + col("id2"), lit(10)) < 7
+      val base = Graph.connectedComponents(pairs.where(isOld), "id1", "id2")
+      Graph.incrementalComponents(base, "id", "comp",
+          pairs.where(!isOld), "id1", "id2")
+        .select(col("id"), col("comp").as("component"))
+        .orderBy("id")
+    }),
+
     "s9_range_search" -> ((s, dir) => {
       // radius query: ALL neighbors above a cosine floor — a pure map
       // over the corpus scan, no ranking state at all
@@ -1598,6 +1629,26 @@ object SparkEntry {
            CAST(CASE WHEN id = component THEN 1 ELSE 0 END AS INTEGER) AS keep
          FROM cc ORDER BY id""",
 
+    // the INCREMENTAL path's truth is mechanism-independent: CC from
+    // scratch over the FULL edge set (the oracle never sees the
+    // old/new split) — equality proves merging the delta into the base
+    // labeling lands exactly where a full recompute does
+    "g4_cc_incremental" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+         ed AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT a AS id FROM ed),
+         walk(id, comp) AS (
+           SELECT id, CAST(id AS BIGINT) FROM nodes
+           UNION
+           SELECT ed.b, w.comp FROM walk w JOIN ed ON ed.a = w.id),
+         cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS id, component FROM cc ORDER BY id""",
+
     // d8's 24-plane/6x4-bit-band bucketing replicated literally: the
     // candidate set (agree on >= 1 band) AND the exact-cosine verify
     // are both reproduced, so banding itself is oracle-checked.
@@ -1678,68 +1729,30 @@ object SparkEntry {
     // one Lloyd step with the c1 decimal-mean recipe, L2 assignment in
     // the reduced c·c − 2·x·c form), corpus encoding, probe ADC tables,
     // and the decimal-exact adist sum — rank (adist asc, neighbor asc).
-    "s7_ann_pq" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         sv AS (
-           SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS x
-           FROM e, (SELECT unnest(range(8)) AS s)),
-         init AS (
-           SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-             x AS c
-           FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 64)),
-         a1 AS (
-           SELECT s, vec_id, x, cid FROM (
-             SELECT sv.s, sv.vec_id, sv.x, i.cid,
-               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
-                 list_dot_product(i.c, i.c) - 2 * list_dot_product(sv.x, i.c) ASC,
-                 i.cid ASC) AS rn
-             FROM sv JOIN init i ON sv.s = i.s) WHERE rn = 1),
-         comp AS (
-           SELECT s, cid, u.d AS d,
-             CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
-           FROM (SELECT s, cid, unnest(list_transform(range(1, len(x) + 1),
-                   j -> struct_pack(d := j, x := x[j]))) AS u FROM a1)),
-         cent AS (
-           SELECT s, cid, d,
-             floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
-           FROM comp GROUP BY s, cid, d),
-         books AS (SELECT s, cid, list(cx ORDER BY d) AS c FROM cent GROUP BY s, cid),
-         codes AS (
-           SELECT s, vec_id, cid AS code FROM (
-             SELECT sv.s, sv.vec_id, b.cid,
-               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
-                 list_dot_product(b.c, b.c) - 2 * list_dot_product(sv.x, b.c) ASC,
-                 b.cid ASC) AS rn
-             FROM sv JOIN books b ON sv.s = b.s) WHERE rn = 1),
-         p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-         prq AS (
-           SELECT query_id,
-             CAST(floor(list_dot_product(qv, qv) * 1000000 + 0.5) / 1000000
-               AS DECIMAL(18,6)) AS qq
-           FROM p),
-         tab AS (
-           SELECT p.query_id, b.s, b.cid,
-             CAST(floor((list_dot_product(b.c, b.c)
-               - 2 * list_dot_product(list_slice(p.qv, b.s*8 + 1, b.s*8 + 8), b.c))
-               * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS rq
-           FROM p CROSS JOIN books b),
-         ad AS (
-           SELECT t.query_id, c.vec_id AS neighbor_id,
-             CAST(any_value(prq.qq) + sum(t.rq) AS DOUBLE) AS adist
-           FROM codes c
-           JOIN tab t ON c.s = t.s AND c.code = t.cid
-           JOIN prq ON prq.query_id = t.query_id
-           WHERE c.vec_id <> t.query_id
-           GROUP BY t.query_id, c.vec_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, adist,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
-           FROM ad)
+    "s7_ann_pq" -> (pqRankedSql + """
          SELECT query_id, rank, neighbor_id, adist
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // s7's ADC chain at rank <= 50 feeds an EXACT-cosine rerank (s1's
+    // scoring + ranking formulas verbatim) — both stages of the
+    // two-stage ANN are oracle-replicated
+    "s12_ann_rerank" -> (pqRankedSql + """,
+         cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+         rr AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(p.qv, e.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM cand JOIN e ON e.vec_id = cand.neighbor_id
+                     JOIN p ON p.query_id = cand.query_id),
+         rranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM rr)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM rranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    
 
     // The LSH bucketing replicated literally: signature bits from the
     // same 16 hyperplanes (embedded as literals), 4-bit bands, probe
@@ -3461,6 +3474,75 @@ object SparkEntry {
     * emitted from the SAME doubles Spark multiplies by, so both
     * engines run identical IEEE arithmetic between the roundings.
     */
+  /** s7's full PQ/ADC chain through the `ranked` CTE (adist asc,
+    * neighbor asc) — shared by the s7 oracle (rank <= 5) and s12's
+    * two-stage rerank oracle (rank <= 50 candidates, exact-cosine
+    * rerank): per-subspace codebooks (lowest-id init, one Lloyd step
+    * with the c1 decimal-mean recipe, L2 assignment in the reduced
+    * c·c − 2·x·c form), corpus encoding, probe ADC tables, and the
+    * decimal-exact adist sum.
+    */
+  private val pqRankedSql: String =
+    """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sv AS (
+           SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS x
+           FROM e, (SELECT unnest(range(8)) AS s)),
+         init AS (
+           SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             x AS c
+           FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 64)),
+         a1 AS (
+           SELECT s, vec_id, x, cid FROM (
+             SELECT sv.s, sv.vec_id, sv.x, i.cid,
+               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+                 list_dot_product(i.c, i.c) - 2 * list_dot_product(sv.x, i.c) ASC,
+                 i.cid ASC) AS rn
+             FROM sv JOIN init i ON sv.s = i.s) WHERE rn = 1),
+         comp AS (
+           SELECT s, cid, u.d AS d,
+             CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+           FROM (SELECT s, cid, unnest(list_transform(range(1, len(x) + 1),
+                   j -> struct_pack(d := j, x := x[j]))) AS u FROM a1)),
+         cent AS (
+           SELECT s, cid, d,
+             floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+           FROM comp GROUP BY s, cid, d),
+         books AS (SELECT s, cid, list(cx ORDER BY d) AS c FROM cent GROUP BY s, cid),
+         codes AS (
+           SELECT s, vec_id, cid AS code FROM (
+             SELECT sv.s, sv.vec_id, b.cid,
+               row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+                 list_dot_product(b.c, b.c) - 2 * list_dot_product(sv.x, b.c) ASC,
+                 b.cid ASC) AS rn
+             FROM sv JOIN books b ON sv.s = b.s) WHERE rn = 1),
+         p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         prq AS (
+           SELECT query_id,
+             CAST(floor(list_dot_product(qv, qv) * 1000000 + 0.5) / 1000000
+               AS DECIMAL(18,6)) AS qq
+           FROM p),
+         tab AS (
+           SELECT p.query_id, b.s, b.cid,
+             CAST(floor((list_dot_product(b.c, b.c)
+               - 2 * list_dot_product(list_slice(p.qv, b.s*8 + 1, b.s*8 + 8), b.c))
+               * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS rq
+           FROM p CROSS JOIN books b),
+         ad AS (
+           SELECT t.query_id, c.vec_id AS neighbor_id,
+             CAST(any_value(prq.qq) + sum(t.rq) AS DOUBLE) AS adist
+           FROM codes c
+           JOIN tab t ON c.s = t.s AND c.code = t.cid
+           JOIN prq ON prq.query_id = t.query_id
+           WHERE c.vec_id <> t.query_id
+           GROUP BY t.query_id, c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM ad)"""
+
   private def mmrOracleSql(k: Int = 5, lam: Double = 0.7): String = {
     def cosS(a: String, b: String) =
       s"(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0" +

@@ -462,4 +462,58 @@ object Graph {
     val sizes = state.groupBy("label").agg(count(lit(1)).as("n_members"))
     state.join(sizes, Seq("label")).select("id", "label", "n_members")
   }
+
+  /** INCREMENTAL connected components: merge a batch of NEW edges into
+    * an existing `(id, comp)` labeling — the daily-crawl shape for the
+    * GRAPH side of dedup (d14/d16 give it to the pair finders; this
+    * gives it to the cluster step). Recomputing CC from scratch rescans
+    * and re-iterates the full history graph; at 100 TB the history is
+    * the corpus, so the incremental form must touch it only
+    * LINEARLY — never per-round.
+    *
+    * Mechanism: every old component is CONTRACTED to its label (old
+    * labels are component-min ids, so they are valid vertex names);
+    * each new edge maps its endpoints to their old labels (or
+    * themselves if unseen) via one join against the labeling; CC then
+    * runs on that contracted DELTA graph, whose size is bounded by the
+    * new-edge count — the iterative part never sees the base graph.
+    * Final relabel = one broadcast join of the (old label → merged
+    * label) table, sized by delta endpoints, against the base
+    * labeling. Correctness of min-labels: old labels are the min ids
+    * of their components, so the min over a merged set of labels and
+    * new ids IS the global min id of the merged component — the output
+    * equals from-scratch CC over (base edges ∪ new edges), which is
+    * exactly what the oracle checks.
+    *
+    * Returns (id, comp) covering every base vertex and every new-edge
+    * endpoint.
+    */
+  def incrementalComponents(labels: DataFrame, idCol: String, compCol: String,
+                            newEdges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val base = labels.select(col(idCol).cast("long").as("id"),
+      col(compCol).cast("long").as("comp"))
+    val e = newEdges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val mapped = e
+      .join(base.select(col("id").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(base.select(col("id").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    // CC on the contracted graph: vertices are old labels + unseen new
+    // ids; bounded by the delta, converges in O(delta diameter)
+    val merged = connectedComponents(mapped, "a", "b")
+      .select(col("id").as("comp0"), col("comp").as("newcomp"))
+    // relabel rides a BROADCAST (delta-endpoint-sized by construction);
+    // untouched components pass through on the left-join miss
+    val oldOut = base.join(broadcast(merged), col("comp") === col("comp0"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+    val newOut = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct()
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(merged), col("id") === col("comp0"))
+      .select(col("id"), col("newcomp").as("comp"))
+    oldOut.unionByName(newOut)
+  }
 }

@@ -344,6 +344,34 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(z == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(i => (i, i)))
   }
 
+  test("incrementalComponents: hand-traced merge; equals from-scratch CC at every split point") {
+    import spark.implicits._
+    // base: {1,2}, {3,4}, {10,11}. Delta (2,3) merges the first two,
+    // (5,6) opens a brand-new component, and (10,11) re-adds an edge
+    // already inside a component (must be a no-op)
+    val old = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val base = Graph.connectedComponents(old, "id1", "id2")
+    val delta = Seq((2L, 3L), (5L, 6L), (10L, 11L)).toDF("id1", "id2")
+    val got = Graph.incrementalComponents(base, "id", "comp", delta, "id1", "id2")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L))
+    // the incremental path must land exactly where a full recompute
+    // does, WHEREVER the old/new boundary falls — including all-new
+    // (empty base) and all-old (empty delta)
+    val all = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (7L, 8L), (8L, 9L), (1L, 9L))
+    val truth = Graph.connectedComponents(all.toDF("id1", "id2"), "id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cut <- Seq(0, 3, 5, all.size)) {
+      val b = Graph.connectedComponents(all.take(cut).toDF("id1", "id2"), "id1", "id2")
+      val inc = Graph.incrementalComponents(b, "id", "comp",
+          all.drop(cut).toDF("id1", "id2"), "id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc == truth, s"cut=$cut: $inc != $truth")
+    }
+  }
+
   test("labelPropagation accepts STRING vertex ids with the same tie-break") {
     import spark.implicits._
     // the same barbell under a lexicographic alphabet: the (max votes,

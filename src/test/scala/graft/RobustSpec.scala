@@ -373,6 +373,31 @@ class RobustSpec extends AnyFunSuite {
     assert(counts == Set(5L))
   }
 
+  test("pqRerankTopK: exact rerank repairs ADC ranking; candidates >= corpus equals brute force") {
+    val embs = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)
+    val rr = Similarity.pqRerankTopK(embs, probes, "embedding", "vec_id",
+      k = 5, candidates = 50)
+    val bfIds = bf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rrIds = rr.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = bfIds.count(rrIds.contains).toDouble / bfIds.size
+    info(f"rerank(c=50) recall@5 vs exact cosine: $recall%.3f")
+    // raw ADC ranking on this corpus measures ~0.52 (pqTopK spec); the
+    // rerank stage must repair most of the quantization error — floor
+    // below the measurement so a regression fails without flaking
+    assert(recall >= 0.75, f"rerank recall $recall%.3f below floor")
+    // with candidates >= corpus the candidate net is the whole corpus,
+    // so the rerank IS brute force: rows must match exactly (ranks,
+    // ids, and 4dp cosines), proving stage-2 scoring parity
+    val full = Similarity.pqRerankTopK(embs, probes, "embedding", "vec_id",
+      k = 5, candidates = 10000)
+    assert(key(full) == key(bf), "candidates>=corpus rerank != brute force")
+  }
+
   test("round-6 operators are partitioning-invariant") {
     import graft.ops.{Curation, Graph, TextAnalysis}
     def run[A](f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
