@@ -29,6 +29,21 @@ object Bench {
         (familyRank.getOrElse(name.head, 9),
           name.drop(1).takeWhile(_.isDigit).toInt)
       }
+    // Session hygiene between queries. clearCache() alone releases
+    // cached DATASETS but not localCheckpoint() RDD blocks — the heavy
+    // queries (s12's candidate pairs, g4's edge checkpoint, the graph
+    // ops' lineage checkpoints) pin storage memory until GC finalizes
+    // them, and in the r06 recording that residue bled into the four
+    // queries run immediately after s12 (d3/d4/d6/d7 regressed
+    // 1.3-5.4× with zero code change). So: drop every persisted RDD
+    // explicitly, then one GC so the freed blocks are actually
+    // returned before the next query's timer starts.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // ---- Warmup phase A: page cache + parquet footers -------------
     // A cold recording box charges the first scan of every table its
     // disk reads; count() each input once so timed runs measure the
@@ -70,7 +85,7 @@ object Bench {
               System.err.println(s"[bench] warmup of $name at $wd failed: " +
                 s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
-          spark.catalog.clearCache()
+          sweep()
         }
       case None =>
         // no small-SF sibling: fall back to warming the pairwise-op
@@ -122,7 +137,7 @@ object Bench {
       }
       // release the ops' persisted intermediates between queries so the
       // cached blocks of one query never occupy the next one's memory
-      spark.catalog.clearCache()
+      sweep()
       (name, if (times.nonEmpty) times.min else -1.0, err)
     }
     def esc(s: String): String = s.flatMap {

@@ -1752,8 +1752,6 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
          FROM rranked WHERE rank <= 5 ORDER BY query_id, rank"""),
 
-    
-
     // The LSH bucketing replicated literally: signature bits from the
     // same 16 hyperplanes (embedded as literals), 4-bit bands, probe
     // side expanded to hamming<=1 band values (multi-probe radius 1).

@@ -609,7 +609,7 @@ object Curation {
     val tgt = posts.filter(col("is_target")).groupBy("b").agg(sum("tf").as("tcnt"))
     val raw = posts.groupBy("b").agg(sum("tf").as("rcnt"))
     val stats = tgt.agg(sum("tcnt").as("t_total"))
-      .crossJoin(raw.agg(sum("rcnt").as("r_total")))
+      .crossJoin(broadcast(raw.agg(sum("rcnt").as("r_total"))))
     val denomT = col("t_total") + lit(alpha * buckets)
     val denomR = col("r_total") + lit(alpha * buckets)
     posts

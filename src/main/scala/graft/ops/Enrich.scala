@@ -379,25 +379,32 @@ object Enrich {
   def numericProfile(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     import graft.functions.num.fround
     val v = col(valCol).cast("double")
-    val staged = df.select(col(groupCol).as("grp"), v.as("v"),
-      fround(v, 4).as("r"))
+    // squares use (18,4): (18,4)×(18,4) = decimal(37,8) — EXACT.
+    // Squaring dv at (28,4) would ask for (57,8), which Spark's
+    // allowPrecisionLoss rule silently truncates to (38,6) — each
+    // square HALF_UP-rounded to 6dp before summing, diverging from
+    // an exact-scale-8 oracle on any value with nonzero 3rd/4th
+    // fractional digits. 14 integer digits is ample for profiled
+    // measures. A value overflowing (18,4) (|v| >= 1e14) nulls the
+    // cast under non-ANSI Spark; left alone that row would drop from
+    // s2 but NOT from s/n_v — v_std silently wrong. So overflow rows
+    // are nulled out of EVERY derived stat consistently (they land in
+    // n_null, the panel's loud column); min/max keep the raw double,
+    // so the magnitude that caused it stays visible.
+    val staged = df.select(col(groupCol).as("grp"), v.as("v0"),
+      fround(v, 4).as("r0"))
+      .withColumn("dv18", col("r0").cast("decimal(18,4)"))
+      .withColumn("overflow", col("r0").isNotNull && col("dv18").isNull)
+      .withColumn("v", when(col("overflow"), lit(null)).otherwise(col("v0")))
+      .withColumn("r", when(col("overflow"), lit(null)).otherwise(col("r0")))
       .withColumn("dv", col("r").cast("decimal(28,4)"))
-      // squares use (18,4): (18,4)×(18,4) = decimal(37,8) — EXACT.
-      // Squaring dv at (28,4) would ask for (57,8), which Spark's
-      // allowPrecisionLoss rule silently truncates to (38,6) — each
-      // square HALF_UP-rounded to 6dp before summing, diverging from
-      // an exact-scale-8 oracle on any value with nonzero 3rd/4th
-      // fractional digits. 14 integer digits is ample for profiled
-      // measures; a value overflowing (18,4) nulls out loudly rather
-      // than rounding silently.
-      .withColumn("dv18", col("r").cast("decimal(18,4)"))
     val nv = count(col("v"))
     val s = sum(col("dv")).cast("double")
     val s2 = sum((col("dv18") * col("dv18")).cast("decimal(38,8)")).cast("double")
     staged.groupBy("grp")
       .agg(count(lit(1)).as("n"),
         (count(lit(1)) - nv).as("n_null"),
-        min("v").as("v_min"), max("v").as("v_max"),
+        min("v0").as("v_min"), max("v0").as("v_max"),
         fround(s / nv.cast("double"), 6).as("v_mean"),
         when(nv >= 2, fround(sqrt(
           (s2 - s * s / nv.cast("double")) / (nv - 1).cast("double")), 6))

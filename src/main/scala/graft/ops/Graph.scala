@@ -491,8 +491,24 @@ object Graph {
   def incrementalComponents(labels: DataFrame, idCol: String, compCol: String,
                             newEdges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
+    // Precondition guard: correctness REQUIRES component-min labels
+    // (the merge takes mins over labels∪ids, valid only when each
+    // label IS the min member id). A labeling from another source with
+    // arbitrary representatives would silently diverge from
+    // from-scratch CC — so the necessary half of the invariant
+    // (comp <= id, no label exceeds any member) is checked PER ROW,
+    // embedded in the scan the joins already make: assert_true returns
+    // null on success (coalesce keeps the row), throws on the first
+    // violation. No extra pass, no shuffle — the full min(id)-per-comp
+    // aggregate would cost a shuffle over the 100 TB base labeling to
+    // re-prove what its producer (connectedComponents) guarantees.
     val base = labels.select(col(idCol).cast("long").as("id"),
-      col(compCol).cast("long").as("comp"))
+        col(compCol).cast("long").as("comp"))
+      .filter(coalesce(
+        assert_true(col("comp") <= col("id"), lit(
+          "incrementalComponents: comp labels must be component-min ids " +
+            "(found comp > id)")),
+        lit(true)))
     val e = newEdges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)

@@ -31,11 +31,16 @@ object Par {
     * fixes; those plans pass through without any planning work.
     */
   def widen(df: DataFrame): DataFrame = {
-    @annotation.tailrec
+    // Union and Deduplicate also inherit their children's partitioning
+    // without an exchange, so a union-of-small-scans (or a
+    // dropDuplicates whose physical agg AQE collapses to the scan's
+    // split count) can arrive just as under-parallel as a bare scan;
+    // Union recurses over ALL children.
     def narrowChain(p: LogicalPlan): Boolean = p match {
       case _: LeafNode => true
+      case u: Union => u.children.forall(narrowChain)
       case _: Project | _: Filter | _: LocalLimit | _: GlobalLimit |
-           _: SubqueryAlias =>
+           _: SubqueryAlias | _: Deduplicate =>
         narrowChain(p.children.head)
       case _ => false
     }
