@@ -186,6 +186,46 @@ object NativeKernels {
     cnt
   }
 
+  /** PQ probe-side ADC table for ONE subspace: entry cid =
+    * micro-units( fround_6( c·c − 2·x·c ) ) for each centroid of the
+    * flattened `codebook`, i.e. exactly the value the expression form
+    * `micro(fround(rScore(x, c), 6))` yields — cc and the dot
+    * accumulate left-to-right like sqSum / the HOF dot, fround is the
+    * same floor(v·10⁶ + 0.5)/10⁶ double math, and the micro conversion
+    * replicates Spark's double→decimal(18,6) cast (valueOf = shortest
+    * decimal repr, HALF_UP at scale 6) so the longs are bit-identical
+    * to the decimal-cast chain. One compiled O(numCentroids·sub) loop
+    * replacing numCentroids interpreted lambda subtrees PER PROBE ROW
+    * — the probe-side cost is O(|probes|·64·dim) either way, but
+    * compiled vs interpreted is the difference that matters when the
+    * probe table is production-sized.
+    */
+  def pqAdcTable(x: ArrayData, codebook: ArrayData, sub: Int): UnsafeArrayData = {
+    val nc = codebook.numElements() / sub
+    val out = new Array[Long](nc)
+    var cid = 0
+    while (cid < nc) {
+      val base = cid * sub
+      var cc = 0.0
+      var dp = 0.0
+      var i = 0
+      while (i < sub) {
+        val c = codebook.getDouble(base + i)
+        cc += c * c
+        dp += x.getFloat(i).toDouble * c
+        i += 1
+      }
+      val v = cc - 2.0 * dp
+      val m = 1000000.0
+      val r = math.floor(v * m + 0.5) / m
+      out(cid) = java.math.BigDecimal.valueOf(r)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+      cid += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Random-hyperplane LSH signature: bit p of the result is the sign
     * of vec · planes[p]. `planes` is the flattened numPlanes×dim
     * matrix; accumulation order matches the HOF dot, so signatures
@@ -535,6 +575,25 @@ case class PqArgminExpr(first: Expression, second: Expression, third: Expression
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqArgminExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_pq_adc(array<float>, array<double>, sub) -> array<bigint>` */
+case class PqAdcTableExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(x: Any, cb: Any, sub: Any): Any =
+    NativeKernels.pqAdcTable(x.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], sub.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb, s) =>
+      s"${ev.value} = graft.functions.NativeKernels.pqAdcTable($x, $cb, $s);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqAdcTableExpr =
     copy(first = f, second = s, third = t)
 }
 

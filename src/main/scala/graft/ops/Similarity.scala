@@ -32,7 +32,7 @@ object Similarity {
     * candidate row crosses the exchange and is sorted. The two paths
     * are asserted row-identical in NativeSpec.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     if (Native.enabled(scored, "graft_topk")) {
       scored.groupBy("query_id")
         .agg(call_function("graft_topk",
@@ -517,7 +517,15 @@ object Similarity {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     import graft.functions.num
     val dot = vectors.dot _
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // init: sub-vectors of the codebookSize lowest ids (cid = rank).
+    // This collect doubles as the DIM probe — the first init row
+    // carries the vector length, so the op costs one fit job less
+    // than a separate select(size(...)).first() pass.
+    val initRows = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(initRows.nonEmpty, "pqTopK: corpus is empty")
+    val dim = initRows.head.length
     require(dim % subspaces == 0,
       s"subspaces=$subspaces must divide dim=$dim")
     val sub = dim / subspaces
@@ -537,10 +545,6 @@ object Similarity {
     // compact lambda wins despite interpreted evaluation.
     def rScore(x: Column, c: Array[Double]): Column =
       lit(sqSum(c)) - lit(2.0) * dot(x, array(c.map(lit).toSeq: _*))
-    // init: sub-vectors of the codebookSize lowest ids (cid = rank)
-    val initRows = corpus.orderBy(col(idCol)).limit(codebookSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     var books: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
       (0 until subspaces).map { s =>
         initRows.indices.map(cid =>
@@ -609,10 +613,21 @@ object Similarity {
           .map(t => (t._2, t._3)).toIndexedSeq
       }
     }
-    // encode: map-only, codebooks as literals
+    // encode: map-only, codebooks as literals. The native path emits
+    // the DENSE book position (books are cid-sorted, so lowest-index
+    // ties == lowest-cid ties and the chosen CENTROID is identical)
+    // instead of the cid label: codes never leave the operator, the
+    // ADC tables below are built in the same dense order, and the
+    // projection stays one compiled call per subspace with no
+    // index→label element_at.
     val encoded = corpus.select(col(idCol).as("neighbor_id") +:
-      (0 until subspaces).map(s =>
-        argminCid(s, sliceS(col(vecCol), s)).as(s"code_$s")): _*)
+      (0 until subspaces).map { s =>
+        val x = sliceS(col(vecCol), s)
+        (if (nativeArgmin)
+          call_function("graft_pq_argmin", x,
+            lit(books(s).flatMap(_._2.toSeq).toArray), lit(sub))
+        else argminCid(s, x)).as(s"code_$s")
+      }: _*)
     // probe-side ADC tables, position cid (absent cids get a never-
     // referenced 0 filler — codes only ever take surviving cids).
     // Entries are stored in MICRO-UNITS (long = 6dp value × 10⁶,
@@ -628,14 +643,43 @@ object Similarity {
     def micro(c: Column): Column =
       (c.cast("decimal(18,6)") * lit(1000000L)).cast("long")
     val p0 = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // Probe-side ADC tables, matching the encode side's index space:
+    // dense book order behind the native argmin, position-cid with
+    // never-referenced 0 fillers behind the expression argmin. With
+    // graft_pq_adc the whole 64-entry table is ONE compiled
+    // O(codebookSize·sub) kernel call per subspace — the expression
+    // form is 64 interpreted lambda subtrees per subspace PER PROBE
+    // ROW, the cost that dominates once the probe table is
+    // production-sized (entries bit-identical: same accumulation
+    // orders, same fround, same decimal micro conversion — parity
+    // spec'd).
+    val probeIsFloat = probes.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val nativeAdc = nativeArgmin && probeIsFloat &&
+      Native.enabled(probes, "graft_pq_adc")
     val tableCols = (0 until subspaces).map { s =>
-      val byCid = books(s).toMap
-      val entries = (0 to books(s).map(_._1).max).map { cid =>
-        byCid.get(cid)
-          .map(c => micro(num.fround(rScore(sliceS(col("qv"), s), c), 6)))
-          .getOrElse(lit(0L))
-      }
-      array(entries: _*).as(s"t_$s")
+      val entries: Column =
+        if (nativeAdc)
+          call_function("graft_pq_adc", sliceS(col("qv"), s),
+            lit(books(s).flatMap(_._2.toSeq).toArray), lit(sub))
+        else if (nativeArgmin)
+          // dense codes but float-less (or kernel-less) probe side:
+          // expression entries in the same dense book order
+          array(books(s).map { case (_, c) =>
+            micro(num.fround(rScore(sliceS(col("qv"), s), c), 6))
+          }: _*)
+        else {
+          val byCid = books(s).toMap
+          array((0 to books(s).map(_._1).max).map { cid =>
+            byCid.get(cid)
+              .map(c => micro(num.fround(rScore(sliceS(col("qv"), s), c), 6)))
+              .getOrElse(lit(0L))
+          }: _*)
+        }
+      entries.as(s"t_$s")
     }
     val pt = p0.select(Seq(col("query_id"),
       micro(num.fround(dot(col("qv"), col("qv")), 6)).as("qq")) ++ tableCols: _*)

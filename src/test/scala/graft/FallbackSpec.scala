@@ -43,6 +43,14 @@ class FallbackSpec extends AnyFunSuite {
         .orderBy("query_id", "rank").collect().mkString("|"),
       Similarity.ivfTopK(emb, probes, "embedding", "vec_id", 5)
         .orderBy("query_id", "rank").collect().mkString("|"),
+      // native path: dense codes + graft_pq_adc kernel tables;
+      // fallback: cid-labeled codes + scattered expression tables —
+      // the adist values and ranking must be bit-identical
+      Similarity.pqTopK(emb, probes, "embedding", "vec_id", 5)
+        .orderBy("query_id", "rank").collect().mkString("|"),
+      Similarity.pqRerankTopK(emb, probes, "embedding", "vec_id", 5,
+          candidates = 20)
+        .orderBy("query_id", "rank").collect().mkString("|"),
       graft.ops.TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
         .orderBy("doc_id", "pos").collect().mkString("|"))
   }

@@ -45,6 +45,30 @@ class NativeSpec extends AnyFunSuite {
     assert(both.filter(col("native") === 2).count() == 0)
   }
 
+  test("graft_pq_adc equals the expression micro-unit ADC table bit-for-bit") {
+    val emb = tables.Tables(spark, sfDir).embeddings.limit(32)
+    val rows = emb.select(slice(col("embedding"), 1, 8).as("x")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val books: Seq[Array[Double]] = Seq(rows(0), rows(1), rows(2), rows(3))
+    def sq(c: Array[Double]) = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    // the expression form pqTopK's fallback builds: micro-units of
+    // fround_6(c·c − 2·x·c) through the decimal(18,6) cast
+    val exprTable = array(books.map { c =>
+      ((graft.functions.num.fround(lit(sq(c)) - lit(2.0) *
+        vectors.dot(slice(col("embedding"), 1, 8), array(c.map(lit).toSeq: _*)), 6)
+        .cast("decimal(18,6)")) * lit(1000000L)).cast("long")
+    }: _*)
+    val both = emb.select(
+      call_function("graft_pq_adc", slice(col("embedding"), 1, 8),
+        lit(books.flatMap(_.toSeq).toArray), lit(8)).as("native"),
+      exprTable.as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+  }
+
   test("graft_shingle_hashes produces the expected distinct shingle count") {
     val df = Seq("abcdefg", "aaaaaa", "abc", "").toDF("s")
     val got = df.select(size(call_function("graft_shingle_hashes", col("s"), lit(5))))
