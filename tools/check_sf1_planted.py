@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Planted cross-shard near-dup recovery check at sf1 (d2, d9, d16).
+"""Planted cross-shard near-dup recovery check at sf1
+(d2, d4, d9, d16, d17, s10, g4 — the latter four when present).
 
 gen_sf1_planted.py plants known exact + bounded-edit duplicates whose
 pairs STRADDLE the corpus-growth boundary (pseudo-shard 10 vs shards
@@ -11,11 +12,24 @@ recover exactly that planted structure from the merged view:
                            4dp Jaccard; PRECISION: every emitted pair
                            involving a planted id re-verified by exact
                            string-shingle Jaccard in DuckDB
+  d4_ngram_jaccard         every planted near-dup pair (same-source by
+                           construction) present with the exact 4dp
+                           word-3-gram Jaccard; the planted CONTAINMENT
+                           pairs ABSENT (sym jaccard < 0.4 — the
+                           blindness d17 exists for)
   d9_embed_lsh_auto        every planted (base, 2.0x copy) pair present
                            at cosine 1.0; precision on planted ids
   d16_neardup_incremental  every planted doc (all delta by id choice)
                            verdicted against its base across the
                            index/delta boundary the md5 split draws
+  d17_containment          every planted (small, quoted-in-super) pair
+                           present FORWARD at containment exactly 1.0;
+                           reverse direction absent
+  g4_cc_incremental        every planted (base vec, 2.0x copy) edge —
+                           label-inherited, so the edge step sees it —
+                           lands base and copy in the SAME component
+                           through the incremental path, with both
+                           old- and new-split edges represented
 
 Usage: check_sf1_planted.py <plantedViewDir> <verifyOutDir>
   <plantedViewDir>  testdata-sf1-planted (contains manifest.json)
@@ -117,6 +131,54 @@ def main(viewdir, outdir):
     assert bad.empty, f"d2 planted-id pairs failing exact verify:\n{bad}"
     print(f"d2: precision OK on all {len(touched)} planted-id pairs")
 
+    # ---------------- d4 (optional): same-source word-gram recall -----
+    # the planted copies inherit the base's source, so d4's blocking
+    # sees every planted pair; the containment plants must stay ABSENT
+    # (their symmetric jaccard < 0.4 BY construction — the d17 contrast)
+    if glob.glob(f"{outdir}/d4_ngram_jaccard/*.parquet"):
+        d4 = load(outdir, "d4_ngram_jaccard")
+        d4have = {(r.id1, r.id2): r.jaccard for r in d4.itertuples()}
+        need = {p["base"] for p in man["doc_pairs"]} | \
+               {p["planted"] for p in man["doc_pairs"]}
+        texts = {r[0]: r[1] for r in con.execute(
+            f"SELECT doc_id, text FROM '{docs_glob}' "
+            f"WHERE doc_id IN ({','.join(map(str, need))})").fetchall()}
+
+        def wgrams(t, n=3):
+            import re as _re
+            nt = _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+            tk = nt.split()
+            return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+        for p in man["doc_pairs"]:
+            key = (p["base"], p["planted"])
+            assert key in d4have, f"d4 missed planted same-source pair {key}"
+            ga, gb = wgrams(texts[p["base"]]), wgrams(texts[p["planted"]])
+            truth = len(ga & gb) / len(ga | gb)
+            truth4 = int(truth * 10000 + 0.5) / 10000
+            assert abs(d4have[key] - truth4) < 5e-5, \
+                f"d4 jaccard for {key}: {d4have[key]} != exact {truth4}"
+        for p in man.get("cont_pairs", []):
+            for key in ((p["sub"], p["sup"]), (p["sup"], p["sub"])):
+                assert key not in d4have, \
+                    f"d4 emitted containment pair {key} (sym j should be < 0.4)"
+        print(f"d4: all {len(man['doc_pairs'])} planted same-source pairs "
+              f"recovered with exact word-gram jaccards; "
+              f"{len(man.get('cont_pairs', []))} containment pairs correctly absent")
+
+    # ---------------- d17 (optional): directed containment ------------
+    if glob.glob(f"{outdir}/d17_containment/*.parquet") and man.get("cont_pairs"):
+        d17 = load(outdir, "d17_containment")
+        chave = {(r.id_sub, r.id_sup): r.containment for r in d17.itertuples()}
+        for p in man["cont_pairs"]:
+            fwd = chave.get((p["sub"], p["sup"]))
+            assert fwd is not None and abs(fwd - 1.0) < 5e-5, \
+                f"d17 forward containment ({p['sub']} in {p['sup']}) = {fwd}, want 1.0"
+            assert (p["sup"], p["sub"]) not in chave, \
+                f"d17 emitted reverse containment for ({p['sup']},{p['sub']})"
+        print(f"d17: all {len(man['cont_pairs'])} planted quoted-whole pairs at "
+              "containment exactly 1.0 forward, reverse absent")
+
     # ---------------- d9: planted-vector recall + precision -----------
     d9 = load(outdir, "d9_embed_lsh_auto")
     ehave = {(r.id1, r.id2): r.cosine for r in d9.itertuples()}
@@ -183,6 +245,31 @@ def main(viewdir, outdir):
     print(f"d16: all {len(man['doc_pairs'])} planted delta docs verdicted "
           f"against their base ({n_bi} across index/delta boundary, "
           f"{n_bd} within-delta)")
+    # ---------------- g4 (optional): incremental-CC merge -------------
+    # each planted edge (base vec, 2.0x copy at cosine 1.0, label
+    # inherited) must land both endpoints in the SAME component through
+    # g4's incremental path; the deterministic 70/30 split must route
+    # at least one planted edge through EACH leg (base CC vs contracted
+    # delta merge) for the check to exercise the incremental machinery
+    if glob.glob(f"{outdir}/g4_cc_incremental/*.parquet"):
+        g4 = load(outdir, "g4_cc_incremental").set_index("id")
+        n_old, n_new = 0, 0
+        for p in man["emb_pairs"]:
+            a, b = p["base"], p["planted"]
+            ca, cb = g4.loc[a].component, g4.loc[b].component
+            assert ca == cb, \
+                f"g4: planted edge ({a},{b}) split across components {ca}/{cb}"
+            if (a * 31 + b) % 10 < 7:
+                n_old += 1
+            else:
+                n_new += 1
+        assert n_old >= 1 and n_new >= 1, \
+            f"split mix degenerate (old={n_old}, new={n_new}) — the " \
+            "contracted-delta leg is untested; adjust planted ids"
+        print(f"g4: all {len(man['emb_pairs'])} planted edges merged into one "
+              f"component each ({n_old} via base CC, {n_new} via the "
+              "contracted-delta incremental merge)")
+
     print("\nplanted cross-shard near-dups @ sf1: ALL CHECKS PASS")
 
 

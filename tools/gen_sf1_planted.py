@@ -17,11 +17,21 @@ pristine sf1 tables (every existing sf1 result stays valid):
    Planted doc ids are chosen so the t8/d16 md5 split assigns them all
    to DELTA, making every planted pair visible to d16's delta-vs-index
    verdict regardless of where the base lands.
+ - plants one CONTAINMENT pair per shard 1..9: a SMALL twin-free doc
+   quoted WHOLE at the end of a same-source filler page >= 5x its
+   normalized length (concatenation preserves the small doc's token
+   sequence contiguously, so every word-3-gram of the small doc occurs
+   in the super page -> forward containment EXACTLY 1.0) while the
+   symmetric word-gram Jaccard stays BELOW d4's 0.4 threshold
+   (asserted here) — the directional-vs-symmetric contrast d17 exists
+   for, now pinned at the corpus-growth boundary.
  - picks one base embedding per shard 1..9 (smallest vec_id with
    vec_id % 100 != 0 — never a probe — and nonzero norm) and plants a
    2.0x-scaled copy: scaling by a power of two is EXACT in IEEE floats,
    so the hyperplane sign pattern (hence every LSH band key) and the
-   cosine (exactly 1.0) are bit-identical — d9 MUST pair it.
+   cosine (exactly 1.0) are bit-identical — d9 MUST pair it. The copy
+   INHERITS the base's label so the label-blocked pair generators
+   (d5's shape, g4's edge step) see the planted edge too.
 
 Outputs (never modifies testdata-sf1's own tables):
   testdata-sf1/planted/documents_planted.parquet
@@ -33,7 +43,8 @@ Outputs (never modifies testdata-sf1's own tables):
     directory transparently, so Verify runs against it unchanged.
 
 Check with tools/check_sf1_planted.py after running Verify:
-  SPARK_GRAFT_QUERIES=d2_minhash_lsh,d9_embed_lsh_auto,d16_neardup_incremental \
+  SPARK_GRAFT_QUERIES=d2_minhash_lsh,d4_ngram_jaccard,d9_embed_lsh_auto,\
+d16_neardup_incremental,d17_containment,s10_knn_graph,g4_cc_incremental \
     sbt "runMain graft.Verify <repo>/testdata-sf1-planted /tmp/sf1p_out"
 """
 import hashlib
@@ -129,6 +140,62 @@ def main():
         doc_pairs.append({"base": bid, "planted": pt, "kind": "truncated",
                           "jaccard": round(j, 4)})
 
+    # ---- containment plants: small doc quoted whole in a big page -----
+    # per shard: small = twin-free doc with 44 <= norm length <= 110
+    # (the corpus caps at 577 norm chars, so 5x fillers exist only for
+    # smalls <= ~115); filler = same-shard same-source doc with norm
+    # length >= 5x the small's (so symmetric word-gram jaccard stays
+    # < d4's 0.4 while forward containment is exactly 1.0 by
+    # construction)
+    smalls = con.sql(f"""
+        WITH n AS (
+          SELECT doc_id, text, lang, source,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS nt
+          FROM '{SF1}/documents.parquet'),
+        fp AS (SELECT md5(nt) AS f, count(*) AS c FROM n GROUP BY 1)
+        SELECT doc_id, text, lang, source, length(nt) AS ln
+        FROM n JOIN fp ON md5(n.nt) = fp.f
+        WHERE length(nt) BETWEEN 44 AND 110 AND fp.c = 1
+          AND doc_id // {SHARD} BETWEEN 1 AND 9
+        -- s-th qualifying doc per shard: 9 DIFFERENT underlying docs
+        -- (rank 1 everywhere = 9 rotations of one sf0.1 doc)
+        QUALIFY row_number() OVER (PARTITION BY doc_id // {SHARD}
+                                   ORDER BY doc_id) = doc_id // {SHARD}
+        ORDER BY doc_id""").fetchall()
+    assert len(smalls) == 9, f"expected 9 small docs, got {len(smalls)}"
+    cont_ids = delta_ids[18:27]
+    cont_pairs = []
+
+    def toks(t):
+        return norm(t).split()
+
+    def wgrams(t, n=3):
+        tk = toks(t)
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    for (sid, stext, lang, source, sln), pid in zip(smalls, cont_ids):
+        filler = con.sql(f"""
+            SELECT text FROM (
+              SELECT doc_id, text,
+                length(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ln
+              FROM '{SF1}/documents.parquet'
+              WHERE doc_id // {SHARD} = {sid // SHARD}
+                AND source = ? AND doc_id != {sid})
+            WHERE ln >= 5 * {sln} ORDER BY doc_id LIMIT 1""",
+            params=[source]).fetchall()
+        assert filler, f"no same-source filler >= 5x for small doc {sid}"
+        super_text = filler[0][0] + " " + stext
+        gs, gp = wgrams(stext), wgrams(super_text)
+        assert gs and gs <= gp, f"containment != 1.0 for planted pair ({sid},{pid})"
+        sym_j = len(gs & gp) / len(gs | gp)
+        assert sym_j < 0.4, \
+            f"symmetric jaccard {sym_j:.3f} >= 0.4 for ({sid},{pid}) — " \
+            "filler too small; d4-blindness contrast lost"
+        doc_rows.append((pid, super_text, lang, source, len(super_text)))
+        cont_pairs.append({"sub": sid, "sup": pid, "sym_jaccard": round(sym_j, 4)})
+
     doc_tbl = pa.table({
         "doc_id": pa.array([r[0] for r in doc_rows], pa.int64()),
         "text": pa.array([r[1] for r in doc_rows], pa.string()),
@@ -140,7 +207,7 @@ def main():
 
     # ---- base embeddings: one per shard 1..9, non-probe, nonzero ------
     ebases = con.sql(f"""
-        SELECT vec_id, embedding
+        SELECT vec_id, embedding, label
         FROM '{SF1}/embeddings.parquet'
         WHERE vec_id % 100 != 0 AND vec_id // {SHARD} BETWEEN 1 AND 9
           AND list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -153,11 +220,15 @@ def main():
     assert len(ebases) == 9, f"expected 9 base vectors, got {len(ebases)}"
 
     emb_rows, emb_pairs = [], []
-    for k, (vid, emb) in enumerate(ebases, start=1):
+    for k, (vid, emb, lbl) in enumerate(ebases, start=1):
         pid = PLANT_BASE + k            # 1000001..1000009: never % 100 == 0
         assert pid % 100 != 0
-        emb_rows.append((pid, [2.0 * x for x in emb], 9000 + k))
-        emb_pairs.append({"base": vid, "planted": pid, "cosine": 1.0})
+        # label inherited from the base: the label-blocked pair
+        # generators (d5 shape, g4's edge step) must SEE the planted
+        # edge; the label-less ones (d9, s10) find it regardless
+        emb_rows.append((pid, [2.0 * x for x in emb], lbl))
+        emb_pairs.append({"base": vid, "planted": pid, "cosine": 1.0,
+                          "label": int(lbl)})
 
     emb_tbl = pa.table({
         "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
@@ -167,6 +238,7 @@ def main():
     pq.write_table(emb_tbl, f"{PLANTED}/embeddings_planted.parquet")
 
     manifest = {"doc_pairs": doc_pairs, "emb_pairs": emb_pairs,
+                "cont_pairs": cont_pairs,
                 "plant_base": PLANT_BASE, "shard": SHARD}
     with open(f"{PLANTED}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
@@ -191,13 +263,18 @@ def main():
             os.symlink(src, f"{VIEW}/{t}.parquet")
     os.symlink(f"{PLANTED}/manifest.json", f"{VIEW}/manifest.json")
 
-    print(f"planted {len(doc_rows)} docs ({len(doc_pairs)} pairs), "
+    print(f"planted {len(doc_rows)} docs ({len(doc_pairs)} near-dup + "
+          f"{len(cont_pairs)} containment pairs), "
           f"{len(emb_rows)} vectors ({len(emb_pairs)} pairs)")
     for p in doc_pairs:
         print(f"  doc  base={p['base']} planted={p['planted']} "
               f"{p['kind']} j={p['jaccard']}")
+    for p in cont_pairs:
+        print(f"  cont sub={p['sub']} sup={p['sup']} "
+              f"sym_j={p['sym_jaccard']} (containment 1.0)")
     for p in emb_pairs:
-        print(f"  vec  base={p['base']} planted={p['planted']} cos=1.0")
+        print(f"  vec  base={p['base']} planted={p['planted']} cos=1.0 "
+              f"label={p['label']}")
     print(f"view: {VIEW}")
 
 
