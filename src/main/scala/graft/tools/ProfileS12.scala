@@ -45,6 +45,12 @@ object ProfileS12 {
         5, candidates = 50).count()
     }
 
+    // the DECLARED s7 shape: + final orderBy — isolates the cost of
+    // the output sort's range exchange over the tiny result
+    t("s7_declared") {
+      graft.ops.Similarity.pqTopK(emb, probes, "embedding", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank")).count()
+    }
     // fit-cost share: lloydIters=0 drops the one Lloyd scan+collect,
     // keeping init collect + encode + ADC scan + ranking
     t("pq_k50_lloyd0") {
