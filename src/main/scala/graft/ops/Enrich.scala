@@ -385,15 +385,18 @@ object Enrich {
     // square HALF_UP-rounded to 6dp before summing, diverging from
     // an exact-scale-8 oracle on any value with nonzero 3rd/4th
     // fractional digits. 14 integer digits is ample for profiled
-    // measures. A value overflowing (18,4) (|v| >= 1e14) nulls the
-    // cast under non-ANSI Spark; left alone that row would drop from
-    // s2 but NOT from s/n_v — v_std silently wrong. So overflow rows
-    // are nulled out of EVERY derived stat consistently (they land in
-    // n_null, the panel's loud column); min/max keep the raw double,
-    // so the magnitude that caused it stays visible.
+    // measures. A value overflowing (18,4) (|v| >= 1e14) must not
+    // kill the job (ANSI cast throws) and must not silently skew the
+    // stats (non-ANSI cast nulls — pre-fix the row dropped from s2
+    // but NOT from s/n_v, corrupting v_std): this is the data-QUALITY
+    // panel, so a broken value is a FINDING, not a crash. try_cast
+    // nulls the overflow in both ANSI modes; the row is then nulled
+    // out of EVERY derived stat consistently (it lands in n_null, the
+    // panel's loud column) while min/max keep the raw double so the
+    // magnitude that caused it stays visible.
     val staged = df.select(col(groupCol).as("grp"), v.as("v0"),
       fround(v, 4).as("r0"))
-      .withColumn("dv18", col("r0").cast("decimal(18,4)"))
+      .withColumn("dv18", col("r0").try_cast("decimal(18,4)"))
       .withColumn("overflow", col("r0").isNotNull && col("dv18").isNull)
       .withColumn("v", when(col("overflow"), lit(null)).otherwise(col("v0")))
       .withColumn("r", when(col("overflow"), lit(null)).otherwise(col("r0")))

@@ -105,6 +105,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(pairs.count() == 0)
   }
 
+  test("Par.widen floors parallelism through Union and Deduplicate chains") {
+    import graft.ops.Par
+    val want = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("widen").toString
+    // one tiny file = one row group = one scan split
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val small = spark.read.parquet(dir)
+    assert(small.rdd.getNumPartitions < want, "precondition: under-parallel scan")
+    // a union of small scans inherits the children's splits — widened
+    val u = Par.widen(small.union(small))
+    assert(u.rdd.getNumPartitions >= want,
+      s"union-of-scans not widened: ${u.rdd.getNumPartitions} < $want")
+    // dropDuplicates over a scan — widened through the Deduplicate node
+    val d = Par.widen(small.dropDuplicates("id"))
+    assert(d.rdd.getNumPartitions >= want,
+      s"dedup-over-scan not widened: ${d.rdd.getNumPartitions} < $want")
+    assert(u.count() == 6 && d.count() == 3)
+  }
+
   test("asofJoin composed fallback rejects user columns in its reserved namespace") {
     val lf = Seq((1L, 10L, 100L)).toDF("k", "__asof_t", "lt")
     val rf = Seq((1L, 90L)).toDF("k", "rt")

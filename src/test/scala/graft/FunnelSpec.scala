@@ -152,6 +152,27 @@ class FunnelSpec extends AnyFunSuite {
       s"v_std must use exact scale-8 squares, got ${got.getDouble(6)}")
   }
 
+  test("numericProfile: a decimal(18,4)-overflowing value drops from EVERY " +
+      "derived stat consistently, lands in n_null, stays visible in min/max") {
+    import graft.ops.Enrich
+    // 1e15 has 16 integer digits — its decimal(18,4) cast nulls under
+    // non-ANSI Spark. Pre-fix, the row dropped from s2 (squares) but
+    // not from s/n_v, silently corrupting v_std; now it is nulled out
+    // of mean/std/percentiles together (counted in n_null), while raw
+    // min/max keep the magnitude that caused it visible.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 1e15))
+      .toDF("event_type", "value")
+    val got = Enrich.numericProfile(df, "event_type", "value").collect()(0)
+    assert(got.getLong(1) == 4L && got.getLong(2) == 1L,
+      s"overflow row must count as null: $got")
+    assert(got.getDouble(3) == 1.0 && got.getDouble(4) == 1e15,
+      "min/max must keep the raw double so the overflowing magnitude shows")
+    assert(got.getDouble(5) == 2.0, "mean over the 3 in-range values")
+    assert(got.getDouble(6) == 1.0, "stddev over the 3 in-range values")
+    assert(got.getDouble(7) == 2.0 && got.getDouble(8) == 2.8,
+      "percentiles over the 3 in-range values")
+  }
+
   test("activeUsers: hand-computed DAU/WAU incl. the 7-day boundary and gaps") {
     import graft.ops.Enrich
     val day = 86400000L
