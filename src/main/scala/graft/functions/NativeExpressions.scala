@@ -249,6 +249,32 @@ object NativeKernels {
     sig
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit ENGINE-PORTABLE md5 fold: the value of
+    * `conv(substring(md5(s), 1, 15), 16, 10)` — i.e. the first 15 hex
+    * chars of the digest parsed base-16 — computed in one digest call
+    * with integer nibble folding (bytes 0..6 big-endian, then the high
+    * nibble of byte 7), no hex STRING, no substring, no radix parse.
+    * The expression chain allocates a 32-char hex string + a substring
+    * + a string-radix conversion PER VALUE — measurable on exploded
+    * per-token/per-feature streams (t24/t28's bucket hash, d3's
+    * portable token hashes). Bit-identical by construction: md5 is
+    * md5, and the fold IS the base-16 parse of the same 15 nibbles.
+    */
+  def md5Fold64(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** Canonical text normalize (lowercase → non-[a-z0-9 ] → space →
     * collapse runs → trim) in ONE byte pass for ASCII input — the
     * expression form runs two full regex passes per row and measurably
@@ -576,6 +602,21 @@ case class PqArgminExpr(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqArgminExpr =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_md5_fold64(string) -> bigint` — the portable 60-bit md5 fold */
+case class Md5Fold64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_fold64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.md5Fold64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.NativeKernels.md5Fold64($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Fold64Expr =
+    copy(child = newChild)
 }
 
 /** `graft_pq_adc(array<float>, array<double>, sub) -> array<bigint>` */

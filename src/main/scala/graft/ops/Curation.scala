@@ -587,9 +587,11 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
                   targetFilter: Column, buckets: Int = 8192,
-                  alpha: Double = 0.5): DataFrame = {
+                  alpha: Double = 0.5,
+                  persistIntermediate: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val norm = Native.normOf(docs)
+    val fold = Native.md5FoldOf(docs)
     val toks = docs.withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
         text.tokens(col("graft_norm")).as("toks"))
@@ -598,14 +600,23 @@ object Curation {
           i => concat(element_at(col("toks"), i), lit(" "),
             element_at(col("toks"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val posts = toks
+    // posts feeds THREE consumers (target model, raw model, per-doc
+    // scoring join) whose exchanges differ (the target leg pushes its
+    // filter below the agg), so nothing reuses: unpersisted, the
+    // explode + per-feature md5 pass — the operator's dominant cost —
+    // runs once PER CONSUMER. Persist the slim (doc, flag, bucket, tf)
+    // table instead; its size is ≤ distinct features per doc.
+    val postsPlan = toks
       .select(col("doc_id"), col("is_target"),
         explode(concat(col("toks"), bigrams)).as("f"))
       .select(col("doc_id"), col("is_target"),
-        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
+        pmod(fold(col("f")), lit(buckets.toLong)).as("b"))
       .groupBy("doc_id", "is_target", "b")
       .agg(count(lit(1)).cast("double").as("tf"))
+    val posts =
+      if (persistIntermediate)
+        postsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else postsPlan
     val tgt = posts.filter(col("is_target")).groupBy("b").agg(sum("tf").as("tcnt"))
     val raw = posts.groupBy("b").agg(sum("tf").as("rcnt"))
     val stats = tgt.agg(sum("tcnt").as("t_total"))

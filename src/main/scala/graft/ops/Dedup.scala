@@ -432,8 +432,13 @@ object Dedup {
     // simhash (0L) would pair every contentless doc with every other,
     // which is evidence-free — same rationale as minhash's
     // empty-shingle drop
+    // per-token portable md5 fold: one digest call per token behind
+    // the kernel vs the hex-string conv chain of the expression form —
+    // values identical either way (same fingerprints, oracle unchanged)
+    val fold = Native.md5FoldOf(docs)
     val hashed = Par.widen(docs).select(col(idCol).as("id"),
-        hashing.portableElementHashes(text.tokens(Native.normOf(docs)(col(textCol)))).as("th"))
+        transform(text.tokens(Native.normOf(docs)(col(textCol))),
+          e => fold(e)).as("th"))
       .filter(size(col("th")) > 0)
     if (Native.enabled(docs, "graft_simhash64"))
       hashed.select(col("id"), call_function("graft_simhash64", col("th")).as("simhash"))

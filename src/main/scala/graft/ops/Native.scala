@@ -32,4 +32,17 @@ private[ops] object Native {
     if (enabled(df, "graft_normalize"))
       c => call_function("graft_normalize", c)
     else graft.functions.text.normalize
+
+  /** Portable 60-bit md5 fold — one digest call when the kernel is
+    * registered, the conv(substring(md5)) string chain otherwise.
+    * Values are identical by construction (the fold IS the base-16
+    * parse of the same 15 hex nibbles), so oracle SQL replicating the
+    * md5 idiom matches either path.
+    */
+  def md5FoldOf(df: DataFrame): Column => Column =
+    if (enabled(df, "graft_md5_fold64"))
+      c => call_function("graft_md5_fold64", c)
+    else c => org.apache.spark.sql.functions
+      .conv(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -296,8 +296,7 @@ object TextAnalysis {
       .select(sliceFilter.as("is_a"),
         explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("f"))
       .select(col("is_a"),
-        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
+        pmod(Native.md5FoldOf(docs)(col("f")), lit(buckets.toLong)).as("b"))
     val counts = hb.groupBy("b").agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
       sum(when(col("is_a"), 0L).otherwise(1L)).as("r_cnt"))

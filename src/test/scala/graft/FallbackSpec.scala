@@ -52,7 +52,15 @@ class FallbackSpec extends AnyFunSuite {
           candidates = 20)
         .orderBy("query_id", "rank").collect().mkString("|"),
       graft.ops.TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
-        .orderBy("doc_id", "pos").collect().mkString("|"))
+        .orderBy("doc_id", "pos").collect().mkString("|"),
+      // md5-fold consumers: bucket hashes (t24/t28) + simhash token
+      // hashes must be value-identical behind kernel vs string chain
+      graft.ops.Curation.dsirWeights(docs, "text", "doc_id",
+          col("source") === "src1", persistIntermediate = false)
+        .orderBy("doc_id").collect().mkString("|"),
+      graft.ops.TextAnalysis.distributionDrift(docs, "text",
+          col("source") === "src1")
+        .collect().mkString("|"))
   }
 
   test("fallback expression paths match native kernel results exactly") {

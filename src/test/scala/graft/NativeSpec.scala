@@ -45,6 +45,18 @@ class NativeSpec extends AnyFunSuite {
     assert(both.filter(col("native") === 2).count() == 0)
   }
 
+  test("graft_md5_fold64 equals conv(substring(md5,1,15),16,10) exactly") {
+    val docs = tables.Tables(spark, sfDir).documents.limit(200)
+      .select(explode(text.tokens(text.normalize(col("text")))).as("f"))
+    val both = docs.select(
+      call_function("graft_md5_fold64", col("f")).as("native"),
+      conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long").as("expr"))
+    assert(both.filter(col("native") =!= col("expr")).count() == 0)
+    // sanity: values are 60-bit non-negative (top 4 bits zero)
+    assert(both.filter(col("native") < 0 ||
+      col("native") >= (1L << 60)).count() == 0)
+  }
+
   test("graft_pq_adc equals the expression micro-unit ADC table bit-for-bit") {
     val emb = tables.Tables(spark, sfDir).embeddings.limit(32)
     val rows = emb.select(slice(col("embedding"), 1, 8).as("x")).collect()
