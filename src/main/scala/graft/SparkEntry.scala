@@ -652,6 +652,18 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    "d18_decontam_embed" -> ((s, dir) => {
+      // SEMANTIC decontamination: every train vector verdicted by
+      // whether an eval vector sits within cosine 0.4 — the
+      // paraphrase/translation leak n-gram decontam (d6/d13) is
+      // structurally blind to. d9's auto-banded machinery with sides:
+      // candidates are train-bands x eval-bands, never train x eval
+      Curation.decontaminateByEmbedding(Tables(s, dir).embeddings,
+          "embedding", "vec_id", col("vec_id") % 10 === 0,
+          threshold = 0.4, dim = 64)
+        .orderBy("doc_id")
+    }),
+
     "t13_det_shuffle" -> ((s, dir) => {
       Curation.deterministicShuffle(Tables(s, dir).documents.select("doc_id"),
           "doc_id", "shuf")
@@ -1677,6 +1689,46 @@ object SparkEntry {
     // d8's banding with bits derived from count(*) (6 bands ×
     // autoBandBits over shared-prefix 60-plane signatures) — the d9
     // analog of s4: the scale knob itself is oracle-checked.
+    // d9's banded-candidate chain with SIDES (train-bands x
+    // eval-bands) + per-train aggregation and a left join so every
+    // train row verdicts — the banding, the count-derived bits, and
+    // the verify are all replicated literally
+    "d18_decontam_embed" -> {
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 10) AS bits
+            FROM (SELECT unnest(range(2, 11)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b), params),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS train_id, c.vec_id AS eval_id
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id % 10 <> 0 AND c.vec_id % 10 = 0),
+          scored AS (
+            SELECT train_id, eval_id,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.train_id
+                      JOIN e eb ON eb.vec_id = cand.eval_id),
+          hits AS (
+            SELECT train_id, count(*) AS n_eval_matches,
+              max(round(cos, 4)) AS max_cosine
+            FROM scored WHERE cos >= 0.4 GROUP BY 1)
+          SELECT e.vec_id AS doc_id,
+            CASE WHEN h.n_eval_matches IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+            COALESCE(h.n_eval_matches, 0) AS n_eval_matches,
+            h.max_cosine
+          FROM e LEFT JOIN hits h ON h.train_id = e.vec_id
+          WHERE e.vec_id % 10 <> 0 ORDER BY doc_id"""
+    },
+
     "d9_embed_lsh_auto" -> {
       val sigTerms = sigTermsSql(60)
       s"""WITH params AS (

@@ -637,4 +637,97 @@ object Curation {
       .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
         graft.functions.num.fround(col("w").cast("double"), 4).as("log_w"))
   }
+
+  /** SEMANTIC (embedding-space) decontamination — the vector twin of
+    * the n-gram forms ([[decontaminate]]/d6, bloom-prefiltered d13):
+    * verdict every TRAIN vector by whether any EVAL vector sits within
+    * cosine `threshold` of it. N-gram overlap misses paraphrases and
+    * translations; an embedding space built for semantic similarity
+    * is exactly where those leak through, so production pipelines run
+    * BOTH surface- and embedding-level passes before training.
+    *
+    * Mechanism is d9's scale shape with SIDES: one shared
+    * (id, is_eval, vector, norm, hyperplane signature) preparation
+    * pass (persisted — it feeds both band-join sides and the verify
+    * fetch), band keys explode to `bands` slim rows per vector, and
+    * the candidate join is train-bands ⋈ eval-bands on the band key —
+    * never train×eval. Exact-cosine verify touches candidates only;
+    * per-train aggregation (matches, max cosine) and a left join back
+    * give EVERY train row a verdict (untouched rows verdict clean —
+    * the d12-style total-corpus contract). `numPlanes` <= 0 derives
+    * banding bits from the corpus size (the d9/s4 scale knob; fixed
+    * layouts measured 95-150× wall at 10× rows on this machinery).
+    * Recall follows the LSH band curve exactly as d9 documents it —
+    * callers needing guaranteed-recall decontamination at a fixed
+    * surface form run d6/d13; this pass exists to catch what they
+    * structurally cannot.
+    *
+    * Output: (doc_id, contaminated 0/1, n_eval_matches, max_cosine
+    * 4dp — NULL for clean rows) over every train id.
+    */
+  def decontaminateByEmbedding(embs0: DataFrame, vecCol: String, idCol: String,
+                               evalFilter: Column, threshold: Double, dim: Int,
+                               numPlanes: Int = 0, bands: Int = 6,
+                               seed: Long = 42L,
+                               persistIntermediate: Boolean = true,
+                               verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val embs = Par.widen(embs0)
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else bands * graft.ops.Similarity.autoBandBits(embs.count(), bands)
+    require(nPlanes % bands == 0 && nPlanes <= 63,
+      s"numPlanes ($nPlanes) must be a multiple of bands ($bands) and <= 63")
+    val planes = graft.ops.Similarity.hyperplanes(nPlanes, dim, seed)
+    val bitsPerBand = nPlanes / bands
+    val dotOf = Native.dotOf(embs)
+    val sigOf: Column => Column =
+      if (Native.enabled(embs, "graft_hyperplane_sig"))
+        v => call_function("graft_hyperplane_sig", v, lit(planes.flatten.toArray), lit(dim))
+      else v => graft.functions.vectors.hyperplaneSig(v, planes)
+    val preparedPlan = embs.select(col(idCol).as("id"), evalFilter.as("is_eval"),
+        col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotOf(col("v"), col("v"))))
+      .withColumn("sig", sigOf(col("v")))
+    val prepared =
+      if (persistIntermediate)
+        preparedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else preparedPlan
+    val bandCols = (0 until bands).map { bn =>
+      struct(lit(bn).as("b"),
+        shiftrightunsigned(col("sig"), bn * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1).as("v"))
+    }
+    // only (id, band) travels through the candidate join
+    val banded = prepared.select(col("id"), col("is_eval"),
+      explode(array(bandCols: _*)).as("band"))
+    val candidates = banded.filter(!col("is_eval")).as("a")
+      .join(banded.filter(col("is_eval")).as("b"), col("a.band") === col("b.band"))
+      .select(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .dropDuplicates("train_id", "eval_id")
+    def sideHinted(df: DataFrame): DataFrame = verifyBroadcast match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_hash")
+      case None        => df
+    }
+    val vecs = prepared.select(col("id"), col("v"), col("nrm"))
+    val nn = col("h1.nrm") * col("h2.nrm")
+    val hits = candidates
+      .join(sideHinted(vecs).as("h1"), col("train_id") === col("h1.id"))
+      .join(sideHinted(vecs).as("h2"), col("eval_id") === col("h2.id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dotOf(col("h1.v"), col("h2.v")) / nn))
+      .filter(col("cosine") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(round(col("cosine"), 4)).as("max_cosine"))
+    prepared.filter(!col("is_eval")).select(col("id").as("doc_id"))
+      .join(hits, col("doc_id") === col("train_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_eval_matches").isNotNull, 1).otherwise(0).as("contaminated"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_cosine"))
+  }
 }

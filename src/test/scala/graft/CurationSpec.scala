@@ -511,6 +511,31 @@ class CurationSpec extends AnyFunSuite {
     assert(native == fallback)
   }
 
+  test("decontaminateByEmbedding: identical train/eval vectors verdict " +
+      "contaminated at cosine 1.0; orthogonal corpus verdicts clean; " +
+      "every train row present") {
+    import graft.ops.Curation
+    // 4-dim toy corpus, pinned 8-plane banding so banding recall is
+    // not in play: ids 10,30 are eval; train 11 == eval 10 exactly
+    // (cosine 1.0, identical band keys — MUST be caught); train 12 is
+    // 2x of eval 10 (cosine 1.0 again — scale-invariance); train 13
+    // is orthogonal to both evals
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (10L, v(1, 0, 0, 0)), (30L, v(0, 1, 0, 0)),          // eval
+      (11L, v(1, 0, 0, 0)), (12L, v(2, 0, 0, 0)),          // dup / scaled
+      (13L, v(0, 0, 1, 0))                                 // clean
+    ).toDF("vec_id", "embedding")
+    val got = Curation.decontaminateByEmbedding(df, "embedding", "vec_id",
+        col("vec_id") % 10 === 0, threshold = 0.9, dim = 4, numPlanes = 12)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(11L, 12L, 13L), s"every train row must verdict: $got")
+    assert(got(0) == ((11L, 1, 1L)), s"exact dup must be contaminated: $got")
+    assert(got(1) == ((12L, 1, 1L)), s"scaled dup must be contaminated: $got")
+    assert(got(2) == ((13L, 0, 0L)), s"orthogonal vector must be clean: $got")
+  }
+
   test("pmiPairs: hand-computed PMI, short-doc guard, rare pair outranks frequent") {
     import graft.ops.TextAnalysis
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "z"))
