@@ -746,6 +746,15 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    "t34_bpe_train" -> ((s, dir) => {
+      // tokenizer CONSTRUCTION: learn the corpus's first 10 BPE merges
+      // (t6 applies a segmentation; this trains the merge table). The
+      // corpus is scanned once; every round runs on the persisted
+      // word-frequency vocabulary
+      TextAnalysis.bpeTrain(Tables(s, dir).documents, "text", merges = 10)
+        .orderBy("step")
+    }),
+
     "t28_js_drift" -> ((s, dir) => {
       // distribution drift of source src0 vs the rest of the corpus —
       // the between-batches shift alarm
@@ -1281,6 +1290,49 @@ object SparkEntry {
   private def toksSql(src: String) =
     s"(CASE WHEN trim($src) = '' OR $src IS NULL THEN CAST([] AS VARCHAR[]) " +
     s"ELSE regexp_split_to_array(trim($src), '\\s+') END)"
+
+  /** t34's oracle: k unrolled BPE rounds over the word-frequency
+    * table. The merge application is the SAME separator-string
+    * `replace` the Spark side runs (chr(1) boundaries, one consumed
+    * from each side per match), so the full merge TRAJECTORY — picks,
+    * tie-breaks, greedy overlap resolution — replicates, not just the
+    * counts. MATERIALIZED per round (the g1 lesson: DuckDB would
+    * otherwise re-inline the whole chain per round).
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val S1 = "chr(1)"
+    val S2 = "chr(1)||chr(1)"
+    val sb = new StringBuilder(
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT count(*) AS freq,
+              $S2 || array_to_string(list_transform(range(1, length(w) + 1),
+                i -> substr(w, i, 1)), $S2) || $S2 AS seq
+            FROM (SELECT unnest(${toksSql(normSql)}) AS w FROM documents)
+            WHERE length(w) > 0
+            GROUP BY w)""")
+    for (step <- 1 to k) {
+      val prev = s"w${step - 1}"
+      sb.append(s""",
+          p$step AS MATERIALIZED (
+            SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, list_filter(string_split(seq, $S2),
+                    x -> length(x) > 0) AS syms
+                  FROM $prev),
+                 LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+            GROUP BY 1, 2),
+          m$step AS MATERIALIZED (
+            SELECT $step AS step, l, r, cnt FROM p$step
+            ORDER BY cnt DESC, l, r LIMIT 1),
+          w$step AS MATERIALIZED (
+            SELECT freq, replace(seq, $S1||l||$S2||r||$S1, $S1||l||r||$S1) AS seq
+            FROM $prev, m$step)""")
+    }
+    sb.append("\n          " + (1 to k).map(s =>
+      s"""SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$s""")
+      .mkString(" UNION ALL "))
+    sb.append(" ORDER BY step")
+    sb.toString
+  }
 
   /** t17's fixed query set, shared by the Spark query and the oracle
     * (q4 has terms absent from the corpus: df=0 terms contribute 0).
@@ -2495,6 +2547,8 @@ object SparkEntry {
                                  ORDER BY score DESC, doc_id ASC) AS rank
             FROM scores)
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "t34_bpe_train" -> bpeOracleSql(10),
 
     "t19_vocab" ->
       s"""SELECT lang AS grp,

@@ -903,4 +903,82 @@ object TextAnalysis {
         min(col("mean_nll")).as("min_nll"), max(col("mean_nll")).as("max_nll"))
       .select(col("bucket"), col("n_docs"), col("min_nll"), col("max_nll"))
   }
+
+  /** BPE MERGE TRAINING (Sennrich et al., ACL 2016) — learn the first
+    * `merges` byte-pair merges from the corpus itself, the tokenizer-
+    * construction step every pretraining pipeline runs (t6 APPLIES a
+    * BPE-ish segmentation; this LEARNS the merge table it would use).
+    * Classic word-internal BPE: each distinct word is a symbol
+    * sequence (initially characters); per round, the most frequent
+    * adjacent symbol pair (corpus-weighted) merges everywhere, ties
+    * broken (count desc, left asc, right asc) so the table is a pure
+    * function of the corpus.
+    *
+    * Scale shape — the production trainer's: the CORPUS is touched
+    * exactly ONCE (token explode → word-frequency shuffle); every
+    * round then runs on the persisted VOCABULARY table (distinct
+    * words ≪ corpus at any scale), one bounded pair-count partial agg
+    * + a 1-row argmax collect per round; driver state = the merge
+    * list itself (≤ `merges` entries — the IVF/c1 bounded-collect
+    * contract).
+    *
+    * Engine-exact merge application: sequences are STRINGS with
+    * DOUBLE  separators at every boundary
+    * (␁␁sym₁␁␁sym₂␁␁ …), and a merge (a,b) is
+    * `replace(seq, ␁a␁␁b␁ → ␁ab␁)` — leftmost non-overlapping
+    * replacement IS greedy BPE application, each match consumes one
+    * separator from each side's pair so neighbours keep theirs
+    * (adjacent merge sites all fire in one pass; overlapping ones
+    * resolve leftmost, exactly the sequential-scan semantics), and
+    * the full-token boundary match means a symbol can never match a
+    * PREFIX of a longer symbol. Both engines implement `replace` with
+    * identical semantics, so the whole merge trajectory — not just
+    * counts — reproduces in the DuckDB oracle.
+    *
+    * Output: (step 1.., left, right, pair_count) — the merge table,
+    * possibly shorter than `merges` if the vocabulary runs dry.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+               persistIntermediate: Boolean = true): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64], got $merges")
+    val spark = docs.sparkSession
+    val sep = ""
+    val sep2 = sep + sep
+    val wordsPlan = docs
+      .select(explode(text.tokens(graft.ops.Native.normOf(docs)(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(sep2), array_join(split(col("w"), ""), sep2), lit(sep2)).as("seq"))
+    val words =
+      if (persistIntermediate)
+        wordsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else wordsPlan
+    var current = words
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var dry = false
+    for (step <- 1 to merges if !dry) {
+      val syms = filter(split(col("seq"), sep2), s => length(s) > 0)
+      val top = current
+        .select(col("freq"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, l, r, cnt))
+        current = current.withColumn("seq",
+          replace(col("seq"), lit(sep + l + sep2 + r + sep), lit(sep + l + r + sep)))
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "left", "right", "pair_count")
+  }
 }

@@ -157,4 +157,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window survived in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
   }
+
+  test("bpeTrain: hand-traced merge trajectory incl. overlap greediness, " +
+      "corpus weighting, tie-break, and the vocabulary running dry") {
+    import spark.implicits._
+    // words: aa x1, ab x2, aaa x1. Round 1: (a,a) = 1 + 2 (aaa has TWO
+    // overlapping pairs) = 3 beats (a,b) = 2. Greedy application turns
+    // aaa into [aa, a] (leftmost), NOT [a, aa]. Round 2: (a,b) = 2.
+    // Round 3: (aa,a) = 1. Round 4+: vocabulary dry -> 3 rows only.
+    val docs = Seq("aa ab", "ab", "aaa").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 10,
+        persistIntermediate = false)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "a", "b", 2L), (3, "aa", "a", 1L)),
+      s"trajectory mismatch: $got")
+    // lexicographic tie-break: (a,b) and (b,a) both count 1 -> (a,b) first
+    val tie = Seq("ab", "ba").toDF("text")
+    val t1 = TextAnalysis.bpeTrain(tie, "text", merges = 1,
+        persistIntermediate = false).collect()(0)
+    assert((t1.getString(1), t1.getString(2)) == (("a", "b")), s"tie-break: $t1")
+  }
 }
