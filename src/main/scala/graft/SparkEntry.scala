@@ -755,6 +755,15 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "t35_bpe_segment" -> ((s, dir) => {
+      // the APPLY side: segment the corpus with the 10 learned merges
+      // and roll up the piece vocabulary with corpus-weighted usage —
+      // the train -> segment tokenizer loop end-to-end, on the SAME
+      // persisted word table (corpus scanned once for both halves)
+      TextAnalysis.bpeSegment(Tables(s, dir).documents, "text", merges = 10)
+        .orderBy("piece")
+    }),
+
     "t28_js_drift" -> ((s, dir) => {
       // distribution drift of source src0 vs the rest of the corpus —
       // the between-batches shift alarm
@@ -1332,6 +1341,22 @@ object SparkEntry {
       .mkString(" UNION ALL "))
     sb.append(" ORDER BY step")
     sb.toString
+  }
+
+  /** t35's oracle: t34's k-round chain, then the pieces of the final
+    * sequences rolled up corpus-weighted (same split + filter the
+    * Spark side runs).
+    */
+  private def bpeSegmentOracleSql(k: Int): String = {
+    val S2 = "chr(1)||chr(1)"
+    val chain = bpeOracleSql(k)
+    val withPart = chain.substring(0, chain.lastIndexOf("\n          SELECT"))
+    s"""$withPart
+          SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+          FROM (SELECT freq, unnest(list_filter(string_split(seq, $S2),
+                  x -> length(x) > 0)) AS piece
+                FROM w$k)
+          GROUP BY piece ORDER BY piece"""
   }
 
   /** t17's fixed query set, shared by the Spark query and the oracle
@@ -2549,6 +2574,8 @@ object SparkEntry {
           WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "t34_bpe_train" -> bpeOracleSql(10),
+
+    "t35_bpe_segment" -> bpeSegmentOracleSql(10),
 
     "t19_vocab" ->
       s"""SELECT lang AS grp,

@@ -904,61 +904,40 @@ object TextAnalysis {
       .select(col("bucket"), col("n_docs"), col("min_nll"), col("max_nll"))
   }
 
-  /** BPE MERGE TRAINING (Sennrich et al., ACL 2016) — learn the first
-    * `merges` byte-pair merges from the corpus itself, the tokenizer-
-    * construction step every pretraining pipeline runs (t6 APPLIES a
-    * BPE-ish segmentation; this LEARNS the merge table it would use).
-    * Classic word-internal BPE: each distinct word is a symbol
-    * sequence (initially characters); per round, the most frequent
-    * adjacent symbol pair (corpus-weighted) merges everywhere, ties
-    * broken (count desc, left asc, right asc) so the table is a pure
-    * function of the corpus.
-    *
-    * Scale shape — the production trainer's: the CORPUS is touched
-    * exactly ONCE (token explode → word-frequency shuffle); every
-    * round then runs on the persisted VOCABULARY table (distinct
-    * words ≪ corpus at any scale), one bounded pair-count partial agg
-    * + a 1-row argmax collect per round; driver state = the merge
-    * list itself (≤ `merges` entries — the IVF/c1 bounded-collect
-    * contract).
-    *
-    * Engine-exact merge application: sequences are STRINGS with
-    * DOUBLE  separators at every boundary
-    * (␁␁sym₁␁␁sym₂␁␁ …), and a merge (a,b) is
-    * `replace(seq, ␁a␁␁b␁ → ␁ab␁)` — leftmost non-overlapping
-    * replacement IS greedy BPE application, each match consumes one
-    * separator from each side's pair so neighbours keep theirs
-    * (adjacent merge sites all fire in one pass; overlapping ones
-    * resolve leftmost, exactly the sequential-scan semantics), and
-    * the full-token boundary match means a symbol can never match a
-    * PREFIX of a longer symbol. Both engines implement `replace` with
-    * identical semantics, so the whole merge trajectory — not just
-    * counts — reproduces in the DuckDB oracle.
-    *
-    * Output: (step 1.., left, right, pair_count) — the merge table,
-    * possibly shorter than `merges` if the vocabulary runs dry.
+  private val BpeSep = "\u0001"
+  private val BpeSep2 = BpeSep + BpeSep
+
+  /** The persisted (freq, seq) word table both BPE ops run on: ONE
+    * corpus scan (token explode -> word-frequency shuffle), sequences
+    * in the double-separator string form.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
-               persistIntermediate: Boolean = true): DataFrame = {
-    require(merges >= 1 && merges <= 64,
-      s"merges must be in [1, 64], got $merges")
-    val spark = docs.sparkSession
-    val sep = ""
-    val sep2 = sep + sep
-    val wordsPlan = docs
+  private def bpeWordTable(docs: DataFrame, textCol: String,
+                           persistIntermediate: Boolean): DataFrame = {
+    val plan = docs
       .select(explode(text.tokens(graft.ops.Native.normOf(docs)(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
-        concat(lit(sep2), array_join(split(col("w"), ""), sep2), lit(sep2)).as("seq"))
-    val words =
-      if (persistIntermediate)
-        wordsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else wordsPlan
+        concat(lit(BpeSep2), array_join(split(col("w"), ""), BpeSep2),
+          lit(BpeSep2)).as("seq"))
+    if (persistIntermediate)
+      plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else plan
+  }
+
+  /** One learned merge (a,b) as the separator-string `replace` both
+    * engines implement identically (see [[bpeTrain]]).
+    */
+  private def bpeMergeOf(l: String, r: String): Column => Column =
+    s => replace(s, lit(BpeSep + l + BpeSep2 + r + BpeSep),
+      lit(BpeSep + l + r + BpeSep))
+
+  private def bpeTrainOnWords(words: DataFrame,
+                              merges: Int): Seq[(Int, String, String, Long)] = {
     var current = words
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var dry = false
     for (step <- 1 to merges if !dry) {
-      val syms = filter(split(col("seq"), sep2), s => length(s) > 0)
+      val syms = filter(split(col("seq"), BpeSep2), s => length(s) > 0)
       val top = current
         .select(col("freq"), syms.as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -974,11 +953,84 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, l, r, cnt))
-        current = current.withColumn("seq",
-          replace(col("seq"), lit(sep + l + sep2 + r + sep), lit(sep + l + r + sep)))
+        current = current.withColumn("seq", bpeMergeOf(l, r)(col("seq")))
       }
     }
+    learned.toSeq
+  }
+
+  /** BPE MERGE TRAINING (Sennrich et al., ACL 2016) — learn the first
+    * `merges` byte-pair merges from the corpus itself, the tokenizer-
+    * construction step every pretraining pipeline runs (t6 APPLIES a
+    * BPE-ish segmentation; this LEARNS the merge table it would use).
+    * Classic word-internal BPE: each distinct word is a symbol
+    * sequence (initially characters); per round, the most frequent
+    * adjacent symbol pair (corpus-weighted) merges everywhere, ties
+    * broken (count desc, left asc, right asc) so the table is a pure
+    * function of the corpus.
+    *
+    * Scale shape — the production trainer's: the CORPUS is touched
+    * exactly ONCE (token explode -> word-frequency shuffle); every
+    * round then runs on the persisted VOCABULARY table (distinct
+    * words << corpus at any scale), one bounded pair-count partial agg
+    * + a 1-row argmax collect per round; driver state = the merge
+    * list itself (<= `merges` entries — the IVF/c1 bounded-collect
+    * contract).
+    *
+    * Engine-exact merge application: sequences are STRINGS with
+    * DOUBLE \u0001 separators at every boundary, and a merge (a,b) is
+    * `replace(seq, \u0001 a \u0001\u0001 b \u0001 -> \u0001 ab \u0001)` —
+    * leftmost non-overlapping replacement IS greedy BPE application,
+    * each match consumes one separator from each side's pair so
+    * neighbours keep theirs (adjacent merge sites all fire in one
+    * pass; overlapping ones resolve leftmost, exactly the
+    * sequential-scan semantics), and the full-token boundary match
+    * means a symbol can never match a PREFIX of a longer symbol. Both
+    * engines implement `replace` with identical semantics, so the
+    * whole merge trajectory — not just counts — reproduces in the
+    * DuckDB oracle.
+    *
+    * Output: (step 1.., left, right, pair_count) — the merge table,
+    * possibly shorter than `merges` if the vocabulary runs dry.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+               persistIntermediate: Boolean = true): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64], got $merges")
+    val spark = docs.sparkSession
     import spark.implicits._
-    learned.toSeq.toDF("step", "left", "right", "pair_count")
+    bpeTrainOnWords(bpeWordTable(docs, textCol, persistIntermediate), merges)
+      .toDF("step", "left", "right", "pair_count")
+  }
+
+  /** BPE SEGMENTATION with the learned merge table — the APPLY side
+    * of [[bpeTrain]] (train -> segment is the full tokenizer loop):
+    * every word segments by replaying the merges in learned order
+    * (the standard BPE inference rule), and the output is the
+    * resulting PIECE VOCABULARY with corpus-weighted usage — (piece,
+    * n_occurrences), the table a tokenizer report reads to see what
+    * the merges actually bought (which subwords exist, how much of
+    * the corpus they cover). The piece table is BOUNDED: at most
+    * alphabet + `merges` distinct symbols.
+    *
+    * Scale shape: [[bpeTrain]]'s single corpus scan + vocabulary
+    * rounds on the SAME persisted word table (built once, not per
+    * op), then segmentation is ONE map-only pass — the k merges are
+    * driver literals chained as k `replace`s — and the piece rollup
+    * is a partial agg on a bounded key space. The corpus is never
+    * re-touched.
+    */
+  def bpeSegment(docs: DataFrame, textCol: String, merges: Int,
+                 persistIntermediate: Boolean = true): DataFrame = {
+    val words = bpeWordTable(docs, textCol, persistIntermediate)
+    val table = bpeTrainOnWords(words, merges)
+    val segmented = table.foldLeft(col("seq")) { case (s, (_, l, r, _)) =>
+      bpeMergeOf(l, r)(s)
+    }
+    words
+      .select(col("freq"), explode(filter(split(segmented, BpeSep2),
+        s => length(s) > 0)).as("piece"))
+      .groupBy("piece")
+      .agg(sum(col("freq")).as("n_occurrences"))
   }
 }

@@ -179,4 +179,21 @@ class RetrievalSpec extends AnyFunSuite {
         persistIntermediate = false).collect()(0)
     assert((t1.getString(1), t1.getString(2)) == (("a", "b")), s"tie-break: $t1")
   }
+
+  test("bpeSegment: piece vocabulary reflects the replayed merges, " +
+      "corpus-weighted") {
+    import spark.implicits._
+    val docs = Seq("aa ab", "ab", "aaa").toDF("text")
+    // merges=2 learns (a,a) then (a,b): aa->[aa], ab->[ab] x2,
+    // aaa->[aa,a] -> pieces a:1, aa:2, ab:2
+    val got2 = TextAnalysis.bpeSegment(docs, "text", merges = 2,
+        persistIntermediate = false)
+      .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("a", 1L), ("aa", 2L), ("ab", 2L)), s"merges=2: $got2")
+    // merges=3 additionally learns (aa,a): aaa collapses to one piece
+    val got3 = TextAnalysis.bpeSegment(docs, "text", merges = 3,
+        persistIntermediate = false)
+      .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got3 == Seq(("aa", 1L), ("aaa", 1L), ("ab", 2L)), s"merges=3: $got3")
+  }
 }
