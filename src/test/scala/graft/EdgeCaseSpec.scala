@@ -124,6 +124,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(u.count() == 6 && d.count() == 3)
   }
 
+  test("round-7 operators tolerate degenerate inputs") {
+    import graft.ops.{Curation, TextAnalysis}
+    // bpeTrain: all-1-char vocabulary has no pairs — empty table, no
+    // crash; empty corpus likewise
+    val singles = Seq((1L, "a b c"), (2L, "a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(singles, "text", merges = 5,
+      persistIntermediate = false).count() == 0)
+    assert(TextAnalysis.bpeTrain(singles.limit(0), "text", merges = 5,
+      persistIntermediate = false).count() == 0)
+    // bpeSegment with a dry vocabulary: pieces = the raw characters
+    val seg = TextAnalysis.bpeSegment(singles, "text", merges = 5,
+        persistIntermediate = false)
+      .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(seg == Seq(("a", 2L), ("b", 1L), ("c", 1L)), s"raw chars: $seg")
+    // decontaminateByEmbedding: no eval rows → every train row clean;
+    // no train rows → empty verdict table; both no-crash
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
+    val noEval = Curation.decontaminateByEmbedding(emb, "embedding", "vec_id",
+        lit(false), threshold = 0.5, dim = 2, numPlanes = 6,
+        persistIntermediate = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(noEval == Set((1L, 0), (2L, 0)), s"all clean: $noEval")
+    assert(Curation.decontaminateByEmbedding(emb, "embedding", "vec_id",
+      lit(true), threshold = 0.5, dim = 2, numPlanes = 6,
+      persistIntermediate = false).count() == 0)
+  }
+
   test("asofJoin composed fallback rejects user columns in its reserved namespace") {
     val lf = Seq((1L, 10L, 100L)).toDF("k", "__asof_t", "lt")
     val rf = Seq((1L, 90L)).toDF("k", "rt")
