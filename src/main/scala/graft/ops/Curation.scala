@@ -268,11 +268,20 @@ object Curation {
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budgetTokens: Long,
-                        bucketWidth: Long = 4096L): DataFrame = {
+                        bucketWidth: Long = 4096L,
+                        persistIntermediate: Boolean = true): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val rows = df.select(col(idCol).as("id"), col(scoreCol).as("q"),
+    // the slim (id, score, tokens) projection feeds THREE consumers
+    // (value grid, full-keep join, boundary rows); unpersisted, the
+    // caller's upstream — typically a full quality-scoring pass over
+    // the text — re-executes per consumer
+    val rowsPlan = df.select(col(idCol).as("id"), col(scoreCol).as("q"),
       col(tokensCol).cast("long").as("tok"))
+    val rows =
+      if (persistIntermediate)
+        rowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rowsPlan
     // level 1: distinct-score grid, cumulative tokens in rank order
     val grid = rows.groupBy("q").agg(sum("tok").as("vtok"))
       .withColumn("vrun", sum("vtok").over(Window.orderBy(col("q").desc)))
