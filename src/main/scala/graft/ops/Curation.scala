@@ -25,14 +25,16 @@ object Curation {
     * are taken on the raw text with the same precedence. Pure per-row
     * codegen'd column math — scales as a map-only stage.
     */
-  def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def scrubPii(df: DataFrame, textCol: String, idCol: String,
+               passthrough: Seq[String] = Nil): DataFrame = {
     val raw = col(textCol)
     val noEmail = regexp_replace(raw, EmailPattern, "<EMAIL>")
-    df.select(
+    df.select(Seq(
       col(idCol),
       regexp_replace(noEmail, PhonePattern, "<PHONE>").as("clean_text"),
       size(regexp_extract_all(raw, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(noEmail, lit(PhonePattern), lit(0))).cast("long").as("n_phones"))
+      ++ passthrough.map(col): _*)
   }
 
   /** Deterministic, engine-portable split assignment.
@@ -448,9 +450,10 @@ object Curation {
                     minTokens: Long = 10, maxTokens: Long = 100000,
                     minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
                     minStopwords: Long = 1, maxDigitRatio: Double = 0.3,
-                    maxWordLen: Long = 30): DataFrame = {
-    val toksed = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
-      text.tokens(col(textCol)).as("toks"))
+                    maxWordLen: Long = 30,
+                    passthrough: Seq[String] = Nil): DataFrame = {
+    val toksed = df.select(Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      text.tokens(col(textCol)).as("toks")) ++ passthrough.map(col): _*)
     val n = size(col("toks")).cast("long")
     val meanWordLen = when(n === 0, 0.0)
       .otherwise(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
@@ -459,7 +462,7 @@ object Curation {
     val digitRatio = when(length(col("txt")) === 0, 0.0)
       .otherwise(text.digitCount(col("txt")).cast("double") / length(col("txt")))
     val bit = (c: Column) => when(c, 1).otherwise(0)
-    toksed.select(
+    toksed.select(Seq(
         col("doc_id"),
         n.as("n_tokens"),
         bit(n >= minTokens && n <= maxTokens).as("r_len"),
@@ -467,6 +470,7 @@ object Curation {
         bit(text.markerHits(col("txt"), text.EnMarkers) >= minStopwords).as("r_stop"),
         bit(digitRatio < maxDigitRatio).as("r_digit"),
         bit(maxWord <= maxWordLen).as("r_max_word"))
+        ++ passthrough.map(col): _*)
       .withColumn("keep",
         when(col("r_len") + col("r_word_len") + col("r_stop")
           + col("r_digit") + col("r_max_word") === 5, 1).otherwise(0))
@@ -555,17 +559,26 @@ object Curation {
                        langCol: String, splitSalt: String = "graft",
                        fractions: Seq[(String, Double)] =
                          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))): DataFrame = {
-    val keepers = graft.ops.Dedup.exactGroups(docs, textCol, idCol)
-      .select(col("canonical_id").as(idCol))
-    val unique = docs.join(keepers, Seq(idCol))
-    val kept = qualityFilter(unique, textCol, idCol)
-      .filter(col("keep") === 1).select(col("doc_id").as(idCol))
-    val scrubbed = scrubPii(unique.join(kept, Seq(idCol)), textCol, idCol)
-    val split = deterministicSplit(scrubbed.select(col(idCol)), idCol,
-      splitSalt, fractions)
-    scrubbed
-      .join(unique.select(col(idCol), col(langCol)), Seq(idCol))
-      .join(split.select(col(idCol), col("split")), Seq(idCol))
+    // ONE survivor STREAM, not a web of join-backs: the original
+    // composition re-joined `unique` into every stage, and since each
+    // stage is map-only the re-joins only multiplied corpus scans —
+    // the plan referenced the documents scan 10×. Now: fingerprint
+    // once, keep canonical rows via one slim semi-join (the id-only
+    // aggregate is the second and last corpus scan), then quality →
+    // scrub → split CHAIN map-only with the needed columns carried
+    // through (`passthrough`). Output identical row-for-row — the
+    // same verdicts on the same texts — under the same oracle.
+    val fpd = docs.select(col(idCol), col(langCol), col(textCol),
+      md5(Native.normOf(docs)(col(textCol))).as("graft_fp"))
+    val canon = fpd.groupBy("graft_fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val unique = fpd.join(canon, Seq(idCol)).drop("graft_fp")
+    val kept = qualityFilter(unique, textCol, idCol,
+        passthrough = Seq(textCol, langCol))
+      .filter(col("keep") === 1)
+      .select(col("doc_id").as(idCol), col(textCol), col(langCol))
+    val scrubbed = scrubPii(kept, textCol, idCol, passthrough = Seq(langCol))
+    deterministicSplit(scrubbed, idCol, splitSalt, fractions)
       .select(col(idCol), col(langCol), col("split"),
         col("n_emails"), col("n_phones"))
   }

@@ -234,7 +234,8 @@ object TextAnalysis {
     * n_a = |G_A|, n_shared, containment 4dp) for every A ≠ B.
     */
   def sourceOverlap(docs0: DataFrame, textCol: String, groupCol: String,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3,
+                    persistIntermediate: Boolean = true): DataFrame = {
     val docs = Par.widen(docs0)
     val prepared =
       if (Native.enabled(docs, "graft_ngram_hashes"))
@@ -247,8 +248,16 @@ object TextAnalysis {
           text.tokens(Native.normOf(docs)(col(textCol))).as("toks"))
         .select(col("grp"), text.wordNgramsOfTokens(col("toks"), n).as("g"))
         .select(col("grp"), graft.functions.hashing.elementHashes(col("g")).as("grams"))
-    val gset = prepared
+    // gset feeds totals + BOTH sides of the overlap self-join:
+    // unpersisted, the tokenize + gram-hash + distinct pass runs once
+    // per consumer. Distinct (group, gram) is ≪ the corpus (grams
+    // dedupe within group) — the d2-style staging persist
+    val gsetPlan = prepared
       .select(col("grp"), explode(col("grams")).as("g")).distinct()
+    val gset =
+      if (persistIntermediate)
+        gsetPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gsetPlan
     val totals = gset.groupBy("grp").agg(count(lit(1)).as("n_a"))
     val shared = gset.as("a")
       .join(gset.as("b"), col("a.g") === col("b.g") && col("a.grp") =!= col("b.grp"))
@@ -290,16 +299,24 @@ object TextAnalysis {
     * and js_bits (4dp; JS ≤ ln 2 nats = 1 bit).
     */
   def distributionDrift(docs: DataFrame, textCol: String, sliceFilter: Column,
-                        buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+                        buckets: Int = 4096, alpha: Double = 0.5,
+                        persistIntermediate: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val hb = docs
       .select(sliceFilter.as("is_a"),
         explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("f"))
       .select(col("is_a"),
         pmod(Native.md5FoldOf(docs)(col("f")), lit(buckets.toLong)).as("b"))
-    val counts = hb.groupBy("b").agg(
+    // counts (≤ buckets rows) feeds BOTH the support join and the
+    // totals; unpersisted, the tokenize + explode pass — the only
+    // corpus-sized work here — runs twice
+    val countsPlan = hb.groupBy("b").agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
       sum(when(col("is_a"), 0L).otherwise(1L)).as("r_cnt"))
+    val counts =
+      if (persistIntermediate)
+        countsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else countsPlan
     val support = docs.sparkSession.range(buckets.toLong).toDF("b")
     val joined = support.join(counts, Seq("b"), "left")
       .select(coalesce(col("a_cnt"), lit(0L)).cast("double").as("a_cnt"),
@@ -642,7 +659,12 @@ object TextAnalysis {
   def lmScoreBigram(train: DataFrame, docs: DataFrame, textCol: String,
                     idCol: String, alpha: Double = 0.5, lam: Double = 0.7,
                     oneMinusLam: Double = 0.3,
-                    broadcastModel: Boolean = true): DataFrame = {
+                    broadcastModel: Boolean = true,
+                    persistIntermediate: Boolean = true): DataFrame = {
+    def staged(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val norm = Native.normOf(docs)
     def toks(df: DataFrame) = df
       .withColumn("graft_norm", norm(col(textCol)))
@@ -655,11 +677,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).cast("double").as("tf"))
 
-    val bigramModel = bigrams(train).groupBy("w1", "w2").agg(sum("tf").as("cnt"))
+    // both model tables feed TWO consumers each (the scoring joins +
+    // their own rollups ctx/stats); unpersisted, the train-side
+    // tokenize + explode subtree re-executes per consumer. Both are
+    // vocabulary-bounded (they get broadcast below), so the persist
+    // is model-sized, never corpus-sized
+    val bigramModel = staged(
+      bigrams(train).groupBy("w1", "w2").agg(sum("tf").as("cnt")))
     val ctx = bigramModel.groupBy("w1").agg(sum("cnt").as("ctx"))
-    val uni = toks(train)
+    val uni = staged(toks(train)
       .select(explode(col("toks")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).cast("double").as("ucnt"))
+      .groupBy("w2").agg(count(lit(1)).cast("double").as("ucnt")))
     val stats = uni.agg(sum("ucnt").as("total"),
       count(lit(1)).cast("double").as("vocab"))
 
