@@ -29,21 +29,13 @@ object Bench {
         (familyRank.getOrElse(name.head, 9),
           name.drop(1).takeWhile(_.isDigit).toInt)
       }
-    // Session hygiene between queries. clearCache() alone releases
-    // cached DATASETS but not localCheckpoint() RDD blocks — the heavy
-    // queries (s12's candidate pairs, g4's edge checkpoint, the graph
-    // ops' lineage checkpoints) pin storage memory until GC finalizes
-    // them, and in the r06 recording that residue bled into the four
-    // queries run immediately after s12 (d3/d4/d6/d7 regressed
-    // 1.3-5.4× with zero code change). So: drop every persisted RDD
-    // explicitly, then one GC so the freed blocks are actually
-    // returned before the next query's timer starts.
-    def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    // Session hygiene between queries (GraftSession.sweep: clearCache
+    // alone releases cached DATASETS but not localCheckpoint() RDD
+    // blocks — the r06 bleed). SPARK_GRAFT_NO_SWEEP=1 disables it for
+    // the A/B run that prices the sweep itself (leaked warm state
+    // subsidizing later queries vs the per-query GC tax).
+    val noSweep = sys.env.get("SPARK_GRAFT_NO_SWEEP").contains("1")
+    def sweep(): Unit = if (!noSweep) GraftSession.sweep(spark)
     // ---- Warmup phase A: page cache + parquet footers -------------
     // A cold recording box charges the first scan of every table its
     // disk reads; count() each input once so timed runs measure the
@@ -150,7 +142,29 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's record truncates the per-query tail at ~2000 chars,
+    // hiding the front of the board from audit — so ALSO write the
+    // complete record, with the protocol stamped on it, into the repo
+    // (SPARK_GRAFT_BENCH_FULL overrides the path; empty disables).
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL") match {
+      case Some("") => None
+      case Some(p) => Some(p)
+      case None => Some("BENCH_full_latest.json")
+    }
+    fullPath.foreach { p =>
+      val proto = s""""protocol":{"master":"local[$cpus]","sweep":${!noSweep},""" +
+        s""""warmup":"${esc(warmDir.getOrElse("kernels-only"))}","repeats":"min-of-2+adaptive-3rd"}"""
+      val full = line.dropRight(1) + "," + proto + "}"
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] full-record write to $p failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

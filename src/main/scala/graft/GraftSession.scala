@@ -55,4 +55,24 @@ object GraftSession {
     * rather than mutating session state as a load side effect.
     */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Session-level storage sweep for library callers. Operators that
+    * take `persistIntermediate = true` (tokenBudgetSelect, dsirWeights,
+    * decontaminateByEmbedding, sourceOverlap, distributionDrift,
+    * lmScoreBigram, the BPE word table, …) persist a SLIM intermediate
+    * so its consumers within the returned plan share one computation;
+    * the blocks stay referenced by the returned DataFrame's lineage, so
+    * the OP cannot safely unpersist them — a long-lived session calling
+    * these repeatedly should sweep between logical jobs once results
+    * are materialized. `clearCache()` alone is NOT enough: it releases
+    * cached Datasets but not `localCheckpoint()` RDD blocks (the g4 /
+    * s12 lineage checkpoints), which otherwise pin storage memory until
+    * GC finalizes them — the measured r06 bench bleed.
+    */
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
 }

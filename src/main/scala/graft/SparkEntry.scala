@@ -881,6 +881,15 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "d19_substring_dedup" -> ((s, dir) => {
+      // OFFSET-INVARIANT sub-document dedup (Lee et al. 2022 over
+      // winnowing anchors): d10's fixed 20-token chunks miss a copied
+      // paragraph at a shifted offset; content-defined anchors select
+      // the same grams wherever the passage lands
+      Dedup.substringDedupStats(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d10_chunk_dedup" -> ((s, dir) => {
       Dedup.chunkDedupStats(Tables(s, dir).documents, "text", "doc_id",
           chunkTokens = 20)
@@ -1270,6 +1279,36 @@ object SparkEntry {
   /** Shared SQL fragment: normalized text (must mirror text.normalize). */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared winnowing CTE chain (n → sel, k=8 / w=4): per-position
+    * base-31 mod-1e9+7 8-gram hashes, w=4 windows, rightmost-min
+    * selection — mirrors [[graft.ops.TextAnalysis.winnowFingerprints]]
+    * exactly. Used by BOTH the t15 gate and d19's dup detection, so
+    * the two oracles can never assert different selections.
+    */
+  private lazy val winnowSelCtes: String =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+          c AS (SELECT doc_id,
+              CASE WHEN length(norm) = 0 THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(range(1, length(norm) + 1),
+                          i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT)) END AS codes
+            FROM n),
+          g AS (SELECT doc_id,
+              CASE WHEN len(codes) < 8 THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(range(1, len(codes) - 6),
+                          i -> list_reduce(list_slice(codes, i, i + 7),
+                                 (acc, x) -> (acc * 31 + x) % 1000000007)) END AS gh
+            FROM c),
+          w2 AS (SELECT doc_id, gh, greatest(len(gh) - 3, least(len(gh), 1)) AS nw FROM g),
+          w3 AS (SELECT doc_id,
+              list_transform(range(1, nw + 1), s -> list_slice(gh, s, s + 3)) AS wins
+            FROM w2 WHERE nw >= 1),
+          sel AS (SELECT doc_id,
+              list_transform(range(1, len(wins) + 1), s ->
+                {'pos': CAST(s + len(wins[s])
+                         - list_position(list_reverse(wins[s]), list_min(wins[s])) AS BIGINT),
+                 'fp': list_min(wins[s])}) AS fps
+            FROM w3)"""
   /** DuckDB's regexp_split_to_array(trim(''), '\s+') yields [''] (one
     * empty token) where text.tokens('') yields [] — guard to match.
     */
@@ -1306,7 +1345,13 @@ object SparkEntry {
     * from each side per match), so the full merge TRAJECTORY — picks,
     * tie-breaks, greedy overlap resolution — replicates, not just the
     * counts. MATERIALIZED per round (the g1 lesson: DuckDB would
-    * otherwise re-inline the whole chain per round).
+    * otherwise re-inline the whole chain per round). The w-step joins
+    * its merge row with LEFT JOIN ON TRUE, not a cross join: when the
+    * vocabulary runs dry at round j < k, m_j is EMPTY and a cross join
+    * would zero every later w stage (t35's rollup would read an empty
+    * w_k while the Spark side correctly returns the partially-merged
+    * pieces); the left join keeps seq unchanged instead (NULL merge →
+    * replace yields NULL → coalesce back to seq).
     */
   private def bpeOracleSql(k: Int): String = {
     val S1 = "chr(1)"
@@ -1333,8 +1378,9 @@ object SparkEntry {
             SELECT $step AS step, l, r, cnt FROM p$step
             ORDER BY cnt DESC, l, r LIMIT 1),
           w$step AS MATERIALIZED (
-            SELECT freq, replace(seq, $S1||l||$S2||r||$S1, $S1||l||r||$S1) AS seq
-            FROM $prev, m$step)""")
+            SELECT freq, coalesce(replace(seq, $S1||l||$S2||r||$S1, $S1||l||r||$S1),
+                                  seq) AS seq
+            FROM $prev LEFT JOIN m$step ON TRUE)""")
     }
     sb.append("\n          " + (1 to k).map(s =>
       s"""SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$s""")
@@ -2384,31 +2430,51 @@ object SparkEntry {
     // Winnowing replicated literally: same base-31 mod-1e9+7 k-gram
     // hashes (k=8), same w=4 windows, same rightmost-min selection.
     "t15_winnow" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-          c AS (SELECT doc_id,
-              CASE WHEN length(norm) = 0 THEN CAST([] AS BIGINT[])
-                   ELSE list_transform(range(1, length(norm) + 1),
-                          i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT)) END AS codes
-            FROM n),
-          g AS (SELECT doc_id,
-              CASE WHEN len(codes) < 8 THEN CAST([] AS BIGINT[])
-                   ELSE list_transform(range(1, len(codes) - 6),
-                          i -> list_reduce(list_slice(codes, i, i + 7),
-                                 (acc, x) -> (acc * 31 + x) % 1000000007)) END AS gh
-            FROM c),
-          w2 AS (SELECT doc_id, gh, greatest(len(gh) - 3, least(len(gh), 1)) AS nw FROM g),
-          w3 AS (SELECT doc_id,
-              list_transform(range(1, nw + 1), s -> list_slice(gh, s, s + 3)) AS wins
-            FROM w2 WHERE nw >= 1),
-          sel AS (SELECT doc_id,
-              list_transform(range(1, len(wins) + 1), s ->
-                {'pos': CAST(s + len(wins[s])
-                         - list_position(list_reverse(wins[s]), list_min(wins[s])) AS BIGINT),
-                 'fp': list_min(wins[s])}) AS fps
-            FROM w3),
+      s"""WITH $winnowSelCtes,
           u AS (SELECT doc_id, unnest(fps) AS sf FROM sel)
           SELECT DISTINCT doc_id, sf.pos AS pos, sf.fp AS fp
           FROM u ORDER BY doc_id, pos""",
+
+    // d19: the SAME winnowing selection as t15 (one CTE definition so
+    // the two gates can never assert different truths), then the
+    // verified-gram first-occurrence rule, islands within gap 11
+    // (= w+k-1), and the per-doc rollup.
+    "d19_substring_dedup" ->
+      s"""WITH $winnowSelCtes,
+          u AS (SELECT DISTINCT doc_id, sf.pos AS pos
+                FROM (SELECT doc_id, unnest(fps) AS sf FROM sel)),
+          anch AS (SELECT u.doc_id, u.pos,
+                     substr(n.norm, CAST(u.pos AS INT), 8) AS gram
+                   FROM u JOIN n USING (doc_id)),
+          firsts AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM anch
+                     QUALIFY row_number() OVER (PARTITION BY gram
+                                                ORDER BY doc_id, pos) = 1),
+          dup AS (SELECT a.doc_id, a.pos
+                  FROM anch a JOIN firsts f USING (gram)
+                  WHERE NOT (a.doc_id = f.fdoc AND a.pos = f.fpos)),
+          isl AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) <= 11
+                         THEN 0 ELSE 1 END AS brk
+                  FROM dup),
+          isl2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                   FROM isl),
+          spans AS (SELECT doc_id, island, CAST(count(*) AS BIGINT) AS na,
+                      min(pos) AS s, max(pos) + 7 AS e
+                    FROM isl2 GROUP BY 1, 2),
+          agg_a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_anchors
+                    FROM anch GROUP BY 1),
+          agg_s AS (SELECT doc_id, CAST(sum(na) AS BIGINT) AS n_dup_anchors,
+                      CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+                    FROM spans GROUP BY 1)
+          SELECT a.doc_id, a.n_anchors,
+            coalesce(s.n_dup_anchors, 0) AS n_dup_anchors,
+            coalesce(s.n_spans, 0) AS n_spans,
+            coalesce(s.dup_chars, 0) AS dup_chars
+          FROM agg_a a LEFT JOIN agg_s s USING (doc_id)
+          ORDER BY a.doc_id""",
 
     "t10_len_quantiles" ->
       """SELECT lang AS grp, count(*) AS n_docs,

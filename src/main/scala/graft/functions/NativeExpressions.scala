@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two kernels that dominate the
@@ -432,9 +432,10 @@ object NativeKernels {
   * same arrays are intersected against many partners.
   */
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_size"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeKernels.sortedIntersectSize(
@@ -451,9 +452,10 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
 
 /** `graft_vector_dot(array<float>, array<float>) -> double` */
 case class VectorDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_vector_dot"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -480,9 +482,10 @@ case class VectorDotExpr(left: Expression, right: Expression)
 
 /** `graft_shingle_hashes(string, k) -> array<bigint>` (k foldable) */
 case class ShingleHashesExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
 
   override def foldable: Boolean = left.foldable && right.foldable
 
@@ -500,9 +503,10 @@ case class ShingleHashesExpr(left: Expression, right: Expression)
 
 /** `graft_ngram_hashes(array<string>, n) -> array<bigint>` (n foldable) */
 case class NgramHashesExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngram_hashes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
 
   override protected def nullSafeEval(toks: Any, n: Any): Any =
     NativeKernels.ngramHashes(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
@@ -517,9 +521,10 @@ case class NgramHashesExpr(left: Expression, right: Expression)
 }
 
 /** `graft_normalize(string) -> string` */
-case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "graft_normalize"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(s: Any): Any =
     NativeKernels.normalizeText(s.asInstanceOf[UTF8String])
@@ -532,9 +537,10 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
 }
 
 /** `graft_simhash64(array<bigint>) -> bigint` */
-case class Simhash64Expr(child: Expression) extends UnaryExpression {
+case class Simhash64Expr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   override protected def nullSafeEval(hs: Any): Any =
     NativeKernels.simhash64(hs.asInstanceOf[ArrayData])
@@ -548,9 +554,10 @@ case class Simhash64Expr(child: Expression) extends UnaryExpression {
 
 /** `graft_minhash(array<bigint>, numPerm) -> array<bigint>` */
 case class MinhashExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType)
 
   override protected def nullSafeEval(hs: Any, p: Any): Any =
     NativeKernels.minhash(hs.asInstanceOf[ArrayData], p.asInstanceOf[Int])
@@ -568,9 +575,10 @@ case class MinhashExpr(left: Expression, right: Expression)
   * fingerprints `pos·1000000007 + fp`, strictly increasing pos.
   */
 case class WinnowExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
 
   override protected def nullSafeEval(s: Any, k: Any, w: Any): Any =
     NativeKernels.winnow(s.asInstanceOf[UTF8String],
@@ -587,9 +595,10 @@ case class WinnowExpr(first: Expression, second: Expression, third: Expression)
 
 /** `graft_pq_argmin(array<float>, array<double>, sub) -> int` */
 case class PqArgminExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_pq_argmin"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType)
 
   override protected def nullSafeEval(x: Any, cb: Any, sub: Any): Any =
     NativeKernels.pqArgmin(x.asInstanceOf[ArrayData],
@@ -605,9 +614,10 @@ case class PqArgminExpr(first: Expression, second: Expression, third: Expression
 }
 
 /** `graft_md5_fold64(string) -> bigint` — the portable 60-bit md5 fold */
-case class Md5Fold64Expr(child: Expression) extends UnaryExpression {
+case class Md5Fold64Expr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_md5_fold64"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(s: Any): Any =
     NativeKernels.md5Fold64(s.asInstanceOf[UTF8String])
@@ -621,9 +631,10 @@ case class Md5Fold64Expr(child: Expression) extends UnaryExpression {
 
 /** `graft_pq_adc(array<float>, array<double>, sub) -> array<bigint>` */
 case class PqAdcTableExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_pq_adc"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType)
 
   override protected def nullSafeEval(x: Any, cb: Any, sub: Any): Any =
     NativeKernels.pqAdcTable(x.asInstanceOf[ArrayData],
@@ -640,9 +651,10 @@ case class PqAdcTableExpr(first: Expression, second: Expression, third: Expressi
 
 /** `graft_hyperplane_sig(array<float>, array<double>, dim) -> bigint` */
 case class HyperplaneSigExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_sig"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType)
 
   override protected def nullSafeEval(vec: Any, planes: Any, dim: Any): Any =
     NativeKernels.hyperplaneSig(vec.asInstanceOf[ArrayData],

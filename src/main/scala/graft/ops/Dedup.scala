@@ -394,7 +394,7 @@ object Dedup {
     * kernel when the session has GraftExtensions, array_intersect
     * otherwise (same value either way — sets are unchanged by order).
     */
-  private def intersectSize(docs: DataFrame, a: Column, b: Column): Column =
+  private[ops] def intersectSize(docs: DataFrame, a: Column, b: Column): Column =
     if (Native.enabled(docs, "graft_sorted_intersect_size"))
       call_function("graft_sorted_intersect_size", a, b)
     else size(array_intersect(a, b))
@@ -825,6 +825,107 @@ object Dedup {
     * to find first occurrences, the join back reuses the exchange,
     * then a distinct on the bounded link set.
     */
+  /** OFFSET-INVARIANT sub-document dedup (the exact-substring method of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, realized over winnowing anchors): flags the
+    * duplicated SPANS inside each document regardless of where the
+    * copied passage lands. [[chunkDedupStats]] (d10) hashes fixed
+    * 20-token windows anchored at token 0 — a copied paragraph whose
+    * offset shifts by anything not ≡ 0 (mod 20) produces disjoint
+    * chunk hashes and is invisible to it; winnowing anchors are
+    * CONTENT-defined (the window-min selection depends only on a
+    * (w+k−1)-char neighborhood), so the same passage selects the same
+    * anchors at any offset. Winnowing's guarantee (Schleimer et al.,
+    * SIGMOD 2003): any shared substring of length ≥ w+k−1 (= 11
+    * normalized chars at the defaults) shares at least one selected
+    * anchor.
+    *
+    * Semantics mirror d10's first-occurrence rule, lifted from chunks
+    * to anchors: an anchor is DUPLICATED iff the same k-gram TEXT (the
+    * verified gram, not its hash — fp collisions cannot create false
+    * positives) was selected at a strictly earlier (doc_id, pos)
+    * anywhere in the corpus. Duplicated anchors within `gapChars` of
+    * each other merge into spans (gaps-and-islands); output per doc:
+    * anchor counts, span count, and the duplicated char mass.
+    *
+    * Scale shape: anchor extraction is map-only (native `graft_winnow`
+    * keeps the norm column through the explode, so the gram is a
+    * same-row substr — no join); first-occurrence is one partial-agg
+    * `min(struct)` shuffle keyed by gram joined back on the SAME key
+    * (exchange reuse — the d10 shape; the anchor subtree executes
+    * twice, the documented self-semi-join floor of 2 corpus scans);
+    * the islands window partitions by doc_id over per-doc anchors
+    * (~2/(w+1) of positions — never a global sort), and the final
+    * per-doc aggregate reuses that exchange. Nothing all-pairs.
+    */
+  def substringDedupStats(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 8, w: Int = 4, gapChars: Int = -1,
+                          persistIntermediate: Boolean = true): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val gap = if (gapChars > 0) gapChars else w + k - 1
+    val P = text.RollingMod
+    val anchors = (
+      if (Native.enabled(docs, "graft_winnow"))
+        docs.select(col(idCol).as("doc_id"),
+            Native.normOf(docs)(col(textCol)).as("norm"))
+          .select(col("doc_id"), col("norm"),
+            explode(call_function("graft_winnow", col("norm"), lit(k), lit(w)))
+              .as("enc"))
+          .select(col("doc_id"), expr(s"enc div ${P}L").as("pos"),
+            col("norm").substr(expr(s"enc div ${P}L").cast("int"), lit(k))
+              .as("gram"))
+      else
+        // fallback (portability session): the selected positions from
+        // the expression-built winnow, gram re-read via one join back
+        // to the normalized text — correctness path, not the hot one
+        graft.ops.TextAnalysis.winnowFingerprints(docs, textCol, idCol, k, w)
+          .select(col("doc_id"), col("pos"))
+          .join(docs.select(col(idCol).as("doc_id"),
+            Native.normOf(docs)(col(textCol)).as("norm")), Seq("doc_id"))
+          .select(col("doc_id"), col("pos"),
+            col("norm").substr(col("pos").cast("int"), lit(k)).as("gram"))
+      )
+    val firsts = anchors.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // ONE flagged anchor stream feeds every consumer below (n_anchors
+    // count, the islands window, both span aggregates) — without the
+    // persist the anchor subtree would re-execute per consumer, the
+    // c3/t27 multi-scan trap. The persisted table is SLIM (id, pos,
+    // flag; the gram is dropped). Lifecycle: the blocks stay owned by
+    // the returned plan's lineage — long-lived sessions sweep via
+    // GraftSession.sweep once results are materialized.
+    val flagged0 = anchors.join(firsts, "gram")
+      .select(col("doc_id"), col("pos"),
+        (col("first.doc_id") =!= col("doc_id") ||
+          col("first.pos") =!= col("pos")).as("dup"))
+    val flagged =
+      if (persistIntermediate)
+        flagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else flagged0
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = flagged.where(col("dup"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= gap, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    // chained aggs — anchor count, span bounds, then the per-doc
+    // rollup — so the islands window runs ONCE for all three outputs
+    val spanAgg = islands.groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("na"),
+        min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("na")).as("n_dup_anchors"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_anchors"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   def chunkShareEdges(docs: DataFrame, textCol: String, idCol: String,
                       chunkTokens: Int = 20): DataFrame = {
     val chunks = chunkTable(docs, textCol, idCol, chunkTokens)

@@ -490,7 +490,7 @@ object Graph {
     */
   def incrementalComponents(labels: DataFrame, idCol: String, compCol: String,
                             newEdges: DataFrame, srcCol: String,
-                            dstCol: String): DataFrame = {
+                            dstCol: String, strict: Boolean = false): DataFrame = {
     // Precondition guard: correctness REQUIRES component-min labels
     // (the merge takes mins over labels∪ids, valid only when each
     // label IS the min member id). A labeling from another source with
@@ -502,13 +502,29 @@ object Graph {
     // violation. No extra pass, no shuffle — the full min(id)-per-comp
     // aggregate would cost a shuffle over the 100 TB base labeling to
     // re-prove what its producer (connectedComponents) guarantees.
-    val base = labels.select(col(idCol).cast("long").as("id"),
+    val base0 = labels.select(col(idCol).cast("long").as("id"),
         col(compCol).cast("long").as("comp"))
       .filter(coalesce(
         assert_true(col("comp") <= col("id"), lit(
           "incrementalComponents: comp labels must be component-min ids " +
             "(found comp > id)")),
         lit(true)))
+    // `strict` adds the SUFFICIENT half: every comp value must exist as
+    // an id in the labeling (a representative that is a smaller NON-
+    // member id passes the per-row check but still diverges). The
+    // semi-join keys on comp==id — one extra exchange over the slim
+    // (id, comp) projection — so it is opt-in for labelings from
+    // untrusted producers, not the default hot path.
+    val base = if (!strict) base0 else {
+      val ids = base0.select(col("id").as("rep"))
+      base0.join(ids, col("comp") === col("rep"), "left")
+        .filter(coalesce(
+          assert_true(col("rep").isNotNull, lit(
+            "incrementalComponents (strict): comp label is not a member " +
+              "id of the labeling")),
+          lit(true)))
+        .select("id", "comp")
+    }
     val e = newEdges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)

@@ -195,6 +195,152 @@ object Multimodal {
     * the verdict join is on the same key, so Catalyst reuses the
     * exchange. Output: (id, fp, canonical_id, is_dup 0/1).
     */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("h", LongType, nullable = false)))
+
+  /** Content-defined chunking over raw payload BYTES (the LBFS method,
+    * Muthitacharoen et al., SOSP 2001): a chunk boundary falls after
+    * byte p whenever the rolling hash of the last `window` bytes is
+    * ≡ 0 (mod `divisor`) — boundaries are decided by CONTENT, not
+    * position, so a payload edited anywhere (bytes inserted, excised,
+    * a header prepended by a re-encoder) keeps every chunk outside the
+    * edit's ±window neighborhood byte-identical. Fixed-frame schemes
+    * ([[frameSample]]'s stride, m4's whole-payload md5) lose all
+    * alignment after the first shifted byte — the same blindness d10
+    * has for text, here at the byte level.
+    *
+    * The rolling hash is the library's standard base-31 mod-1e9+7
+    * polynomial over UNSIGNED byte values (for ASCII payloads equal to
+    * the char codepoints, which is what lets a SQL oracle replicate
+    * boundaries on the text form); chunk ids are the portable 60-bit
+    * md5 fold (first 15 hex digits — `Native.md5FoldOf`'s definition)
+    * of the chunk bytes. Output: one row per DISTINCT chunk hash per
+    * payload — the set signature downstream similarity consumes.
+    *
+    * Partition-local mapPartitions (the documented multimodal last
+    * resort — byte-level codec-adjacent work has no Catalyst
+    * expression form); no shuffle; average chunk size ≈ `divisor`
+    * bytes.
+    */
+  def cdcChunks(df: DataFrame, payloadCol: String, idCol: String,
+                window: Int = 8, divisor: Int = 16): DataFrame = {
+    require(window >= 1 && divisor >= 2,
+      s"window must be >= 1 and divisor >= 2, got $window/$divisor")
+    val input = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(chunkSchema)
+    val P = 1000000007L
+    // 31^(window-1) mod P — the high-byte eviction factor
+    val evict = (1 until window).foldLeft(1L)((a, _) => a * 31 % P)
+    input.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def fold60(bytes: Array[Byte], from: Int, until: Int): Long = {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val dig = md.digest()
+        // first 15 hex digits == top 60 bits of the digest
+        var acc = 0L
+        var i = 0
+        while (i < 15) {
+          val b = dig(i / 2) & 0xff
+          acc = (acc << 4) | (if (i % 2 == 0) b >> 4 else b & 0xf)
+          i += 1
+        }
+        acc
+      }
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val hs = new java.util.LinkedHashSet[Long]()
+          var h = 0L
+          var start = 0
+          var p = 0
+          while (p < bytes.length) {
+            val in = bytes(p) & 0xff
+            h = (h * 31 + in) % P
+            if (p >= window) {
+              val out = bytes(p - window) & 0xff
+              // add P*31 so the subtraction never goes negative
+              h = (h + P * 31 - out * evict % P * 31 % P) % P
+            }
+            if (p >= window - 1 && h % divisor == 0) {
+              hs.add(fold60(bytes, start, p + 1))
+              start = p + 1
+            }
+            p += 1
+          }
+          if (start < bytes.length) hs.add(fold60(bytes, start, bytes.length))
+          val it = hs.iterator()
+          new Iterator[Row] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Row = Row(id, it.next())
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** PERCEPTUAL near-dup for binary payloads — the rung between m4
+    * (byte-exact md5) and d5/d8 (embedding cosine): a re-encoded or
+    * trimmed payload (ten crawls, ten byte streams, one picture)
+    * passes m4 untouched but shares most of its content-defined
+    * chunks, so set similarity over [[cdcChunks]] signatures flags it.
+    * Jaccard over chunk-hash sets, d4's machinery at the byte level:
+    * candidates from an inverted chunk index (df-capped — a chunk
+    * shared by more than `maxDf` payloads is container boilerplate, a
+    * codec header every file carries, and pairs nothing), verified by
+    * exact Jaccard over the full per-payload sets.
+    *
+    * Scale shape: chunking is map-only; the index is one groupBy on
+    * the 8-byte chunk hash; candidate pairs are bounded by maxDf² per
+    * rare chunk; the verify join carries sorted hash arrays (native
+    * two-pointer intersect) and is size-gated via AQE. Nothing
+    * all-pairs, payloads never shuffle — only their hash sets do.
+    */
+  def payloadNearDupPairs(df: DataFrame, payloadCol: String, idCol: String,
+                          threshold: Double = 0.5, window: Int = 8,
+                          divisor: Int = 16, maxDf: Int = 20,
+                          persistIntermediate: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val chunks0 = cdcChunks(Par.widen(df), payloadCol, idCol, window, divisor)
+    // the chunk table feeds four subplans (sets, the index, both join
+    // legs) — without the persist the byte-level chunking re-runs per
+    // consumer (sweep via GraftSession.sweep in long-lived sessions)
+    val chunks =
+      if (persistIntermediate)
+        chunks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else chunks0
+    val sets = chunks.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    val rare = chunks.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val candidates = chunks.join(rare, "h").as("a")
+      .join(chunks.join(rare, "h").as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("h1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("h2"),
+        col("n").as("n2")), Seq("id2"))
+      .withColumn("inter",
+        Dedup.intersectSize(df, col("h1"), col("h2")).cast("double"))
+    val union = col("n1").cast("double") + col("n2").cast("double") - col("inter")
+    verified
+      .withColumn("jaccard",
+        graft.functions.num.fround(
+          when(union === 0.0, 0.0).otherwise(col("inter") / union), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   def payloadDedup(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val fps = df.select(col(idCol).as("id"), md5(col(payloadCol)).as("fp"))
     // a NULL payload is UNKNOWN content, not shared content: such rows

@@ -96,6 +96,56 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("substringDedupStats catches an OFFSET-SHIFTED copied paragraph that chunkDedupStats provably misses") {
+    // the same paragraph lands at token offset 0 in doc 1 and token
+    // offset 7 (≢ 0 mod 20) in doc 2: no 20-token fixed window of doc 2
+    // can equal one of doc 1's, so d10 reports zero dup chunks — while
+    // the content-defined winnow anchors select the same grams at both
+    // offsets (every word is unique across the two docs except the
+    // paragraph itself, so every dup anchor is inside the copy)
+    val para = "quarzel vintor maplesh gorandu feshtik lumbrec " +
+      "adverin costrel wimbado jeskavi trundel ospreck"   // 12 unique tokens
+    // filler words are all-distinct with no shared 8-char substring
+    // anywhere (numbered tokens like w1 w2 ... w10 would repeat real
+    // grams such as " w1 " inside " w10" and create true dup anchors)
+    val fillerA = "amber basil cedar dalia ember fjord gable haven " +
+      "irony jumbo kayak lemon mango noble ochre prism quill ruble " +
+      "sable tango umbra vigor waltz xenon yacht"          // 25 tokens
+    val fillerB = "zephyrd quartzy blitzen nymphal vexedly jumpily fickler"
+    val docs = Seq(
+      (1L, s"$para $fillerA"),
+      (2L, s"$fillerB $para")).toDF("doc_id", "text")
+    val d10 = Dedup.chunkDedupStats(docs, "text", "doc_id", chunkTokens = 20)
+      .orderBy("doc_id").collect()
+    assert(d10.forall(_.getLong(2) == 0L),
+      s"chunk dedup must be blind to the shifted copy: ${d10.toSeq}")
+    val d19 = Dedup.substringDedupStats(docs, "text", "doc_id",
+        persistIntermediate = false)
+      .orderBy("doc_id").collect()
+    val doc2 = d19(1)
+    assert(doc2.getLong(2) >= 5, s"doc 2 must carry dup anchors: ${d19.toSeq}")
+    assert(doc2.getLong(3) >= 1 && doc2.getLong(4) >= para.length / 2,
+      s"dup spans must cover most of the copied paragraph: ${d19.toSeq}")
+    // doc 1 is the FIRST occurrence everywhere — nothing flagged
+    assert(d19(0).getLong(2) == 0L && d19(0).getLong(4) == 0L)
+  }
+
+  test("substringDedupStats native and fallback paths are row-identical") {
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents.limit(120)
+    val native = Dedup.substringDedupStats(docs, "text", "doc_id",
+      persistIntermediate = false).orderBy("doc_id").collect().toSeq
+    val fallback = withNativeDisabled {
+      Dedup.substringDedupStats(docs, "text", "doc_id",
+        persistIntermediate = false).orderBy("doc_id").collect().toSeq
+    }
+    assert(native == fallback)
+    // empty and sub-k docs emit no anchor rows at all
+    val edge = Seq((1L, ""), (2L, "ab"), (3L, "twelve chars!")).toDF("doc_id", "text")
+    val got = Dedup.substringDedupStats(edge, "text", "doc_id",
+      persistIntermediate = false).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L), got.toSeq.toString)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val docs = Seq(
       (1L, "common common common rare"),

@@ -372,6 +372,30 @@ class GraphWinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalComponents strict mode: non-member representative trips; valid labeling passes") {
+    import spark.implicits._
+    val delta = Seq((20L, 21L)).toDF("id1", "id2")
+    // comp=3 satisfies the per-row comp <= id tripwire for both members
+    // of {5, 6}, but 3 is not an id in the labeling — only strict mode
+    // can see that
+    val bad = Seq((5L, 3L), (6L, 3L)).toDF("id", "comp")
+    val e = intercept[Exception] {
+      Graph.incrementalComponents(bad, "id", "comp", delta, "id1", "id2",
+        strict = true).collect()
+    }
+    assert(e.getMessage.contains("strict"), e.getMessage)
+    // the default (non-strict) path accepts it — the documented
+    // tripwire-only contract
+    Graph.incrementalComponents(bad, "id", "comp", delta, "id1", "id2").collect()
+    // a valid component-min labeling passes strict mode with the same
+    // result as the default path
+    val good = Seq((5L, 5L), (6L, 5L)).toDF("id", "comp")
+    val s = Graph.incrementalComponents(good, "id", "comp", delta, "id1", "id2",
+        strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == Set(5L -> 5L, 6L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("labelPropagation accepts STRING vertex ids with the same tie-break") {
     import spark.implicits._
     // the same barbell under a lexicographic alphabet: the (max votes,

@@ -81,6 +81,27 @@ class NativeSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("expr")).count() == 0)
   }
 
+  test("typed kernels reject wrong input types at ANALYSIS, not silently at runtime") {
+    // graft_pq_adc reads the probe via getFloat — an array<double>
+    // probe used to yield silently wrong table entries for direct SQL
+    // callers (internal sites guard via probeIsFloat); ExpectsInputTypes
+    // turns that into an analysis error
+    val emb = tables.Tables(spark, sfDir).embeddings.limit(4)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(call_function("graft_pq_adc",
+        transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+        lit(Array.fill(32)(0.0)), lit(8))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(call_function("graft_md5_fold64", col("vec_id"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(call_function("graft_hyperplane_sig",
+        transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+        lit(Array.fill(8)(0.0)), lit(8))).collect()
+    }
+  }
+
   test("graft_shingle_hashes produces the expected distinct shingle count") {
     val df = Seq("abcdefg", "aaaaaa", "abc", "").toDF("s")
     val got = df.select(size(call_function("graft_shingle_hashes", col("s"), lit(5))))
