@@ -1090,6 +1090,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m5_payload_neardup" -> ((s, dir) => {
+      // PERCEPTUAL near-dup for payloads — the rung m4's byte-exact
+      // md5 cannot see: CDC chunk signatures + Jaccard verify. The
+      // corpus carries a deterministic "re-encode" (container header
+      // prepended + a 30-byte excision) of every 20th long doc's
+      // payload under ids +1e9; every variant must pair with its
+      // source while byte-exact m4 pairs none of them
+      val base = Tables(s, dir).documents
+      val payloads = base.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val variants = base
+        .where(col("doc_id") % 20 === 0 && col("n_chars") >= 400)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          encode(concat(lit("HDRv2 q50 "), substring(col("text"), 1, 100),
+            expr("substring(text, 131)")), "UTF-8").as("payload"))
+      Multimodal.payloadNearDupPairs(payloads.unionAll(variants),
+          "payload", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
     "q34_active_users" -> ((s, dir) => {
       // DAU/WAU/stickiness: sliding-window distinct users WITHOUT
       // window distinct state — bounded x7 explode over the
@@ -3352,6 +3372,67 @@ object SparkEntry {
          SELECT incident_id, start_ms, count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY incident_id, start_ms""",
+
+    // m5: CDC boundaries replicated on the text form (ASCII payloads:
+    // byte values == codepoints), chunk ids via the portable md5 fold,
+    // the same df-capped index + exact-Jaccard verify the Spark op
+    // runs. The variant construction (header + 30-byte excision of
+    // every 20th >= 400-char doc under ids +1e9) is part of the query.
+    "m5_payload_neardup" ->
+      """WITH var AS (SELECT doc_id + 1000000000 AS doc_id,
+              'HDRv2 q50 ' || substr(text, 1, 100) || substr(text, 131) AS text
+            FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 400),
+          corpus AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM var),
+          c AS (SELECT doc_id, text,
+              list_transform(range(1, length(text) + 1),
+                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS codes
+            FROM corpus WHERE length(text) > 0),
+          g AS (SELECT doc_id, text,
+              CASE WHEN len(codes) < 8 THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(range(1, len(codes) - 6),
+                          i -> list_reduce(list_slice(codes, i, i + 7),
+                                 (acc, x) -> (acc * 31 + x) % 1000000007)) END AS gh
+            FROM c),
+          cuts AS (SELECT doc_id, text,
+              list_filter(range(1, len(gh) + 1), i -> gh[i] % 16 = 0) AS cut_i
+            FROM g),
+          bounds AS (SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(cut_i, i -> CAST(i + 7 AS BIGINT))) AS bs
+            FROM cuts),
+          strs AS (SELECT doc_id,
+              list_filter(list_transform(range(1, len(bs) + 1),
+                j -> substr(text, CAST(bs[j] + 1 AS INT),
+                  CAST((CASE WHEN j = len(bs) THEN length(text)
+                             ELSE bs[j+1] END) - bs[j] AS INT))),
+                x -> x <> '') AS cs
+            FROM bounds),
+          chunks AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(cs, x ->
+                list_reduce(list_transform(range(1, 16),
+                  i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT)),
+                  (acc, d) -> acc * 16 + d)))) AS h
+            FROM strs),
+          sets AS (SELECT doc_id, list_sort(list(h)) AS hs, count(*) AS n
+                   FROM chunks GROUP BY doc_id),
+          rare AS (SELECT h FROM chunks GROUP BY h
+                   HAVING count(*) BETWEEN 2 AND 20),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM chunks a JOIN rare USING (h) JOIN chunks b USING (h)
+                   WHERE a.doc_id < b.doc_id),
+          v AS (SELECT id1, id2,
+              len(list_intersect(sa.hs, sb.hs)) * 1.0 AS inter,
+              sa.n + sb.n AS szsum
+            FROM cand JOIN sets sa ON sa.doc_id = cand.id1
+                      JOIN sets sb ON sb.doc_id = cand.id2)
+          SELECT id1, id2, jaccard FROM (
+            SELECT id1, id2,
+              floor((CASE WHEN szsum - inter = 0 THEN 0
+                          ELSE inter / (szsum - inter) END) * 10000 + 0.5)
+                / 10000 AS jaccard
+            FROM v)
+          WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     // md5 of the UTF-8 text bytes == md5 of the encoded payload, so
     // the oracle fingerprints the text directly

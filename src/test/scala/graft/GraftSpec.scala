@@ -469,6 +469,57 @@ class OperatorSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(df, "payload", "doc_id").collect().head
     assert(got.getSeq[Long](4) == again.getSeq[Long](4))
   }
+
+  test("cdcChunks boundaries are content-defined: an excised byte range only touches its neighborhood") {
+    import spark.implicits._
+    // an edited copy (header prepended + mid-payload excision) keeps
+    // every chunk outside the edit's neighborhood — m4's whole-payload
+    // md5 and fixed frames keep NOTHING after the first shifted byte
+    val base = Tables(spark, "/root/testdata/sf0.01").documents
+      .where(col("n_chars") >= 400).limit(8)
+    val orig = base.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val edited = base.select((col("doc_id") + 100000L).as("doc_id"),
+      encode(concat(lit("HDRv2 q50 "), substring(col("text"), 1, 100),
+        expr("substring(text, 131)")), "UTF-8").as("payload"))
+    val chunks = Multimodal.cdcChunks(orig.unionAll(edited), "payload", "doc_id")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    for (id <- chunks.keys.filter(_ < 100000L)) {
+      val a = chunks(id); val b = chunks(id + 100000L)
+      val shared = (a & b).size
+      assert(shared * 2 > a.size,
+        s"doc $id: edited copy must keep most chunks ($shared of ${a.size})")
+      assert(a != b, s"doc $id: the edit must change SOME chunks")
+    }
+    // m4 blindness on the same pairs: zero shared fingerprints
+    val m4 = Multimodal.payloadDedup(orig.unionAll(edited), "payload", "doc_id")
+      .where(col("is_dup") === 1).count()
+    assert(m4 == 0L, "byte-exact dedup must not pair edited payloads")
+  }
+
+  test("payloadNearDupPairs recovers every planted re-encode; payloads never shuffle") {
+    import spark.implicits._
+    val base = Tables(spark, "/root/testdata/sf0.01").documents
+    val payloads = base.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val variants = base.where(col("doc_id") % 20 === 0 && col("n_chars") >= 400)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        encode(concat(lit("HDRv2 q50 "), substring(col("text"), 1, 100),
+          expr("substring(text, 131)")), "UTF-8").as("payload"))
+    val nVariants = variants.count()
+    assert(nVariants >= 5, s"corpus must provide planted variants, got $nVariants")
+    val pairs = Multimodal.payloadNearDupPairs(payloads.unionAll(variants),
+      "payload", "doc_id", persistIntermediate = false)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = variants.select(col("doc_id") - lit(1000000000L)).collect()
+      .map(_.getLong(0)).map(id => (id, id + 1000000000L)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted re-encodes: ${planted -- got}")
+    // scale contract: the payload bytes never cross a KEYED exchange
+    // (Par.widen's conditional round-robin is the local small-scan
+    // parallelism floor — a no-op on an already-parallel cluster scan)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.filter(_.contains("hashpartitioning"))
+      .exists(_.contains("payload")), s"payload must not hash-shuffle:\n$plan")
+  }
 }
 
 class QueriesSpec extends AnyFunSuite {
