@@ -369,4 +369,60 @@ object EventStream {
           out.reverseIterator
       }
   }
+
+  /** Streaming driver for the d14 incremental-dedup chain — the batch
+    * operator ([[graft.ops.Dedup.incrementalDedup]]) made continuous:
+    * each micro-batch of documents is verdicted against the
+    * ACCUMULATED fingerprint index maintained across batches, exactly
+    * the daily-crawl arrival the incremental family models (VERDICT
+    * r07 #6: the family was only ever exercised as a static split).
+    *
+    * Per batch: read the index partitions written by STRICTLY EARLIER
+    * batches, verdict the batch via the batch operator with
+    * `indexIsFingerprints = true` (so history is never re-hashed, per-
+    * batch cost O(delta) + one join), then append the batch's verdicts
+    * and its `new`-fingerprint index extension under `batch_id=<id>`
+    * subdirectories. Idempotence under foreachBatch's retry contract:
+    * a re-run of batch N overwrites ONLY its own `batch_id=N` outputs
+    * and reads only ids < N — a half-written previous attempt can
+    * neither double-extend the index nor feed itself.
+    *
+    * Returns the configured `DataStreamWriter`; the caller sets the
+    * checkpoint location and trigger, and restart-from-checkpoint
+    * resumes with the index exactly as the completed batches left it
+    * (proven by StreamParitySpec's restart test).
+    */
+  def incrementalDedupSink(docs: DataFrame, textCol: String, idCol: String,
+                           indexDir: String, verdictDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath)
+              .filter(_.getName.startsWith("batch_id="))
+              .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
+              .map(_.toString)
+          else Seq.empty
+        val index =
+          if (prior.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("fingerprint",
+                  org.apache.spark.sql.types.StringType))))
+          else spark.read.parquet(prior: _*)
+        val verdicts = graft.ops.Dedup.incrementalDedup(index, batch,
+            textCol, idCol, indexIsFingerprints = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          verdicts.where(col("verdict") === "new").select("fingerprint")
+            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        } finally verdicts.unpersist()
+    }
 }

@@ -374,6 +374,61 @@ class StreamParitySpec extends AnyFunSuite {
     assert(batch.map(_.user_id) == Set(1L, 3L))
   }
 
+  test("parity: incrementalDedupSink — streamed verdicts equal the sequential batch operator; restart resumes the index") {
+    import graft.ops.Dedup
+    // three daily "crawls": cross-batch exact dups (4 of 1, 7 of 2),
+    // a within-batch dup pair (5, 6), and fresh docs
+    val batches = Seq(
+      Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta")),
+      Seq((4L, "alpha beta"), (5L, "epsilon zeta"), (6L, "epsilon zeta")),
+      Seq((7L, "gamma delta"), (8L, "eta theta")))
+    // batch truth: the batch operator folded over the same boundaries,
+    // index accumulated exactly as a daily pipeline would
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fingerprint",
+          org.apache.spark.sql.types.StringType))))
+    val (truth, _) = batches.foldLeft(
+        (Map.empty[Long, String], emptyIdx)) { case ((acc, idx), rows) =>
+      val v = Dedup.incrementalDedup(idx, rows.toDF("doc_id", "text"),
+        "text", "doc_id", indexIsFingerprints = true)
+      val collected = v.collect()
+      (acc ++ collected.map(r => r.getLong(0) -> r.getString(2)),
+        idx.union(collected.toSeq
+          .filter(_.getString(2) == "new").map(r => Tuple1(r.getString(1)))
+          .toDF("fingerprint")))
+    }
+    assert(truth == Map(1L -> "new", 2L -> "new", 3L -> "dup_delta",
+      4L -> "dup_index", 5L -> "new", 6L -> "dup_delta",
+      7L -> "dup_index", 8L -> "new"), s"batch truth shape: $truth")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"; val outDir = s"$base/verdicts"
+    val ms = MemoryStream[(Long, String)]
+    def startQuery() =
+      EventStream.incrementalDedupSink(ms.toDS().toDF("doc_id", "text"),
+          "text", "doc_id", idxDir, outDir)
+        .option("checkpointLocation", ckpt).start()
+    // phase 1: batch 0 only, then STOP — its `new` fingerprints must
+    // survive as the restored index, not as in-memory state
+    val q1 = startQuery()
+    try { ms.addData(batches(0): _*); q1.processAllAvailable() } finally q1.stop()
+    // phase 2: restart from the checkpoint; batches 1 and 2 verdict
+    // against the index batch 0 left on disk (4 -> dup_index proves it)
+    val q2 = startQuery()
+    try {
+      ms.addData(batches(1): _*); q2.processAllAvailable()
+      ms.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(streamed == truth, s"streamed $streamed != batch $truth")
+    // the on-disk index is exactly the distinct `new` fingerprints
+    val idx = spark.read.parquet(idxDir).collect().map(_.getString(0)).toSet
+    assert(idx.size == 4, s"index must hold the 4 canonical fingerprints: $idx")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
