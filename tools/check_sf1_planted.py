@@ -270,6 +270,69 @@ def main(viewdir, outdir):
               f"component each ({n_old} via base CC, {n_new} via the "
               "contracted-delta incremental merge)")
 
+    # ---------------- d19 (optional): offset-shifted paragraph --------
+    # each planted doc carries a ~150-char paragraph copied from its
+    # base at a shifted offset; the generator PROVED its fixed-20-token
+    # chunk hashes match nothing in the corpus, so d10 must report zero
+    # dup chunks while d19's content-defined anchors recover a dup span
+    # covering most of the paragraph
+    if glob.glob(f"{outdir}/d19_substring_dedup/*.parquet") and man.get("sub_pairs"):
+        d19 = load(outdir, "d19_substring_dedup").set_index("doc_id")
+        d10p = (load(outdir, "d10_chunk_dedup").set_index("doc_id")
+                if glob.glob(f"{outdir}/d10_chunk_dedup/*.parquet") else None)
+        for p in man["sub_pairs"]:
+            row = d19.loc[p["planted"]]
+            need = p["para_norm_len"] * 2 // 5
+            assert row.n_dup_anchors >= 5 and row.dup_chars >= need, \
+                (f"d19: planted {p['planted']} (para from {p['base']}) has "
+                 f"dup_anchors={row.n_dup_anchors} dup_chars={row.dup_chars}, "
+                 f"want >= 5 / >= {need}")
+            if d10p is not None:
+                nd = d10p.loc[p["planted"]].n_dup_chunks
+                assert nd == 0, \
+                    (f"d10 flagged {nd} dup chunks on planted {p['planted']} — "
+                     "the generator's chunk-clean guarantee broke")
+        extra = " + d10 blindness confirmed" if d10p is not None else ""
+        print(f"d19: all {len(man['sub_pairs'])} offset-shifted paragraphs "
+              f"recovered as dup spans{extra}")
+
+    # ---------------- d12 (optional): keep/drop verdict on plants ------
+    # every planted 2.0x copy (the d9 plants AND the d18 eval-side
+    # plants) has cosine exactly 1.0 with its base, so the SemDeDup
+    # prune must land base and copy in ONE component and DROP the copy
+    # (the base id is always smaller, so the copy can never be the
+    # component min) — the keep/drop verdict the r07 verdict flagged as
+    # the one sf1 exclusion with no direct planted evidence
+    if glob.glob(f"{outdir}/d12_semdedup_prune/*.parquet"):
+        d12 = load(outdir, "d12_semdedup_prune").set_index("id")
+        pairs = [(p["base"], p["planted"]) for p in man["emb_pairs"]] + \
+                [(p["train"], p["eval_copy"]) for p in man.get("d18_pairs", [])]
+        for a, b in pairs:
+            ra, rb = d12.loc[a], d12.loc[b]
+            assert ra.component == rb.component, \
+                f"d12: planted pair ({a},{b}) split across components " \
+                f"{ra.component}/{rb.component}"
+            assert rb.keep == 0, f"d12: planted copy {b} must be dropped"
+            assert ra.cluster_size >= 2 and rb.cluster_size >= 2, \
+                f"d12: pair ({a},{b}) cluster_size < 2"
+        print(f"d12: all {len(pairs)} planted copies merged with their base "
+              "and verdicted DROP (base kept unless merged lower)")
+
+    # ---------------- d18 (optional): sided semantic decontam ----------
+    # the eval-side 2.0x copies force their TRAIN base contaminated at
+    # max_cosine exactly 1.0 across the side boundary
+    if glob.glob(f"{outdir}/d18_decontam_embed/*.parquet") and man.get("d18_pairs"):
+        d18 = load(outdir, "d18_decontam_embed").set_index("doc_id")
+        for p in man["d18_pairs"]:
+            row = d18.loc[p["train"]]
+            assert row.contaminated == 1 and row.n_eval_matches >= 1, \
+                f"d18: train {p['train']} not verdicted contaminated " \
+                f"(eval copy {p['eval_copy']}): {dict(row)}"
+            assert abs(row.max_cosine - 1.0) < 5e-5, \
+                f"d18: train {p['train']} max_cosine {row.max_cosine} != 1.0"
+        print(f"d18: all {len(man['d18_pairs'])} cross-side paraphrase plants "
+              "verdicted contaminated at cosine 1.0")
+
     print("\nplanted cross-shard near-dups @ sf1: ALL CHECKS PASS")
 
 

@@ -92,6 +92,11 @@ def split_of(doc_id, salt="graft"):
     return "index" if h < "b333" else "delta"
 
 
+def _norm_sql(c):
+    return (f"trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+            " ' +', ' ', 'g'))")
+
+
 def main():
     os.makedirs(PLANTED, exist_ok=True)
     con = duckdb.connect()
@@ -196,6 +201,82 @@ def main():
         doc_rows.append((pid, super_text, lang, source, len(super_text)))
         cont_pairs.append({"sub": sid, "sup": pid, "sym_jaccard": round(sym_j, 4)})
 
+    # ---- d19 plants: offset-shifted copied paragraph ------------------
+    # per shard 1..9: a ~150-norm-char paragraph lifted from the MIDDLE
+    # of a long base doc, re-planted behind a filler prefix from a
+    # DIFFERENT same-shard doc. The generator PROVES d10-blindness
+    # empirically: the planted doc's fixed-20-token chunk hashes match
+    # NOTHING in the corpus (nor repeat within the doc), so
+    # d10_chunk_dedup must report zero dup chunks for it — while the
+    # paragraph's winnow anchors are content-defined and d19 must
+    # recover a dup span covering most of it (asserted by
+    # check_sf1_planted.py from the Verify output).
+    def chunk_hashes(text):
+        tk = norm(text).split()
+        return [hashlib.md5(" ".join(tk[i:i + 20]).encode()).hexdigest()
+                for i in range(0, len(tk), 20)]
+
+    corpus_hashes = set(h[0] for h in con.sql(f"""
+        WITH t AS (SELECT CASE WHEN trim({_norm_sql('text')}) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim({_norm_sql('text')}), ' +')
+                     END AS tk
+                   FROM '{SF1}/documents.parquet')
+        SELECT DISTINCT md5(array_to_string(list_slice(tk, i * 20 + 1, i * 20 + 20), ' '))
+        FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS i)
+        WHERE len(tk) > 0""").fetchall())
+    for r in doc_rows:
+        corpus_hashes.update(chunk_hashes(r[1]))
+
+    d19_bases = con.sql(f"""
+        WITH n AS (
+          SELECT doc_id, text, lang, source,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS nt
+          FROM '{SF1}/documents.parquet'),
+        fp AS (SELECT md5(nt) AS f, count(*) AS c FROM n GROUP BY 1)
+        SELECT doc_id, text, lang, source
+        FROM n JOIN fp ON md5(n.nt) = fp.f
+        WHERE length(nt) >= 450 AND fp.c = 1
+          AND doc_id // {SHARD} BETWEEN 1 AND 9
+        QUALIFY row_number() OVER (PARTITION BY doc_id // {SHARD}
+                                   ORDER BY doc_id DESC) = doc_id // {SHARD}
+        ORDER BY doc_id""").fetchall()
+    assert len(d19_bases) == 9, f"expected 9 d19 base docs, got {len(d19_bases)}"
+    d19_ids = delta_ids[27:36]
+    sub_pairs = []
+    for (bid, btext, lang, source), pid in zip(d19_bases, d19_ids):
+        raw = btext.split()
+        # paragraph: raw tokens from the middle of the base until the
+        # normalized slice reaches 150 chars
+        a = len(raw) // 3
+        m = 1
+        while m < len(raw) - a and len(norm(" ".join(raw[a:a + m]))) < 150:
+            m += 1
+        para = " ".join(raw[a:a + m])
+        para_norm_len = len(norm(para))
+        assert para_norm_len >= 150, f"base {bid} too short for a paragraph"
+        fill_rows = con.sql(f"""
+            SELECT text FROM '{SF1}/documents.parquet'
+            WHERE doc_id // {SHARD} = {bid // SHARD} AND doc_id != {bid}
+              AND length(text) >= 400
+            ORDER BY doc_id LIMIT 1""").fetchall()
+        assert fill_rows, f"no filler doc for d19 base {bid}"
+        fraw = fill_rows[0][0].split()
+        planted_text = None
+        for j in range(5, min(40, len(fraw) - 4)):
+            cand = " ".join(fraw[3:3 + j]) + " " + para
+            hs = chunk_hashes(cand)
+            if len(hs) == len(set(hs)) and not (set(hs) & corpus_hashes):
+                planted_text = cand
+                break
+        assert planted_text is not None, \
+            f"no filler length keeps d19 plant for base {bid} chunk-clean"
+        corpus_hashes.update(chunk_hashes(planted_text))
+        doc_rows.append((pid, planted_text, lang, source, len(planted_text)))
+        sub_pairs.append({"base": bid, "planted": pid,
+                          "para_norm_len": para_norm_len})
+
     doc_tbl = pa.table({
         "doc_id": pa.array([r[0] for r in doc_rows], pa.int64()),
         "text": pa.array([r[1] for r in doc_rows], pa.string()),
@@ -230,6 +311,30 @@ def main():
         emb_pairs.append({"base": vid, "planted": pid, "cosine": 1.0,
                           "label": int(lbl)})
 
+    # ---- d18 plants: train-side vector, eval-side 2.0x copy -----------
+    # d18's sided decontamination (eval = vec_id % 10 == 0) needs a
+    # contamination pair CROSSING the side boundary: a 2.0x copy keeps
+    # the hyperplane sign pattern bit-identical (power-of-two scaling is
+    # exact in IEEE floats) and cosine exactly 1.0, so planting it under
+    # an id ≡ 0 (mod 10) — but never ≡ 0 (mod 100), the s-family probe
+    # set — forces d18 to verdict the TRAIN base contaminated at 1.0.
+    d18_bases = con.sql(f"""
+        SELECT vec_id, embedding, label
+        FROM '{SF1}/embeddings.parquet'
+        WHERE vec_id % 10 != 0 AND vec_id // {SHARD} BETWEEN 1 AND 9
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id // {SHARD}
+                                   ORDER BY vec_id DESC) = vec_id // {SHARD}
+        ORDER BY vec_id""").fetchall()
+    assert len(d18_bases) == 9, f"expected 9 d18 base vectors, got {len(d18_bases)}"
+    d18_pairs = []
+    for k, (vid, emb, lbl) in enumerate(d18_bases):
+        pid = PLANT_BASE + 10 + 20 * k      # 1000010, 1000030, ... 1000170
+        assert pid % 10 == 0 and pid % 100 != 0
+        emb_rows.append((pid, [2.0 * x for x in emb], lbl))
+        d18_pairs.append({"train": vid, "eval_copy": pid, "cosine": 1.0})
+
     emb_tbl = pa.table({
         "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
         "embedding": pa.array([r[1] for r in emb_rows], pa.list_(pa.float32())),
@@ -238,7 +343,8 @@ def main():
     pq.write_table(emb_tbl, f"{PLANTED}/embeddings_planted.parquet")
 
     manifest = {"doc_pairs": doc_pairs, "emb_pairs": emb_pairs,
-                "cont_pairs": cont_pairs,
+                "cont_pairs": cont_pairs, "sub_pairs": sub_pairs,
+                "d18_pairs": d18_pairs,
                 "plant_base": PLANT_BASE, "shard": SHARD}
     with open(f"{PLANTED}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
@@ -275,6 +381,11 @@ def main():
     for p in emb_pairs:
         print(f"  vec  base={p['base']} planted={p['planted']} cos=1.0 "
               f"label={p['label']}")
+    for p in sub_pairs:
+        print(f"  sub  base={p['base']} planted={p['planted']} "
+              f"para_norm_len={p['para_norm_len']} (d10 chunk-clean, asserted)")
+    for p in d18_pairs:
+        print(f"  d18  train={p['train']} eval_copy={p['eval_copy']} cos=1.0")
     print(f"view: {VIEW}")
 
 
