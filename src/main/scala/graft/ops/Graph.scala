@@ -65,7 +65,8 @@ object Graph {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 64, blockRounds: Int = 6,
-                          fallbackToAlternating: Boolean = true): DataFrame = {
+                          fallbackToAlternating: Boolean = true,
+                          firstBlockRounds: Int = -1): DataFrame = {
     val half = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)
@@ -96,9 +97,21 @@ object Graph {
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
-      val obs = Seq.fill(blockRounds)(Observation())
+      // `firstBlockRounds` (opt-in, -1 = same as blockRounds) shortens
+      // the FIRST block for callers whose graphs provably converge in
+      // 2-3 rounds, trading rounds of tiny-shuffle scheduling floor
+      // against the risk of a second full block. MEASURED on the d12 /
+      // g4 cluster graphs at sf0.1: their 2-probe near-dup chains need
+      // 4-5 rounds, so firstBlock=3 RAISES the cost 4.2 -> 6.8 s (the
+      // second block fires) — which is why the default stays neutral;
+      // labels are identical either way (min-propagation is monotone;
+      // rounds past convergence change nothing).
+      val nr = if (rounds == 0 && firstBlockRounds > 0)
+                 math.min(firstBlockRounds, blockRounds)
+               else blockRounds
+      val obs = Seq.fill(nr)(Observation())
       var cur = labels
-      for (i <- 0 until blockRounds)
+      for (i <- 0 until nr)
         cur = edges.join(cur, col("b") === col("id"))
           .select(col("a"), col("comp"), col("self"))
           .groupBy("a").agg(min("comp").as("comp"),
@@ -115,7 +128,7 @@ object Graph {
       // alternating fallback / the non-convergence require instead of
       // silently returning unstable labels.
       val perRound = obs.map(_.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(-1L))
-      rounds += blockRounds
+      rounds += nr
       changed = if (perRound.contains(0L)) 0L else perRound.last
     }
     edges.unpersist()
