@@ -350,6 +350,48 @@ object Dedup {
     val rowsPerBand = numPerm / nBands
     val (hIdx, bIdx) = hashedBanded(index, textCol, idCol, numPerm, nBands,
       rowsPerBand, shingleK, persistIntermediate)
+    minhashIncrementalPrepared(hIdx, bIdx, delta, textCol, idCol, numPerm,
+      nBands, shingleK, jaccardThreshold, persistIntermediate, verifyBroadcast)
+  }
+
+  /** The (id, hs) hash table + (id, n, band) band table for
+    * [[minhashIncrementalPrepared]] — what a batch PERSISTS so later
+    * batches verdict against it without ever touching its text again
+    * (the streaming sink's accumulation contract,
+    * [[graft.streaming.EventStream.neardupIncrementalSink]]). All
+    * batches of one index MUST share (numPerm, bands, shingleK): band
+    * keys only collide within one banding layout.
+    */
+  def minhashPrepare(docs: DataFrame, textCol: String, idCol: String,
+                     numPerm: Int = 128, bands: Int = 0, shingleK: Int = 5,
+                     jaccardThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
+    require(numPerm % nBands == 0,
+      s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
+    hashedBanded(docs, textCol, idCol, numPerm, nBands, numPerm / nBands,
+      shingleK, persistIntermediate = false)
+  }
+
+  /** [[minhashIncremental]] with the index side given as PREPARED
+    * tables ([[minhashPrepare]]'s output, accumulated by prior
+    * batches) — the true per-batch production shape: history is never
+    * re-shingled or re-banded; per-batch cost is O(delta) prep + the
+    * two band joins. The text-bootstrap form above derives the prep
+    * from index text and delegates here, so both paths verdict
+    * identically (StreamParitySpec proves it across replayed batches).
+    */
+  def minhashIncrementalPrepared(hIdx: DataFrame, bIdx: DataFrame,
+                                 delta: DataFrame,
+                                 textCol: String, idCol: String,
+                                 numPerm: Int = 128, bands: Int = 0,
+                                 shingleK: Int = 5,
+                                 jaccardThreshold: Double = 0.5,
+                                 persistIntermediate: Boolean = true,
+                                 verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
+    require(numPerm % nBands == 0,
+      s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
+    val rowsPerBand = numPerm / nBands
     val (hDel, bDel) = hashedBanded(delta, textCol, idCol, numPerm, nBands,
       rowsPerBand, shingleK, persistIntermediate)
     val sizeOk = least(col("a.n"), col("b.n")).cast("double") >=

@@ -392,6 +392,56 @@ object EventStream {
     * resumes with the index exactly as the completed batches left it
     * (proven by StreamParitySpec's restart test).
     */
+  /** Streaming driver for the d16 chain — [[incrementalDedupSink]]'s
+    * NEAR-dup sibling: each micro-batch is verdicted against the
+    * accumulated MinHash index (the prepared (id, hs) + (id, n, band)
+    * tables written by prior batches — history is never re-shingled
+    * or re-banded; per-batch cost is O(delta) prep + the band joins),
+    * then the batch's OWN prep tables extend the index. ALL batch
+    * docs index (a near-dup verdict is direct-evidence, not
+    * transitive: doc C may near-match dup B without matching B's
+    * canonical A, so dropping dups from the index would lose recall).
+    * Same `batch_id=<id>` idempotence contract as the exact sink.
+    */
+  def neardupIncrementalSink(docs: DataFrame, textCol: String, idCol: String,
+                             indexDir: String, verdictDir: String,
+                             numPerm: Int = 128, bands: Int = 0,
+                             shingleK: Int = 5,
+                             jaccardThreshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        def prior(sub: String): Seq[String] = {
+          val root = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath)
+              .filter(_.getName.startsWith("batch_id="))
+              .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
+              .map(_.toString)
+          else Seq.empty
+        }
+        val (ph, pb) = (prior("hashes"), prior("bands"))
+        // empty-index schemas derive from a zero-row prep of the batch
+        // itself, so id/hash types always match the caller's
+        val (h0, b0) = graft.ops.Dedup.minhashPrepare(batch.limit(0),
+          textCol, idCol, numPerm, bands, shingleK, jaccardThreshold)
+        val hIdx = if (ph.isEmpty) h0 else spark.read.parquet(ph: _*)
+        val bIdx = if (pb.isEmpty) b0 else spark.read.parquet(pb: _*)
+        val verdicts = graft.ops.Dedup.minhashIncrementalPrepared(hIdx, bIdx,
+            batch, textCol, idCol, numPerm, bands, shingleK, jaccardThreshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          val (bh, bb) = graft.ops.Dedup.minhashPrepare(batch, textCol, idCol,
+            numPerm, bands, shingleK, jaccardThreshold)
+          bh.write.mode("overwrite").parquet(s"$indexDir/hashes/batch_id=$batchId")
+          bb.write.mode("overwrite").parquet(s"$indexDir/bands/batch_id=$batchId")
+        } finally verdicts.unpersist()
+    }
+
   def incrementalDedupSink(docs: DataFrame, textCol: String, idCol: String,
                            indexDir: String, verdictDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

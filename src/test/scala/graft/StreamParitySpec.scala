@@ -429,6 +429,58 @@ class StreamParitySpec extends AnyFunSuite {
     assert(idx.size == 4, s"index must hold the 4 canonical fingerprints: $idx")
   }
 
+  test("parity: neardupIncrementalSink — streamed near-dup verdicts equal the text-bootstrap operator; restart resumes the banded index") {
+    import graft.ops.Dedup
+    val s1 = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen zebras watch quietly from a nearby hill in the rain"
+    val s2 = "completely different content about spark shuffles and " +
+      "partition pruning across a large cluster of executors tonight"
+    val s3 = "a third unrelated passage on winnowing fingerprints and " +
+      "rolling hashes over normalized character streams for dedup"
+    val s4 = "yet another standalone snippet describing watermark " +
+      "semantics for stateful streaming operators under late arrival"
+    // cross-batch near-dup (4 = s1 truncated), exact cross-batch dup
+    // (7 = s2), within-batch pair (5, 6 — s4 is unrelated to batch 0,
+    // so the dup_delta leg is what verdicts 6)
+    val batches = Seq(
+      Seq((1L, s1), (2L, s2), (3L, s3)),
+      Seq((4L, s1.dropRight(25)), (5L, s4), (6L, s4)),
+      Seq((7L, s2), (8L, "entirely fresh text about broadcast joins and skew salting")))
+    // batch truth: the TEXT-BOOTSTRAP operator folded over the same
+    // boundaries (index = union of all prior batches)
+    var idxRows = Seq.empty[(Long, String)]
+    var truth = Map.empty[Long, String]
+    for (rows <- batches) {
+      val v = Dedup.minhashIncremental(idxRows.toDF("doc_id", "text"),
+        rows.toDF("doc_id", "text"), "text", "doc_id")
+      truth = truth ++ v.collect().map(r => r.getLong(0) -> r.getString(1))
+      idxRows = idxRows ++ rows
+    }
+    assert(truth == Map(1L -> "new", 2L -> "new", 3L -> "new",
+      4L -> "dup_index", 5L -> "new", 6L -> "dup_delta",
+      7L -> "dup_index", 8L -> "new"), s"batch truth shape: $truth")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"; val outDir = s"$base/verdicts"
+    val ms = MemoryStream[(Long, String)]
+    def startQuery() =
+      EventStream.neardupIncrementalSink(ms.toDS().toDF("doc_id", "text"),
+          "text", "doc_id", idxDir, outDir)
+        .option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    try { ms.addData(batches(0): _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: batch 1's dup_index verdict (4 vs 1) proves the BANDED
+    // index survived as disk state across the restart
+    val q2 = startQuery()
+    try {
+      ms.addData(batches(1): _*); q2.processAllAvailable()
+      ms.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(streamed == truth, s"streamed $streamed != batch $truth")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
