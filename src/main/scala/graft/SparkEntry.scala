@@ -890,6 +890,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d20_substring_strip" -> ((s, dir) => {
+      // d19's ACTION side (the Lee et al. dedup step itself): excise
+      // every duplicated span from the normalized text, first
+      // occurrences kept whole — detect-then-remove as one operator
+      Dedup.substringStrip(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d10_chunk_dedup" -> ((s, dir) => {
       Dedup.chunkDedupStats(Tables(s, dir).documents, "text", "doc_id",
           chunkTokens = 20)
@@ -2495,6 +2503,54 @@ object SparkEntry {
             coalesce(s.dup_chars, 0) AS dup_chars
           FROM agg_a a LEFT JOIN agg_s s USING (doc_id)
           ORDER BY a.doc_id""",
+
+    // d20: the same chain through the merged spans, then the per-doc
+    // excision — kept gaps stitched around the sorted span list, the
+    // trailing segment appended, span-free docs passed through whole.
+    "d20_substring_strip" ->
+      s"""WITH $winnowSelCtes,
+          u AS (SELECT DISTINCT doc_id, sf.pos AS pos
+                FROM (SELECT doc_id, unnest(fps) AS sf FROM sel)),
+          anch AS (SELECT u.doc_id, u.pos,
+                     substr(n.norm, CAST(u.pos AS INT), 8) AS gram
+                   FROM u JOIN n USING (doc_id)),
+          firsts AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM anch
+                     QUALIFY row_number() OVER (PARTITION BY gram
+                                                ORDER BY doc_id, pos) = 1),
+          dup AS (SELECT a.doc_id, a.pos
+                  FROM anch a JOIN firsts f USING (gram)
+                  WHERE NOT (a.doc_id = f.fdoc AND a.pos = f.fpos)),
+          isl AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) <= 11
+                         THEN 0 ELSE 1 END AS brk
+                  FROM dup),
+          isl2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                   FROM isl),
+          spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+                    FROM isl2 GROUP BY 1, 2),
+          spagg AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sp,
+                      CAST(sum(e - s + 1) AS BIGINT) AS removed
+                    FROM spans GROUP BY doc_id),
+          j AS (SELECT n.doc_id, n.norm, sp, removed
+                FROM n LEFT JOIN spagg USING (doc_id)
+                WHERE length(n.norm) > 0),
+          c2 AS (SELECT doc_id,
+              CASE WHEN sp IS NULL THEN norm
+                   ELSE array_to_string(list_transform(range(1, len(sp) + 1),
+                          i -> substr(norm,
+                            CAST((CASE WHEN i = 1 THEN 0 ELSE sp[i-1].e END) + 1 AS INT),
+                            CAST(sp[i].s - (CASE WHEN i = 1 THEN 0
+                                            ELSE sp[i-1].e END) - 1 AS INT))), '')
+                        || substr(norm, CAST(sp[len(sp)].e + 1 AS INT),
+                             CAST(length(norm) - sp[len(sp)].e AS INT))
+              END AS cleaned, coalesce(removed, 0) AS removed
+            FROM j)
+          SELECT doc_id, cleaned AS cleaned_text,
+            CAST(length(cleaned) AS BIGINT) AS n_kept_chars,
+            removed AS n_removed_chars
+          FROM c2 ORDER BY doc_id""",
 
     "t10_len_quantiles" ->
       """SELECT lang AS grp, count(*) AS n_docs,

@@ -903,6 +903,31 @@ object Dedup {
   def substringDedupStats(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 8, w: Int = 4, gapChars: Int = -1,
                           persistIntermediate: Boolean = true): DataFrame = {
+    val (flagged, spans) =
+      dupAnchorTables(docs, textCol, idCol, k, w, gapChars, persistIntermediate)
+    val spanAgg = spans
+      .groupBy("doc_id")
+      .agg(sum(col("na")).as("n_dup_anchors"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_anchors"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** Shared d19/d20 machinery: the flagged anchor stream (doc_id, pos,
+    * dup) and the merged duplicate SPANS (doc_id, island, na, s, e) —
+    * winnow anchors → verified-gram first-occurrence rule →
+    * gaps-and-islands merge (see [[substringDedupStats]] for the
+    * method and scale shape).
+    */
+  private def dupAnchorTables(docs: DataFrame, textCol: String, idCol: String,
+                              k: Int, w: Int, gapChars: Int,
+                              persistIntermediate: Boolean)
+      : (DataFrame, DataFrame) = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val gap = if (gapChars > 0) gapChars else w + k - 1
     val P = text.RollingMod
@@ -951,21 +976,58 @@ object Dedup {
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= gap, 0L)
           .otherwise(1L))
       .withColumn("island", sum(col("brk")).over(byDoc))
-    // chained aggs — anchor count, span bounds, then the per-doc
-    // rollup — so the islands window runs ONCE for all three outputs
-    val spanAgg = islands.groupBy("doc_id", "island")
+    // chained span agg so the islands window runs ONCE per consumer
+    val spans = islands.groupBy("doc_id", "island")
       .agg(count(lit(1)).as("na"),
         min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
-      .groupBy("doc_id")
-      .agg(sum(col("na")).as("n_dup_anchors"),
-        count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + lit(1)).as("dup_chars"))
-    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
-      .join(spanAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_anchors"),
-        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+    (flagged, spans)
+  }
+
+  /** The ACTION side of [[substringDedupStats]] (Lee et al.'s actual
+    * dedup step): EXCISE each document's duplicated spans from its
+    * normalized text, keeping global first occurrences untouched —
+    * detect-then-remove as one operator. Every doc with non-empty
+    * normalized text gets a row: (doc_id, cleaned_text, n_kept_chars,
+    * n_removed_chars), with kept + removed = length(norm) by
+    * construction (spec-asserted). Docs whose anchors are all first
+    * occurrences (or too short to anchor) pass through whole.
+    *
+    * The excision is one per-doc fold over the sorted span list
+    * (spans are disjoint and island-merged by construction): the
+    * accumulator carries (previous span end, output), each span
+    * appends the kept gap before it — O(spans) per doc, interpreted
+    * HOF but span counts are tiny. One extra norm projection joins
+    * the span list back (LEFT, so span-free docs survive); the heavy
+    * machinery is shared with d19 via the span tables.
+    */
+  def substringStrip(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, w: Int = 4, gapChars: Int = -1,
+                     persistIntermediate: Boolean = true): DataFrame = {
+    val (_, spans) =
+      dupAnchorTables(docs, textCol, idCol, k, w, gapChars, persistIntermediate)
+    val spanList = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"),
+        sum(col("e") - col("s") + lit(1)).as("removed"))
+    val norms = docs
+      .select(col(idCol).as("doc_id"), Native.normOf(docs)(col(textCol)).as("norm"))
+      .where(length(col("norm")) > 0)
+    norms.join(spanList, Seq("doc_id"), "left")
+      .withColumn("cleaned",
+        when(col("sp").isNull, col("norm")).otherwise(
+          aggregate(col("sp"),
+            struct(lit(0L).as("p"), lit("").as("o")),
+            (acc, x) => struct(
+              x.getField("e").as("p"),
+              concat(acc.getField("o"),
+                col("norm").substr((acc.getField("p") + 1).cast("int"),
+                  (x.getField("s") - acc.getField("p") - 1).cast("int")))
+                .as("o")),
+            acc => concat(acc.getField("o"),
+              col("norm").substr((acc.getField("p") + 1).cast("int"),
+                (length(col("norm")) - acc.getField("p")).cast("int"))))))
+      .select(col("doc_id"), col("cleaned").as("cleaned_text"),
+        length(col("cleaned")).cast("long").as("n_kept_chars"),
+        coalesce(col("removed"), lit(0L)).as("n_removed_chars"))
   }
 
   def chunkShareEdges(docs: DataFrame, textCol: String, idCol: String,

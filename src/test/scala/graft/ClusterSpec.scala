@@ -130,6 +130,40 @@ class ClusterSpec extends AnyFunSuite {
     assert(d19(0).getLong(2) == 0L && d19(0).getLong(4) == 0L)
   }
 
+  test("substringStrip excises the shifted copy, keeps first occurrences whole; kept+removed = norm length") {
+    val para = "quarzel vintor maplesh gorandu feshtik lumbrec " +
+      "adverin costrel wimbado jeskavi trundel ospreck"
+    val fillerA = "amber basil cedar dalia ember fjord gable haven " +
+      "irony jumbo kayak lemon mango noble ochre prism quill ruble " +
+      "sable tango umbra vigor waltz xenon yacht"
+    val fillerB = "zephyrd quartzy blitzen nymphal vexedly jumpily fickler"
+    val docs = Seq(
+      (1L, s"$para $fillerA"),
+      (2L, s"$fillerB $para")).toDF("doc_id", "text")
+    val got = Dedup.substringStrip(docs, "text", "doc_id",
+        persistIntermediate = false)
+      .orderBy("doc_id").collect()
+    // doc 1 is first occurrence everywhere: passes through whole
+    assert(got(0).getString(1) == s"$para $fillerA" && got(0).getLong(3) == 0L)
+    // doc 2 loses (most of) the copied paragraph but keeps its filler
+    val cleaned2 = got(1).getString(1)
+    assert(cleaned2.startsWith("zephyrd quartzy"),
+      s"filler prefix must survive: $cleaned2")
+    assert(!cleaned2.contains("maplesh gorandu feshtik"),
+      s"the copied paragraph interior must be excised: $cleaned2")
+    assert(got(1).getLong(3) >= para.length / 2, got(1).toString)
+    // the invariant on real data: kept + removed = normalized length
+    val corpus = Tables(spark, "/root/testdata/sf0.01").documents.limit(150)
+    val inv = Dedup.substringStrip(corpus, "text", "doc_id",
+        persistIntermediate = false)
+      .join(corpus.select(col("doc_id"),
+        length(graft.functions.text.normalize(col("text"))).cast("long").as("nl")),
+        "doc_id")
+      .where(col("n_kept_chars") + col("n_removed_chars") =!= col("nl"))
+      .count()
+    assert(inv == 0L)
+  }
+
   test("substringDedupStats native and fallback paths are row-identical") {
     val docs = Tables(spark, "/root/testdata/sf0.01").documents.limit(120)
     val native = Dedup.substringDedupStats(docs, "text", "doc_id",
