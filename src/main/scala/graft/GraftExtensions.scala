@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContainsExpr, HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, Md5Fold64Expr, NormalizeTextExpr, PqAdcTableExpr, PqArgminExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr, WinnowExpr}
+import graft.functions.{BloomAgg, BloomContainsExpr, CosTopCExpr, HyperplaneSigExpr, MinhashExpr, NgramHashesExpr, Md5Fold64Expr, NormalizeTextExpr, PqAdcTableExpr, PqArgminExpr, ShingleHashesExpr, Simhash64Expr, SortedIntersectSizeExpr, TopKAgg, VectorDotExpr, WinnowExpr}
 
 /** Registers graft's native Catalyst expressions through the public
   * SparkSessionExtensions hook:
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_pq_argmin",
         "graft_pq_argmin(x, codebook, sub) - index of the flattened-codebook centroid minimizing c*c - 2*x*c"),
       (children: Seq[Expression]) => PqArgminExpr(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_cos_topc"),
+      info("graft_cos_topc",
+        "graft_cos_topc(x, centroids, dim, n) - top-n (cos, idx) structs of the flattened centroids by cosine to x, cos desc / idx asc"),
+      (children: Seq[Expression]) => CosTopCExpr(children(0), children(1), children(2), children(3))))
     ext.injectFunction((FunctionIdentifier("graft_md5_fold64"),
       info("graft_md5_fold64",
         "graft_md5_fold64(s) - 60-bit portable md5 fold: conv(substring(md5(s),1,15),16,10) in one digest pass"),

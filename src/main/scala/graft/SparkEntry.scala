@@ -520,6 +520,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s13_ivfpq" -> ((s, dir) => {
+      // the IVFADC composite: s3's inverted-file prune (each probe
+      // reads 4 of 16 lists) stacked on s7's PQ compression (ADC
+      // scoring over 8 one-byte codes) — both stages oracle-replicated
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfPqTopK(emb, probes, "embedding", "vec_id", 5,
+          numCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "s4_ann_lsh_auto" -> ((s, dir) => {
       // the SCALE form of s2: banding bits derived from the corpus
       // size (autoBandBits — bucket population held ~constant as the
@@ -955,6 +966,17 @@ object SparkEntry {
       // blocking)
       Cluster.semDedupPairs(Tables(s, dir).embeddings, "embedding", "vec_id",
           k = 4, threshold = 0.4, iters = 1)
+        .orderBy("id1", "id2")
+    }),
+
+    "d21_semdedup_auto" -> ((s, dir) => {
+      // d11 with k derived from corpus size (k = ceil(n/512)): block
+      // sizes — and so the within-block pair join — stay constant as
+      // the corpus grows, where d11's pinned k=4 is quadratic in
+      // disguise (SURVEY §6's d12-at-sf1 analysis); the derived knob
+      // itself is oracle-checked at every SF (the s4/d9 precedent)
+      Cluster.semDedupPairsAuto(Tables(s, dir).embeddings, "embedding",
+          "vec_id", threshold = 0.4, targetBlock = 512, iters = 1)
         .orderBy("id1", "id2")
     }),
 
@@ -1933,6 +1955,32 @@ object SparkEntry {
     // the reduced c·c − 2·x·c form), corpus encoding, probe ADC tables,
     // and the decimal-exact adist sum — rank (adist asc, neighbor asc).
     "s7_ann_pq" -> (pqRankedSql + """
+         SELECT query_id, rank, neighbor_id, adist
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // the IVFADC composite: s7's ADC chain restricted to pairs whose
+    // probe reads the candidate's inverted list — the coarse
+    // quantizer (s3's hash-order sampled centroids, dot/|c| argmax,
+    // lower-ci ties) and the 4-of-16 probe fan-out both replicated
+    "s13_ivfpq" -> (pqRankedSqlPruned(
+      """ivfc AS (
+           SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id) - 1 AS ci, v AS cv
+           FROM e ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id LIMIT 16),
+         ivfs AS (
+           SELECT e.vec_id, n.ci, list_dot_product(e.v, n.cv) / n.cnorm AS s
+           FROM e, (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM ivfc) n),
+         clist AS (
+           SELECT vec_id, ci FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+             FROM ivfs) t WHERE rn = 1),
+         plist AS (
+           SELECT vec_id AS query_id, ci FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+             FROM ivfs WHERE vec_id % 100 = 0) t WHERE rn <= 4),
+         """,
+      """
+           JOIN clist cl ON cl.vec_id = c.vec_id
+           JOIN plist pl ON pl.query_id = t.query_id AND pl.ci = cl.ci""") + """
          SELECT query_id, rank, neighbor_id, adist
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
 
@@ -3238,6 +3286,23 @@ object SparkEntry {
          SELECT id1, id2, round(cos, 4) AS cosine FROM p
          WHERE cos >= 0.4 ORDER BY id1, id2""",
 
+    // d11's pair chain with the k-derivation CTE swapped in: k =
+    // ceil(count(*)/512) lowest-id init — the scale knob itself is
+    // what this oracle checks (blockProbes clamps to k when k < 2,
+    // mirrored by the LEAST(2, k) rank bound)
+    "d21_semdedup_auto" ->
+      s"""${kmeansA2Sql(2, autoKInitSql(512)).replace(
+             "WHERE rn <= 2",
+             "WHERE rn <= LEAST(2, (SELECT count(*) FROM init))")},
+         pr AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+         p AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT id1, id2, round(cos, 4) AS cosine FROM p
+         WHERE cos >= 0.4 ORDER BY id1, id2""",
+
     "q24_pivot" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hb_ms,
          CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
@@ -3816,8 +3881,17 @@ object SparkEntry {
     * c·c − 2·x·c form), corpus encoding, probe ADC tables, and the
     * decimal-exact adist sum.
     */
-  private val pqRankedSql: String =
-    """WITH e AS (
+  private val pqRankedSql: String = pqRankedSqlPruned("", "")
+
+  /** The s7 ADC chain with an optional IVF prune spliced in:
+    * `pruneCtes` adds list-assignment CTEs before `ad`, `pruneJoins`
+    * adds the corpus-list ⋈ probe-list equi-join restricting which
+    * (query, candidate) pairs are scored. Empty strings yield exactly
+    * the s7/s12 oracle; s13 passes the coarse-quantizer CTEs
+    * (replicating `Similarity.ivfPqTopK`'s s3-recipe list assignment).
+    */
+  private def pqRankedSqlPruned(pruneCtes: String, pruneJoins: String): String =
+    s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          sv AS (
@@ -3863,11 +3937,11 @@ object SparkEntry {
                - 2 * list_dot_product(list_slice(p.qv, b.s*8 + 1, b.s*8 + 8), b.c))
                * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS rq
            FROM p CROSS JOIN books b),
-         ad AS (
+         ${pruneCtes}ad AS (
            SELECT t.query_id, c.vec_id AS neighbor_id,
              CAST(any_value(prq.qq) + sum(t.rq) AS DOUBLE) AS adist
            FROM codes c
-           JOIN tab t ON c.s = t.s AND c.code = t.cid
+           JOIN tab t ON c.s = t.s AND c.code = t.cid${pruneJoins}
            JOIN prq ON prq.query_id = t.query_id
            WHERE c.vec_id <> t.query_id
            GROUP BY t.query_id, c.vec_id),
@@ -3912,13 +3986,25 @@ object SparkEntry {
     head + ",\n" + iters.mkString(",\n") + "\n" + sel + "\n ORDER BY rank"
   }
 
-  private def kmeansA2Sql(probes: Int = 1): String =
+  /** The auto-k init for [[kmeansA2Sql]]: k = ceil(count(*) /
+    * targetBlock) lowest-id vectors, replicating
+    * `Cluster.semDedupPairsAuto`'s derivation as a scalar subquery.
+    */
+  private def autoKInitSql(targetBlock: Int): String =
+    s"""SELECT cid, c FROM (
+             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM e) t
+           WHERE cid < (SELECT CAST(ceil(count(*) / $targetBlock.0) AS BIGINT) FROM e)"""
+
+  private def kmeansA2Sql(probes: Int = 1,
+      initSql: String =
+        """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM e ORDER BY vec_id LIMIT 4"""): String =
     s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          init AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-           FROM e ORDER BY vec_id LIMIT 4),
+           $initSql),
          a1 AS (
            SELECT vec_id, v, cid FROM (
              SELECT e.vec_id, e.v, i.cid,

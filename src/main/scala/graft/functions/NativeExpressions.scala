@@ -70,6 +70,74 @@ object NativeKernels {
     bestI
   }
 
+  /** Top-`n` centroids of `flat` (k × dim doubles) by cosine to the
+    * float vector `x`, as (cos, idx) structs ordered (cos desc, idx
+    * asc) — ONE compiled O(k·dim) loop replacing the k-wide
+    * struct-array sort whose HOF-dot lambdas evaluate interpreted
+    * (the Cluster.assign / semDedupPairs blocking shape; §6's "native
+    * cosine-argmax twin"). Bit-identical to
+    * reverse(array_sort(array(struct(cos_i, -i)...)))[0..n): each
+    * cosine accumulates left-to-right in double exactly like the
+    * zip_with/aggregate fold (x.toDouble * c, with x²/c² norms in the
+    * same order), nn == 0 yields cos 0.0 (the cosOf guard), and
+    * comparisons use Spark's SQL double ordering (NaN greatest,
+    * -0.0 == 0.0) with ties keeping the LOWER index — exactly the
+    * (cos, -cid) struct-max/sort semantics. `x` shorter than dim
+    * contributes only its elements (the HOF's min-zip); n clamps to
+    * [0, k] (slice semantics).
+    */
+  def cosTopC(x: ArrayData, flat: ArrayData, dim: Int, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles
+    val k = if (dim > 0) flat.numElements() / dim else 0
+    val m = math.min(x.numElements(), dim)
+    var daa = 0.0
+    var i = 0
+    while (i < m) { val v = x.getFloat(i).toDouble; daa += v * v; i += 1 }
+    val na = math.sqrt(daa)
+    val take = math.max(0, math.min(n, k))
+    val bestCos = new Array[Double](take)
+    val bestIdx = new Array[Int](take)
+    var filled = 0
+    var cid = 0
+    while (cid < k) {
+      val base = cid * dim
+      var cc = 0.0
+      var dp = 0.0
+      i = 0
+      while (i < dim) {
+        val c = flat.getDouble(base + i)
+        cc += c * c
+        if (i < m) dp += x.getFloat(i).toDouble * c
+        i += 1
+      }
+      val nn = na * math.sqrt(cc)
+      val cos = if (nn == 0.0) 0.0 else dp / nn
+      // insertion position: after every kept entry with cos >= this
+      // one (kept entries have lower idx, so ties keep the earlier)
+      if (take > 0 && (filled < take || compareDoubles(cos, bestCos(filled - 1)) > 0)) {
+        var p = filled
+        while (p > 0 && compareDoubles(bestCos(p - 1), cos) < 0) p -= 1
+        if (p < take) {
+          val last = math.min(filled, take - 1)
+          var j = last
+          while (j > p) { bestCos(j) = bestCos(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1 }
+          bestCos(p) = cos
+          bestIdx(p) = cid
+          if (filled < take) filled += 1
+        }
+      }
+      cid += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestCos(i), bestIdx(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct xxhash64 values of the character k-shingles of `s`,
     * hashing the UTF-8 bytes in place — no shingle strings, no char
     * array. Byte-windowing equals char-windowing for ASCII input,
@@ -611,6 +679,35 @@ case class PqArgminExpr(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqArgminExpr =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_cos_topc(array<float>, array<double>, dim, n) ->
+  * array<struct<cos: double, idx: int>>` — top-n centroids by cosine
+  */
+case class CosTopCExpr(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cos", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("idx", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cos_topc"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType, IntegerType)
+
+  override protected def nullSafeEval(x: Any, cb: Any, dim: Any, n: Any): Any =
+    NativeKernels.cosTopC(x.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      dim.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb, d, n) =>
+      s"${ev.value} = graft.functions.NativeKernels.cosTopC($x, $cb, $d, $n);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): CosTopCExpr =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** `graft_md5_fold64(string) -> bigint` — the portable 60-bit md5 fold */

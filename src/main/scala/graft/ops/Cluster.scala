@@ -49,23 +49,62 @@ object Cluster {
     }
   }
 
+  /** True when the vector column is a float array — the layout
+    * `graft_cos_topc` reads. Double-array callers (Spark-transform
+    * output) take the expression path, whose HOF dot casts any
+    * numeric.
+    */
+  private def floatVec(df: DataFrame, vecCol: String): Boolean =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  /** `graft_cos_topc` call over literal flattened centroids: ONE
+    * Literal node per argument (the k-wide expression tree was the
+    * documented interpreted wall — §6's "native cosine-argmax twin"),
+    * top-n (cos, idx) structs, bit-identical to the struct-sort
+    * fallback by the kernel's contract.
+    */
+  private def cosTopC(vecCol: String, centroids: Seq[(Long, Array[Double])],
+                      n: Int): Column =
+    call_function("graft_cos_topc", col(vecCol),
+      typedLit(centroids.flatMap(_._2).toArray),
+      lit(centroids.head._2.length), lit(n))
+
+  /** idx (centroid position in the fit order) → cluster id, via one
+    * array literal — ids stay sparse-safe when Lloyd drops clusters.
+    */
+  private def cidAt(centroids: Seq[(Long, Array[Double])], idx: Column): Column =
+    element_at(typedLit(centroids.map(_._1).toArray), (idx + 1).cast("int"))
+
   /** Nearest-centroid id + cosine for each row, as two extra columns
     * (`cluster_id`, `cos`). Map-only: `centroids` become literals.
     * Tie-break: equal cosine goes to the LOWER cluster id (the
-    * (cos, -cid) struct max is lexicographic).
+    * (cos, -cid) struct max is lexicographic; the native kernel keeps
+    * the lower index, and centroids arrive cid-ascending).
     */
   private def assign(points: DataFrame, vecCol: String,
                      centroids: Seq[(Long, Array[Double])]): DataFrame = {
-    val cos = cosOf
-    val scored = centroids.map { case (cid, c) =>
-      struct(cos(col(vecCol), array(c.map(lit).toSeq: _*)).as("cos"),
-        lit(-cid).as("ncid"))
+    if (floatVec(points, vecCol) && Native.enabled(points, "graft_cos_topc")) {
+      points
+        .withColumn("graft_best", element_at(cosTopC(vecCol, centroids, 1), 1))
+        .withColumn("cluster_id", cidAt(centroids, col("graft_best.idx")))
+        .withColumn("cos", col("graft_best.cos"))
+        .drop("graft_best")
+    } else {
+      val cos = cosOf
+      val scored = centroids.map { case (cid, c) =>
+        struct(cos(col(vecCol), array(c.map(lit).toSeq: _*)).as("cos"),
+          lit(-cid).as("ncid"))
+      }
+      points
+        .withColumn("graft_best", array_max(array(scored: _*)))
+        .withColumn("cluster_id", -col("graft_best.ncid"))
+        .withColumn("cos", col("graft_best.cos"))
+        .drop("graft_best")
     }
-    points
-      .withColumn("graft_best", array_max(array(scored: _*)))
-      .withColumn("cluster_id", -col("graft_best.ncid"))
-      .withColumn("cos", col("graft_best.cos"))
-      .drop("graft_best")
   }
 
   /** Decimal-exact per-cluster mean vectors of the assigned points:
@@ -157,20 +196,57 @@ object Cluster {
       s"blockProbes must be in [1, k], got $blockProbes (k = $k)")
     val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = fit(points, k, iters)
-    val cos = cosOf
-    val scored = centroids.map { case (cid, c) =>
-      struct(cos(col("v"), array(c.map(lit).toSeq: _*)).as("cos"),
-        lit(-cid).as("ncid"))
-    }
-    // nearest blockProbes centroids: sort asc by (cos, -cid), reverse
-    // → desc cos with lower-cid-first ties (the IVF multi-probe idiom)
-    val blocked = points
-      .withColumn("cluster_id",
+    // nearest blockProbes centroids: desc cos with lower-cid-first
+    // ties (the IVF multi-probe idiom) — the kernel's native order,
+    // or sort asc by (cos, -cid) + reverse on the expression path
+    val blocked = if (floatVec(points, "v") &&
+        Native.enabled(points, "graft_cos_topc")) {
+      points.withColumn("cluster_id",
+        explode(transform(cosTopC("v", centroids, blockProbes),
+          s => cidAt(centroids, s.getField("idx")))))
+    } else {
+      val cos = cosOf
+      val scored = centroids.map { case (cid, c) =>
+        struct(cos(col("v"), array(c.map(lit).toSeq: _*)).as("cos"),
+          lit(-cid).as("ncid"))
+      }
+      points.withColumn("cluster_id",
         explode(transform(
           slice(reverse(array_sort(array(scored: _*))), 1, blockProbes),
           s => -s.getField("ncid"))))
+    }
     Dedup.embeddingNearDupPairs(blocked, "v", "id", "cluster_id", threshold)
       .dropDuplicates("id1", "id2")
+  }
+
+  /** [[semDedupPairs]] with k DERIVED FROM CORPUS SIZE —
+    * k = ceil(n / targetBlock) — the d9/s4-style scale knob for
+    * SemDeDup blocking. A PINNED k is quadratic in disguise: blocks
+    * hold n/k rows, so the within-block pair join grows as n²/k —
+    * measured 58.7 s at sf1 for the declared d12's k=4 (SURVEY §6)
+    * where this derived form (k=40 there) runs the same composition
+    * in a fraction of that. Scaling k keeps BLOCK SIZES (and so
+    * per-block pair volume) constant as the corpus grows; the price
+    * is the k-centroid assignment scan, which `graft_cos_topc` makes
+    * one compiled O(k·dim) loop per row — the interpreted k-wide
+    * expression tree this knob was previously blocked on (k=40 at
+    * sf1 measured 144 s behind it, SURVEY §6). `blockProbes` clamps
+    * to k when the derived k is smaller (a corpus inside one block
+    * cannot multi-probe).
+    *
+    * The derivation is one count job; the oracle derives the same k
+    * from count(*) with the same integer rule, so the scale knob
+    * itself is oracle-checked at every SF (the s4/d9/s11 precedent).
+    */
+  def semDedupPairsAuto(embs: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, targetBlock: Int = 512,
+                        iters: Int = 1, blockProbes: Int = 2): DataFrame = {
+    require(targetBlock >= 1, s"targetBlock must be >= 1, got $targetBlock")
+    val n = embs.count()
+    require(n > 0, "semDedupPairsAuto: corpus is empty")
+    val k = math.ceil(n.toDouble / targetBlock).toInt
+    semDedupPairs(embs, vecCol, idCol, k, threshold, iters,
+      math.min(blockProbes, k))
   }
 
   /** Per-cluster summary: size and 4dp mean cosine-to-centroid

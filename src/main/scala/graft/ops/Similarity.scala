@@ -511,7 +511,50 @@ object Similarity {
   def pqTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
              idCol: String, k: Int, subspaces: Int = 8,
              codebookSize: Int = 64, lloydIters: Int = 1): DataFrame = {
-    val corpus = widen(corpus0)
+    val parts = pqParts(widen(corpus0), probes, vecCol, idCol,
+      subspaces, codebookSize, lloydIters)
+    val scored = parts.encoded.crossJoin(broadcast(parts.pt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", parts.adist)
+    rankByAdist(scored, k)
+  }
+
+  /** The PQ index pieces shared by [[pqTopK]] (exhaustive ADC scan)
+    * and [[ivfPqTopK]] (IVF-pruned ADC scan): `encoded` is the corpus
+    * as (neighbor_id, code_0..code_{subspaces-1}) — plus any
+    * `corpusCarry` columns (the IVF list id rides here) — and `pt` is
+    * the probe table as (query_id, qq, t_0..t_{subspaces-1}) plus
+    * `probeCarry`; `adist` is the asymmetric-distance column valid on
+    * any join of the two. Carry columns must already exist on the
+    * input frames and not collide with the generated names.
+    */
+  private case class PqParts(encoded: DataFrame, pt: DataFrame, adist: Column)
+
+  /** Rank an ADC-scored candidate set by (adist asc, neighbor asc) and
+    * keep the top k per query — graft_topk (negated score) when
+    * available, the window idiom otherwise.
+    */
+  private def rankByAdist(scored: DataFrame, k: Int): DataFrame =
+    if (Native.enabled(scored, "graft_topk")) {
+      scored.withColumn("negd", -col("adist"))
+        .groupBy("query_id")
+        .agg(call_function("graft_topk",
+          col("negd"), col("neighbor_id"), lit(k)).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("neighbor_id"), (-col("col.score")).as("adist"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    }
+
+  private def pqParts(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                      idCol: String, subspaces: Int, codebookSize: Int,
+                      lloydIters: Int, corpusCarry: Seq[String] = Nil,
+                      probeCarry: Seq[String] = Nil): PqParts = {
     require(subspaces >= 1, s"subspaces must be >= 1, got $subspaces")
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
@@ -620,7 +663,8 @@ object Similarity {
     // ADC tables below are built in the same dense order, and the
     // projection stays one compiled call per subspace with no
     // index→label element_at.
-    val encoded = corpus.select(col(idCol).as("neighbor_id") +:
+    val encoded = corpus.select((col(idCol).as("neighbor_id") +:
+      corpusCarry.map(col)) ++
       (0 until subspaces).map { s =>
         val x = sliceS(col(vecCol), s)
         (if (nativeArgmin)
@@ -642,7 +686,8 @@ object Similarity {
     // probes×corpus pair count grows 100× there).
     def micro(c: Column): Column =
       (c.cast("decimal(18,6)") * lit(1000000L)).cast("long")
-    val p0 = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val p0 = probes.select(col(idCol).as("query_id") +:
+      col(vecCol).as("qv") +: probeCarry.map(col): _*)
     // Probe-side ADC tables, matching the encode side's index space:
     // dense book order behind the native argmin, position-cid with
     // never-referenced 0 fillers behind the expression argmin. With
@@ -682,28 +727,85 @@ object Similarity {
       entries.as(s"t_$s")
     }
     val pt = p0.select(Seq(col("query_id"),
-      micro(num.fround(dot(col("qv"), col("qv")), 6)).as("qq")) ++ tableCols: _*)
+      micro(num.fround(dot(col("qv"), col("qv")), 6)).as("qq")) ++
+      tableCols ++ probeCarry.map(col): _*)
     val adist = (0 until subspaces)
       .map(s => element_at(col(s"t_$s"), col(s"code_$s") + 1))
       .foldLeft(col("qq"))(_ + _)
       .cast("double") / lit(1000000.0)
-    val scored = encoded.crossJoin(broadcast(pt))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adist)
-    if (Native.enabled(corpus, "graft_topk")) {
-      scored.withColumn("negd", -col("adist"))
-        .groupBy("query_id")
-        .agg(call_function("graft_topk",
-          col("negd"), col("neighbor_id"), lit(k)).as("topk"))
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.id").as("neighbor_id"), (-col("col.score")).as("adist"))
-    } else {
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("adist").asc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    PqParts(encoded, pt, adist)
+  }
+
+  /** IVF + PQ composite index (Jégou et al.'s IVFADC architecture,
+    * TPAMI 2011 §IV) — the production ANN shape that PRUNES the scan
+    * (IVF: a probe reads only its `nProbe` nearest inverted lists,
+    * s3's machinery) AND COMPRESSES what it scans (PQ: candidates are
+    * scored from `subspaces` one-byte codes by ADC table lookups,
+    * s7's machinery). At corpus scale the two knobs multiply: the
+    * codes table is ~dim/subspaces·4 smaller than the vectors AND
+    * only nProbe/numCentroids of it is touched per probe — full
+    * vectors never shuffle, never broadcast, and the per-pair cost is
+    * O(subspaces) lookups.
+    *
+    * Vectors are PQ-encoded RAW (not as residuals v − centroid): the
+    * shared-codebook form keeps every stage an already-oracle-checked
+    * recipe (s3's coarse assignment + s7's codebooks/ADC, composed by
+    * one equi-join) and the codes corpus-global, at a known recall
+    * cost vs residual encoding (the variant Faiss ships as
+    * IndexIVFPQ(by_residual=false); residual codebooks would need a
+    * per-list ADC table build, nProbe× the probe-side cost, and a
+    * fresh oracle recipe). Candidate generation: corpus rows carry
+    * their ONE nearest coarse centroid (dot/|c| argmax, lower-ci
+    * ties — the s3 rule), probes explode to their `nProbe` nearest;
+    * the equi-join on list id replaces s7's crossJoin, everything
+    * downstream (ADC tables, micro-unit adist, (adist asc, id asc)
+    * ranking) is byte-identical to s7. nProbe = numCentroids recovers
+    * pqTopK EXACTLY (spec-asserted: the prune is complete).
+    *
+    * Output (query_id, rank, neighbor_id, adist) — s7's shape, so
+    * [[recallAtK]] and the rerank pattern compose directly.
+    */
+  def ivfPqTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
+                idCol: String, k: Int, numCentroids: Int = 16,
+                nProbe: Int = 4, subspaces: Int = 8,
+                codebookSize: Int = 64, lloydIters: Int = 1): DataFrame = {
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe (numCentroids = $numCentroids)")
+    val corpus = widen(corpus0)
+    val dot = dotOf(corpus)
+    // coarse quantizer: the s3 deterministic hash-order sample —
+    // tiny driver-side table (numCentroids rows), oracle-replicable
+    val cents: Array[Array[Float]] = corpus
+      .orderBy(sampleOrder(col(idCol)), col(idCol)).limit(numCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.floatValue()).toArray)
+    require(cents.nonEmpty, "ivfPqTopK: corpus is empty")
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    // score against centroid c is dot/|c| (the row's own norm is a
+    // common positive factor — the ranking is the cosine ranking);
+    // ties break on the lower centroid index (the s3/s7 rule)
+    def scores(vec: Column): Seq[Column] = cents.indices.map { ci =>
+      struct((dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
+        lit(-ci).as("negi"))
     }
+    val corpusC = corpus.withColumn("graft_list",
+      -greatest(scores(col(vecCol)): _*).getField("negi"))
+    val probesC = probes.withColumn("graft_lists",
+      transform(slice(reverse(array_sort(array(scores(col(vecCol)): _*))),
+        1, nProbe), s => -s.getField("negi")))
+    val parts = pqParts(corpusC, probesC, vecCol, idCol,
+      subspaces, codebookSize, lloydIters,
+      corpusCarry = Seq("graft_list"), probeCarry = Seq("graft_lists"))
+    // the probe table fans out to nProbe rows; corpus lists are
+    // unique per row, so each (query, candidate) pair joins at most
+    // once — no dedup stage needed before ranking
+    val pt = parts.pt
+      .withColumn("graft_list", explode(col("graft_lists")))
+      .drop("graft_lists")
+    val scored = parts.encoded.join(broadcast(pt), Seq("graft_list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", parts.adist)
+    rankByAdist(scored, k)
   }
 }

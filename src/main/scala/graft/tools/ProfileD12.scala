@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * join), the transitive-cluster CC step, and the corpus-wide verdict
   * join — so a recorded full-op number decomposes into which stage
   * moved. Usage:
-  *   sbt "runMain graft.tools.ProfileD12 [sfDir] [repeats]"
+  *   sbt "runMain graft.tools.ProfileD12 [sfDir] [repeats] [k]"
   */
 object ProfileD12 {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
+    val k = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,7 +35,7 @@ object ProfileD12 {
 
     def fullOp(): Long = {
       val pairs = graft.ops.Cluster.semDedupPairs(embs, "embedding", "vec_id",
-        k = 4, threshold = 0.4, iters = 1)
+        k = k, threshold = 0.4, iters = 1)
       val verdict = graft.ops.Graph.clusterDedup(pairs, "id1", "id2")
       embs.select(col("vec_id"))
         .join(verdict, col("vec_id") === col("id"), "left_outer")
@@ -51,12 +52,12 @@ object ProfileD12 {
     // stage 1: the d11 pair generation as the op runs it
     t("d11_pairs") {
       graft.ops.Cluster.semDedupPairs(embs, "embedding", "vec_id",
-        k = 4, threshold = 0.4, iters = 1).count()
+        k = k, threshold = 0.4, iters = 1).count()
     }
     // stage 2: CC + verdict over a persisted pair table — the
     // marginal cost of the prune once pairs exist
     val pairsP = graft.ops.Cluster.semDedupPairs(embs, "embedding", "vec_id",
-        k = 4, threshold = 0.4, iters = 1)
+        k = k, threshold = 0.4, iters = 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairsP.count()
     t("cc_verdict") {

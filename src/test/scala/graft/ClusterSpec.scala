@@ -275,6 +275,31 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept == embs.count() - dropped)    // verdict and prune agree
   }
 
+  test("semDedupPairsAuto derives k = ceil(n/targetBlock) and clamps blockProbes on tiny corpora") {
+    // sf0.01 has 500 vectors: targetBlock=128 derives k=4 — the
+    // auto form must equal the explicit-k call exactly
+    val n = embs.count()
+    val k = math.ceil(n.toDouble / 128).toInt
+    assert(k >= 2, s"fixture assumption broke: n=$n derives k=$k < 2")
+    val auto = Cluster.semDedupPairsAuto(embs, "embedding", "vec_id",
+      threshold = 0.4, targetBlock = 128)
+      .orderBy("id1", "id2").collect().mkString("|")
+    val pinned = Cluster.semDedupPairs(embs, "embedding", "vec_id",
+      k = k, threshold = 0.4)
+      .orderBy("id1", "id2").collect().mkString("|")
+    assert(auto == pinned)
+    // targetBlock >= n derives k=1: one block, blockProbes clamps to
+    // 1, and the result is ALL threshold pairs (single-block = exact)
+    val one = Cluster.semDedupPairsAuto(embs.limit(60), "embedding",
+      "vec_id", threshold = 0.4, targetBlock = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingNearDupPairs(
+      embs.limit(60).withColumn("blk", lit(0)),
+      "embedding", "vec_id", "blk", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == brute, "k=1 auto blocking must be the exact pair set")
+  }
+
   test("semDedupPairs rejects blockProbes outside [1, k]") {
     intercept[IllegalArgumentException] {
       Cluster.semDedupPairs(embs, "embedding", "vec_id",

@@ -51,6 +51,9 @@ class FallbackSpec extends AnyFunSuite {
       Similarity.pqRerankTopK(emb, probes, "embedding", "vec_id", 5,
           candidates = 20)
         .orderBy("query_id", "rank").collect().mkString("|"),
+      Similarity.ivfPqTopK(emb, probes, "embedding", "vec_id", 5,
+          numCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank").collect().mkString("|"),
       graft.ops.TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
         .orderBy("doc_id", "pos").collect().mkString("|"),
       // md5-fold consumers: bucket hashes (t24/t28) + simhash token
@@ -60,7 +63,15 @@ class FallbackSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().mkString("|"),
       graft.ops.TextAnalysis.distributionDrift(docs, "text",
           col("source") === "src1")
-        .collect().mkString("|"))
+        .collect().mkString("|"),
+      // cos-argmax consumers: native path = graft_cos_topc over one
+      // flat literal; fallback = the k-wide HOF struct sort — the
+      // assignment, cosine, multi-probe blocking, and downstream
+      // pairs must be identical
+      graft.ops.Cluster.kmeansAssign(emb, "embedding", "vec_id", 8, 2)
+        .orderBy("id").collect().mkString("|"),
+      graft.ops.Cluster.semDedupPairs(emb, "embedding", "vec_id", 4, 0.4)
+        .orderBy("id1", "id2").collect().mkString("|"))
   }
 
   test("fallback expression paths match native kernel results exactly") {

@@ -45,6 +45,52 @@ class NativeSpec extends AnyFunSuite {
     assert(both.filter(col("native") === 2).count() == 0)
   }
 
+  test("graft_cos_topc equals the struct-sort expression path, ties and zero vectors included") {
+    val emb = tables.Tables(spark, sfDir).embeddings.limit(64)
+    // 5 centroids over the full dim, incl. a DUPLICATED centroid (tie
+    // must keep the lower index both ways) and a ZERO centroid (the
+    // cosOf nn==0 guard must yield 0.0 both ways)
+    val rows = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val dim = rows(0).length
+    val cents: Seq[Array[Double]] =
+      Seq(rows(0), rows(1), rows(1), Array.fill(dim)(0.0), rows(2))
+    def cosExpr(c: Array[Double]) = {
+      val cl = array(c.map(lit).toSeq: _*)
+      val nn = sqrt(vectors.dot(col("embedding"), col("embedding"))) *
+        sqrt(vectors.dot(cl, cl))
+      when(nn === 0.0, lit(0.0))
+        .otherwise(vectors.dot(col("embedding"), cl) / nn)
+    }
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosExpr(c).as("cos"), lit(-i.toLong).as("ncid"))
+    }
+    for (n <- Seq(1, 3, 5)) {
+      val both = emb
+        // append a zero PROBE row via a union of one literal-vector row
+        .select(col("embedding"))
+        .union(emb.limit(1).select(
+          transform(col("embedding"), _ => lit(0.0f)).as("embedding")))
+        .select(
+          call_function("graft_cos_topc", col("embedding"),
+            lit(cents.flatMap(_.toSeq).toArray), lit(dim), lit(n)).as("native"),
+          transform(slice(reverse(array_sort(array(scored: _*))), 1, n),
+            s => struct(s.getField("cos").as("cos"),
+              (-s.getField("ncid")).cast("int").as("idx"))).as("expr"))
+      assert(both.filter(col("native") =!= col("expr")).count() == 0,
+        s"cos_topc diverges from the expression sort at n=$n")
+      // the duplicated centroid's higher index (2) never outranks its
+      // twin (1): whenever 2 is in the top-n, 1 is there before it
+      if (n >= 3) {
+        val idxs = transform(col("native"), s => s.getField("idx"))
+        val p1 = array_position(idxs, 1)
+        val p2 = array_position(idxs, 2)
+        assert(both.filter(p2 =!= 0 && (p1 === 0 || p2 < p1)).count() == 0,
+          "duplicated centroid's higher index outranked the lower")
+      }
+    }
+  }
+
   test("graft_md5_fold64 equals conv(substring(md5,1,15),16,10) exactly") {
     val docs = tables.Tables(spark, sfDir).documents.limit(200)
       .select(explode(text.tokens(text.normalize(col("text")))).as("f"))

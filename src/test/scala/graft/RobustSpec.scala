@@ -398,6 +398,48 @@ class RobustSpec extends AnyFunSuite {
     assert(key(full) == key(bf), "candidates>=corpus rerank != brute force")
   }
 
+  test("ivfPqTopK: complete prune equals pqTopK exactly; pruning only narrows; recall holds") {
+    val embs = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // nProbe = numCentroids reads every inverted list — the prune is
+    // complete, so the composite must equal the exhaustive ADC scan
+    // row-for-row (ranks, ids, and exact adist)
+    val full = Similarity.ivfPqTopK(embs, probes, "embedding", "vec_id", 5,
+      numCentroids = 8, nProbe = 8)
+    val pq = Similarity.pqTopK(embs, probes, "embedding", "vec_id", 5)
+    assert(key(full) == key(pq), "nProbe=numCentroids ivfpq != pqTopK")
+    // the declared 4-of-16 prune: every emitted (query, neighbor,
+    // adist) is one the exhaustive scan scores identically (the prune
+    // narrows the candidate net, never changes a score), and recall
+    // vs the unpruned ADC ranking stays useful
+    val pruned = Similarity.ivfPqTopK(embs, probes, "embedding", "vec_id", 5,
+      numCentroids = 16, nProbe = 4)
+    val prunedRows = pruned.collect()
+    val pqAll = Similarity.ivfPqTopK(embs, probes, "embedding", "vec_id", 20,
+        numCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    prunedRows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      assert(pqAll.get(k).forall(_ == r.getDouble(3)),
+        s"pruned pair $k scored differently than the exhaustive scan")
+    }
+    val pqIds = pq.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val prIds = prunedRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = pqIds.count(prIds.contains).toDouble / pqIds.size
+    info(f"ivfpq(16 lists, 4 probes) recall@5 vs exhaustive ADC: $recall%.3f")
+    // measured 0.56 on this corpus (the 4/16 prune's own recall, on
+    // top of PQ quantization); floor below the measurement
+    assert(recall >= 0.4, f"ivfpq recall $recall%.3f below floor")
+    // partitioning invariance (centroids, codebooks, codes are all
+    // data-determined)
+    assert(key(Similarity.ivfPqTopK(embs.repartition(11), probes,
+      "embedding", "vec_id", 5, numCentroids = 16, nProbe = 4)) ==
+      key(pruned))
+  }
+
   test("round-6 operators are partitioning-invariant") {
     import graft.ops.{Curation, Graph, TextAnalysis}
     def run[A](f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
