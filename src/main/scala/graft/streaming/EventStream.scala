@@ -442,6 +442,56 @@ object EventStream {
         } finally verdicts.unpersist()
     }
 
+  /** Streaming driver for the g4 chain — [[incrementalDedupSink]]'s
+    * GRAPH sibling: each micro-batch of near-dup EDGES merges into the
+    * accumulated component labeling via
+    * `Graph.incrementalComponents` (contracted-delta merge: the
+    * iterative part sees only the batch's edges; the base labeling is
+    * touched once, linearly). Unlike the dedup sinks' append-only
+    * index, CC state is a LABELING the merge REPLACES: batch N reads
+    * the single snapshot written by the LATEST batch < N (not a union
+    * of all priors) and writes the merged labeling under
+    * `batch_id=N` — so a retried batch N re-reads the same parent
+    * snapshot and overwrites only its own output (the foreachBatch
+    * idempotence contract), and restart-from-checkpoint resumes with
+    * the labeling exactly as the completed batches left it. The first
+    * batch bootstraps from the empty labeling (incremental merge into
+    * nothing IS from-scratch CC over the batch). Per-batch output is
+    * the full (id, comp) snapshot — the operator's own contract; at
+    * corpus scale a caller would partition the labeling and rewrite
+    * only components the relabel join touched.
+    */
+  def componentsIncrementalSink(edges: DataFrame, srcCol: String,
+                                dstCol: String, labelDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(labelDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parent =
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath)
+              .filter(_.getName.startsWith("batch_id="))
+              .map(p => (p.getName.stripPrefix("batch_id=").toLong, p.toString))
+              .filter(_._1 < batchId)
+              .sortBy(_._1).lastOption.map(_._2)
+          else None
+        val labels = parent match {
+          case Some(p) => spark.read.parquet(p)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("comp",
+                org.apache.spark.sql.types.LongType))))
+        }
+        graft.ops.Graph.incrementalComponents(labels, "id", "comp",
+            batch, srcCol, dstCol)
+          .write.mode("overwrite").parquet(s"$labelDir/batch_id=$batchId")
+    }
+
   def incrementalDedupSink(docs: DataFrame, textCol: String, idCol: String,
                            indexDir: String, verdictDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -481,6 +481,67 @@ class StreamParitySpec extends AnyFunSuite {
     assert(streamed == truth, s"streamed $streamed != batch $truth")
   }
 
+  test("parity: componentsIncrementalSink — streamed labeling equals from-scratch CC and the batch merges; restart resumes the snapshot") {
+    import graft.ops.Graph
+    // three edge batches engineering every merge shape: a new
+    // component per batch, a batch-2 edge that MERGES two batch-1
+    // components (1-2 and 5-6 joined by 2-5), a batch-3 edge touching
+    // only history (6-9 extends the merged component), and an isolated
+    // late component (40, 41)
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L), (10L, 11L)),
+      Seq((2L, 5L), (20L, 21L)),
+      Seq((6L, 9L), (40L, 41L)))
+    // truth 1: the batch operator folded over the same boundaries
+    val emptyLab = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType))))
+    val folded = batches.foldLeft(emptyLab) { (lab, rows) =>
+      Graph.incrementalComponents(lab, "id", "comp",
+        rows.toDF("src", "dst"), "src", "dst")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // truth 2: mechanism-independent — from-scratch CC over ALL edges
+    val scratch = Graph.connectedComponents(
+        batches.flatten.toDF("src", "dst"), "src", "dst")
+      .select("id", "comp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == scratch, s"folded $folded != from-scratch $scratch")
+    assert(folded(9L) == 1L && folded(6L) == 1L,
+      s"cross-batch merge must land on the global min id: $folded")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_inccc")
+    val ckpt = s"$base/ckpt"; val labDir = s"$base/labels"
+    val ms = MemoryStream[(Long, Long)]
+    def startQuery() =
+      EventStream.componentsIncrementalSink(ms.toDS().toDF("src", "dst"),
+          "src", "dst", labDir)
+        .option("checkpointLocation", ckpt).start()
+    // phase 1: batch 0 only, then STOP — the labeling must survive as
+    // the restored snapshot, not as in-memory state
+    val q1 = startQuery()
+    try { ms.addData(batches(0): _*); q1.processAllAvailable() } finally q1.stop()
+    // phase 2: restart; batch 1's 2-5 edge merges two components that
+    // exist ONLY in the on-disk snapshot — the merged labeling
+    // landing on comp 1 proves the state was restored from disk
+    val q2 = startQuery()
+    try {
+      ms.addData(batches(1): _*); q2.processAllAvailable()
+      ms.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    // the LATEST snapshot is the result (earlier batch_id dirs are
+    // history, exactly like the batch operator's successive outputs)
+    val last = new java.io.File(labDir).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+      .maxBy(_.getName.stripPrefix("batch_id=").toLong)
+    val streamed = spark.read.parquet(last.getAbsolutePath).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == scratch, s"streamed $streamed != from-scratch $scratch")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
