@@ -493,6 +493,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s14_ivfpq_rerank" -> ((s, dir) => {
+      // the FULL production serving shape: IVF prunes which codes are
+      // scanned (4 of 16 lists), ADC compresses the scan (8 one-byte
+      // codes/pair) to propose 50 candidates, an exact-cosine pass
+      // over ONLY those candidates reranks to the final top-5 — all
+      // three stages oracle-replicated
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfPqRerankTopK(emb, probes, "embedding", "vec_id",
+          k = 5, candidates = 50, numCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "s8_mmr_select" -> ((s, dir) => {
       // diversity-aware exemplar pick: greedy MMR against the corpus
       // mean vector — k representative-yet-mutually-distinct rows,
@@ -1962,27 +1975,28 @@ object SparkEntry {
     // probe reads the candidate's inverted list — the coarse
     // quantizer (s3's hash-order sampled centroids, dot/|c| argmax,
     // lower-ci ties) and the 4-of-16 probe fan-out both replicated
-    "s13_ivfpq" -> (pqRankedSqlPruned(
-      """ivfc AS (
-           SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id) - 1 AS ci, v AS cv
-           FROM e ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id LIMIT 16),
-         ivfs AS (
-           SELECT e.vec_id, n.ci, list_dot_product(e.v, n.cv) / n.cnorm AS s
-           FROM e, (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM ivfc) n),
-         clist AS (
-           SELECT vec_id, ci FROM (
-             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
-             FROM ivfs) t WHERE rn = 1),
-         plist AS (
-           SELECT vec_id AS query_id, ci FROM (
-             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
-             FROM ivfs WHERE vec_id % 100 = 0) t WHERE rn <= 4),
-         """,
-      """
-           JOIN clist cl ON cl.vec_id = c.vec_id
-           JOIN plist pl ON pl.query_id = t.query_id AND pl.ci = cl.ci""") + """
+    "s13_ivfpq" -> (pqRankedSqlPruned(ivfPruneCtes, ivfPruneJoins) + """
          SELECT query_id, rank, neighbor_id, adist
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // s13's IVF-pruned ADC chain at rank <= 50 feeding s12's
+    // exact-cosine rerank CTE — all three stages of the full serving
+    // shape replicated by composing the two proven fragments
+    "s14_ivfpq_rerank" -> (pqRankedSqlPruned(ivfPruneCtes, ivfPruneJoins) + """,
+         cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+         rr AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(p.qv, e.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM cand JOIN e ON e.vec_id = cand.neighbor_id
+                     JOIN p ON p.query_id = cand.query_id),
+         rranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM rr)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM rranked WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     // s7's ADC chain at rank <= 50 feeds an EXACT-cosine rerank (s1's
     // scoring + ranking formulas verbatim) — both stages of the
@@ -3890,6 +3904,32 @@ object SparkEntry {
     * the s7/s12 oracle; s13 passes the coarse-quantizer CTEs
     * (replicating `Similarity.ivfPqTopK`'s s3-recipe list assignment).
     */
+  /** The s13/s14 IVF prune: coarse-quantizer CTEs (s3's hash-order
+    * sampled centroids, dot/|c| argmax with lower-ci ties) + the
+    * corpus-list ⋈ probe-list equi-join restricting the ADC scan.
+    */
+  private val ivfPruneCtes: String =
+    """ivfc AS (
+           SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id) - 1 AS ci, v AS cv
+           FROM e ORDER BY ((vec_id % 1000003) * 999983 + 101) % 1000003, vec_id LIMIT 16),
+         ivfs AS (
+           SELECT e.vec_id, n.ci, list_dot_product(e.v, n.cv) / n.cnorm AS s
+           FROM e, (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM ivfc) n),
+         clist AS (
+           SELECT vec_id, ci FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+             FROM ivfs) t WHERE rn = 1),
+         plist AS (
+           SELECT vec_id AS query_id, ci FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+             FROM ivfs WHERE vec_id % 100 = 0) t WHERE rn <= 4),
+         """
+
+  private val ivfPruneJoins: String =
+    """
+           JOIN clist cl ON cl.vec_id = c.vec_id
+           JOIN plist pl ON pl.query_id = t.query_id AND pl.ci = cl.ci"""
+
   private def pqRankedSqlPruned(pruneCtes: String, pruneJoins: String): String =
     s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -491,9 +491,44 @@ object Similarity {
                    lloydIters: Int = 1): DataFrame = {
     require(candidates >= k,
       s"candidates ($candidates) must be >= k ($k)")
-    val cand = pqTopK(corpus0, probes, vecCol, idCol, candidates,
-        subspaces, codebookSize, lloydIters)
-      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus0, probes, vecCol, idCol, k,
+      pqTopK(corpus0, probes, vecCol, idCol, candidates,
+        subspaces, codebookSize, lloydIters))
+  }
+
+  /** [[pqRerankTopK]] with [[ivfPqTopK]] as the candidate stage — the
+    * FULL production serving shape at corpus scale: the coarse index
+    * prunes which codes are scanned (nProbe/numCentroids of the
+    * corpus), ADC compresses the scan (O(subspaces) per pair), and
+    * the exact-cosine rerank repairs quantization error over a
+    * bounded |probes|·candidates fetch. All three knobs
+    * (nProbe, subspaces, candidates) trade recall for cost
+    * independently; candidates >= corpus AND nProbe = numCentroids
+    * recovers brute force exactly (both degradations spec-asserted
+    * separately; the composition inherits them).
+    */
+  def ivfPqRerankTopK(corpus0: DataFrame, probes: DataFrame, vecCol: String,
+                      idCol: String, k: Int, candidates: Int = 50,
+                      numCentroids: Int = 16, nProbe: Int = 4,
+                      subspaces: Int = 8, codebookSize: Int = 64,
+                      lloydIters: Int = 1): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    exactRerank(corpus0, probes, vecCol, idCol, k,
+      ivfPqTopK(corpus0, probes, vecCol, idCol, candidates,
+        numCentroids, nProbe, subspaces, codebookSize, lloydIters))
+  }
+
+  /** Stage 2 of the two-stage ANN shapes: exact-cosine rerank of a
+    * (query_id, neighbor_id) candidate table. The candidate table is
+    * slim (|probes|·candidates rows) — BROADCAST against the corpus
+    * scan, so the full-precision fetch is a map-side semi-join with
+    * no corpus shuffle.
+    */
+  private def exactRerank(corpus0: DataFrame, probes: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          candidates0: DataFrame): DataFrame = {
+    val cand = candidates0.select(col("query_id"), col("neighbor_id"))
     val corpus = widen(corpus0)
     val dot = dotOf(corpus)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -440,6 +440,32 @@ class RobustSpec extends AnyFunSuite {
       key(pruned))
   }
 
+  test("ivfPqRerankTopK: rerank repairs pruned-ADC ranking; full degradation recovers brute force") {
+    val embs = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)
+    val bfIds = ids(bf)
+    // declared shape: 4-of-16 prune, 50 ADC candidates, exact rerank
+    val rr = Similarity.ivfPqRerankTopK(embs, probes, "embedding", "vec_id",
+      k = 5, candidates = 50, numCentroids = 16, nProbe = 4)
+    val raw = Similarity.ivfPqTopK(embs, probes, "embedding", "vec_id",
+      5, numCentroids = 16, nProbe = 4)
+    val rec = (d: Set[(Long, Long)]) => bfIds.count(d.contains).toDouble / bfIds.size
+    info(f"ivfpq+rerank recall@5 vs exact cosine: ${rec(ids(rr))}%.3f (raw pruned ADC ${rec(ids(raw))}%.3f)")
+    assert(rec(ids(rr)) >= rec(ids(raw)),
+      "exact rerank must not lose recall vs the raw pruned ADC ranking")
+    // full degradation: every list probed + candidate net >= corpus
+    // means stage 1 proposes everything and stage 2 IS brute force
+    val full = Similarity.ivfPqRerankTopK(embs, probes, "embedding", "vec_id",
+      k = 5, candidates = 10000, numCentroids = 8, nProbe = 8)
+    assert(key(full) == key(bf), "fully-degraded ivfpq rerank != brute force")
+  }
+
   test("round-6 operators are partitioning-invariant") {
     import graft.ops.{Curation, Graph, TextAnalysis}
     def run[A](f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
