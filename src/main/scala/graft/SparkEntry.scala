@@ -506,6 +506,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s15_ivfpq_recall" -> ((s, dir) => {
+      // the s5 eval gate pointed at the new composite index: per-query
+      // recall@5 of the raw IVF-pruned ADC ranking (s13) against
+      // brute-force truth (s1) — what a caller reads before turning
+      // the nProbe/candidates knobs
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val truth = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", 5)
+      val approx = Similarity.ivfPqTopK(emb, probes, "embedding", "vec_id",
+        5, numCentroids = 16, nProbe = 4)
+      Similarity.recallAtK(truth, approx, 5)
+        .orderBy("query_id")
+    }),
+
     "s8_mmr_select" -> ((s, dir) => {
       // diversity-aware exemplar pick: greedy MMR against the corpus
       // mean vector — k representative-yet-mutually-distinct rows,
@@ -1978,6 +1992,28 @@ object SparkEntry {
     "s13_ivfpq" -> (pqRankedSqlPruned(ivfPruneCtes, ivfPruneJoins) + """
          SELECT query_id, rank, neighbor_id, adist
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // s13's ranked chain at rank <= 5 vs a brute-force truth CTE over
+    // the same e/p tables, joined by the s5 recall recipe — the eval
+    // gate for the composite index, fully replicated
+    "s15_ivfpq_recall" -> (pqRankedSqlPruned(ivfPruneCtes, ivfPruneJoins) + """,
+         approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         bf_scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(p.qv, e.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM e JOIN p ON e.vec_id <> p.query_id),
+         bf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM bf_scored) t
+           WHERE rank <= 5)
+         SELECT bf.query_id AS query_id, CAST(count(a.query_id) AS BIGINT) AS n_hit,
+           floor(count(a.query_id) / 5.0 * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf LEFT JOIN approx a
+           ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+         GROUP BY bf.query_id ORDER BY bf.query_id"""),
 
     // s13's IVF-pruned ADC chain at rank <= 50 feeding s12's
     // exact-cosine rerank CTE — all three stages of the full serving

@@ -136,7 +136,8 @@ object Similarity {
     for (_ <- 0 until kmeansIters) {
       val norms = centNorms
       val assignScores = cents.indices.map { ci =>
-        struct((dot(col(vecCol), lit(cents(ci))) / lit(norms(ci))).as("s"),
+        struct((if (norms(ci) == 0.0) lit(0.0)
+                else dot(col(vecCol), lit(cents(ci))) / lit(norms(ci))).as("s"),
           lit(-ci).as("negi"))
       }
       val assigned = corpus.select(
@@ -154,9 +155,11 @@ object Similarity {
     }
     // score against centroid c is dot/|c| (the probe's own norm is a
     // common positive factor — argmax unchanged); ties break on the
-    // lower centroid index for determinism.
+    // lower centroid index for determinism. Zero sampled centroids
+    // score 0 (driver-side guard — see ivfPqTopK).
     def scores(vec: Column): Seq[Column] = cents.indices.map { ci =>
-      struct((dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
+      struct((if (centNorms(ci) == 0.0) lit(0.0)
+              else dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
         lit(-ci).as("negi"))
     }
     def nearestCentroid(vec: Column): Column =
@@ -819,9 +822,15 @@ object Similarity {
     val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
     // score against centroid c is dot/|c| (the row's own norm is a
     // common positive factor — the ranking is the cosine ranking);
-    // ties break on the lower centroid index (the s3/s7 rule)
+    // ties break on the lower centroid index (the s3/s7 rule). A
+    // ZERO sampled centroid scores 0 to everything (the cosOf
+    // convention) — guarded DRIVER-side so the expression is
+    // untouched for every non-degenerate centroid (ANSI double
+    // division by zero throws; the oracle never samples a zero
+    // centroid on the gated corpora)
     def scores(vec: Column): Seq[Column] = cents.indices.map { ci =>
-      struct((dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
+      struct((if (centNorms(ci) == 0.0) lit(0.0)
+              else dot(vec, lit(cents(ci))) / lit(centNorms(ci))).as("s"),
         lit(-ci).as("negi"))
     }
     val corpusC = corpus.withColumn("graft_list",

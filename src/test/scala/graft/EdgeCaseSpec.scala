@@ -155,6 +155,57 @@ class EdgeCaseSpec extends AnyFunSuite {
       persistIntermediate = false).count() == 0)
   }
 
+  test("round-8 operators tolerate degenerate inputs") {
+    import graft.ops.{Cluster, Similarity}
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // a 4-row, 8-dim corpus (dim divisible by subspaces=4), with a
+    // ZERO vector and a duplicated pair
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0, 1, 0, 0, 0)),
+      (2L, v(1, 0, 0, 0, 1, 0, 0, 0)),
+      (3L, v(0, 0, 0, 0, 0, 0, 0, 0)),
+      (4L, v(0, 1, 0, 0, 0, 1, 0, 0))).toDF("vec_id", "embedding")
+    // ivfPqTopK: numCentroids/codebookSize beyond the corpus, a zero
+    // vector in corpus AND probes, nProbe = numCentroids — no crash,
+    // every probe row ranked, no self-pairs
+    val r = Similarity.ivfPqTopK(emb, emb, "embedding", "vec_id", 3,
+      numCentroids = 16, nProbe = 16, subspaces = 4, codebookSize = 64)
+    assert(r.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(r.groupBy("query_id").count().filter(col("count") > 3).count() == 0)
+    assert(r.select("query_id").distinct().count() == 4)
+    // empty corpus is an explicit error (the PQ init needs rows)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb.limit(0), emb, "embedding", "vec_id", 3)
+    }
+    // ivfTopK shares the coarse scorer — the zero sampled centroid
+    // must not divide-by-zero there either (the same latent crash
+    // this test exposed in ivfPqTopK)
+    assert(Similarity.ivfTopK(emb, emb, "embedding", "vec_id", 3,
+      numCentroids = 4, nProbe = 4)
+      .filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ivfPqRerankTopK: candidates < k rejected; candidates >= corpus
+    // on the tiny corpus still ranks every probe
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerankTopK(emb, emb, "embedding", "vec_id",
+        k = 5, candidates = 3)
+    }
+    assert(Similarity.ivfPqRerankTopK(emb, emb, "embedding", "vec_id",
+      k = 3, candidates = 100, numCentroids = 4, nProbe = 4, subspaces = 4)
+      .select("query_id").distinct().count() == 4)
+    // semDedupPairsAuto: empty corpus rejected; single-row corpus
+    // derives k=1 and yields no pairs; the duplicated pair IS found
+    // on the tiny corpus (k=1 block = exact)
+    intercept[IllegalArgumentException] {
+      Cluster.semDedupPairsAuto(emb.limit(0), "embedding", "vec_id", 0.4)
+    }
+    assert(Cluster.semDedupPairsAuto(emb.limit(1), "embedding", "vec_id",
+      threshold = 0.4).count() == 0)
+    val pairs = Cluster.semDedupPairsAuto(emb, "embedding", "vec_id",
+        threshold = 0.99)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"exact dup pair: $pairs")
+  }
+
   test("asofJoin composed fallback rejects user columns in its reserved namespace") {
     val lf = Seq((1L, 10L, 100L)).toDF("k", "__asof_t", "lt")
     val rf = Seq((1L, 90L)).toDF("k", "rt")
