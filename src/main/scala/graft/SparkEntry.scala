@@ -762,6 +762,21 @@ object SparkEntry {
         .orderBy(col("log_w").desc, col("doc_id")).limit(50)
     }),
 
+    "t36_quality_classifier" -> ((s, dir) => {
+      // the trained CCNet/GPT-3-recipe quality filter: multinomial
+      // naive Bayes over t24's 8192-bucket hashed n-gram features,
+      // fit target(lang='en')-vs-rest on the t8 TRAIN split only,
+      // scoring EVERY doc (held-out included) with log-odds + verdict
+      // — the discriminative rung t16's heuristics and t24's
+      // importance weights lead up to
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      Curation.nbQualityScore(docs, "text", "doc_id",
+          col("lang") === "en", train)
+        .orderBy("doc_id")
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -997,11 +1012,15 @@ object SparkEntry {
     }),
 
     "d21_semdedup_auto" -> ((s, dir) => {
-      // d11 with k derived from corpus size (k = ceil(n/512)): block
-      // sizes — and so the within-block pair join — stay constant as
-      // the corpus grows, where d11's pinned k=4 is quadratic in
-      // disguise (SURVEY §6's d12-at-sf1 analysis); the derived knob
-      // itself is oracle-checked at every SF (the s4/d9 precedent)
+      // d11 with k derived from corpus size (k = least(ceil(n/512),
+      // 4096)): block sizes — and so the within-block pair join — stay
+      // constant as the corpus grows, where d11's pinned k=4 is
+      // quadratic in disguise (SURVEY §6's d12-at-sf1 analysis). The
+      // kCap bounds the moved quadratic term (the O(n·k·dim)
+      // assignment scan — see semDedupPairsAuto's Scaladoc; beyond it
+      // the declared escape hatch is d8/d9's LSH blocking); the
+      // derived knob INCLUDING the cap is oracle-checked at every SF
+      // (the s4/d9 precedent)
       Cluster.semDedupPairsAuto(Tables(s, dir).embeddings, "embedding",
           "vec_id", threshold = 0.4, targetBlock = 512, iters = 1)
         .orderBy("id1", "id2")
@@ -1154,16 +1173,22 @@ object SparkEntry {
       // prepended + a 30-byte excision) of every 20th long doc's
       // payload under ids +1e9; every variant must pair with its
       // source while byte-exact m4 pairs none of them
+      // ONE documents scan: each row explodes into its payload plus
+      // (for every 20th long doc) the planted re-encode — the union
+      // form cost a second corpus scan per consumer (VERDICT r08 #5)
       val base = Tables(s, dir).documents
-      val payloads = base.select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"))
-      val variants = base
-        .where(col("doc_id") % 20 === 0 && col("n_chars") >= 400)
-        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
-          encode(concat(lit("HDRv2 q50 "), substring(col("text"), 1, 100),
-            expr("substring(text, 131)")), "UTF-8").as("payload"))
-      Multimodal.payloadNearDupPairs(payloads.unionAll(variants),
-          "payload", "doc_id")
+      val variant = struct(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        encode(concat(lit("HDRv2 q50 "), substring(col("text"), 1, 100),
+          expr("substring(text, 131)")), "UTF-8").as("payload"))
+      val rows = base.select(explode(when(
+          col("doc_id") % 20 === 0 && col("n_chars") >= 400,
+          array(struct(col("doc_id"), encode(col("text"), "UTF-8")
+            .as("payload")), variant))
+        .otherwise(array(struct(col("doc_id"), encode(col("text"), "UTF-8")
+          .as("payload"))))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.payload").as("payload"))
+      Multimodal.payloadNearDupPairs(rows, "payload", "doc_id")
         .orderBy("id1", "id2")
     }),
 
@@ -2728,6 +2753,65 @@ object SparkEntry {
           FROM scored GROUP BY doc_id
           ORDER BY log_w DESC, doc_id LIMIT 50""",
 
+    "t36_quality_classifier" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+              substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+                AS is_train,
+              ${toksSql(normSql)} AS toks FROM documents),
+          uni AS (SELECT doc_id, is_target, is_train, unnest(toks) AS f FROM d),
+          big AS (
+            SELECT doc_id, is_target, is_train,
+              toks[i] || ' ' || toks[i + 1] AS f
+            FROM (
+              SELECT doc_id, is_target, is_train, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)),
+          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+          hb AS (
+            SELECT doc_id, is_target, is_train,
+              list_reduce(list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(f), i, 1)) - 1 AS BIGINT)),
+                (acc, dg) -> acc * 16 + dg) % 8192 AS b
+            FROM feats),
+          posts AS (
+            SELECT doc_id, is_target, is_train, b,
+              CAST(count(*) AS DOUBLE) AS tf
+            FROM hb GROUP BY doc_id, is_target, is_train, b),
+          tgt AS (
+            SELECT b, sum(tf) AS tcnt FROM posts
+            WHERE is_train AND is_target GROUP BY b),
+          rst AS (
+            SELECT b, sum(tf) AS rcnt FROM posts
+            WHERE is_train AND NOT is_target GROUP BY b),
+          pri AS (
+            SELECT count(DISTINCT CASE WHEN is_target THEN doc_id END) AS nt,
+                   count(DISTINCT CASE WHEN NOT is_target THEN doc_id END) AS nr
+            FROM posts WHERE is_train),
+          stats AS (
+            SELECT coalesce((SELECT sum(tcnt) FROM tgt), 0.0) AS t_total,
+                   coalesce((SELECT sum(rcnt) FROM rst), 0.0) AS r_total,
+                   (SELECT floor(ln((nt + 1.0) / (nr + 1.0)) * 1000000.0 + 0.5)
+                      / 1000000.0 FROM pri) AS prior),
+          scored AS (
+            SELECT p.doc_id, p.tf,
+              floor(ln(
+                ((coalesce(t.tcnt, 0.0) + 0.5) / (s.t_total + 4096.0)) /
+                ((coalesce(r.rcnt, 0.0) + 0.5) / (s.r_total + 4096.0)))
+                * 1000000.0 + 0.5) / 1000000.0 AS lr
+            FROM posts p LEFT JOIN tgt t USING (b) LEFT JOIN rst r USING (b)
+            CROSS JOIN stats s),
+          agg AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+              floor(CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(lr AS DECIMAL(18,6)))
+                    + (SELECT CAST(prior AS DECIMAL(18,6)) FROM stats) AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0 AS log_odds
+            FROM scored GROUP BY doc_id)
+          SELECT doc_id, n_feats, log_odds,
+            CAST(CASE WHEN log_odds > 0.0 THEN 1 ELSE 0 END AS INT) AS pred
+          FROM agg ORDER BY doc_id""",
+
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
           t AS (SELECT unnest(toks) AS term FROM d),
@@ -4066,11 +4150,12 @@ object SparkEntry {
     * targetBlock) lowest-id vectors, replicating
     * `Cluster.semDedupPairsAuto`'s derivation as a scalar subquery.
     */
-  private def autoKInitSql(targetBlock: Int): String =
+  private def autoKInitSql(targetBlock: Int, kCap: Int = 4096): String =
     s"""SELECT cid, c FROM (
              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
              FROM e) t
-           WHERE cid < (SELECT CAST(ceil(count(*) / $targetBlock.0) AS BIGINT) FROM e)"""
+           WHERE cid < (SELECT LEAST(
+             CAST(ceil(count(*) / $targetBlock.0) AS BIGINT), $kCap) FROM e)"""
 
   private def kmeansA2Sql(probes: Int = 1,
       initSql: String =

@@ -82,12 +82,21 @@ object NativeKernels {
     * same order), nn == 0 yields cos 0.0 (the cosOf guard), and
     * comparisons use Spark's SQL double ordering (NaN greatest,
     * -0.0 == 0.0) with ties keeping the LOWER index — exactly the
-    * (cos, -cid) struct-max/sort semantics. `x` shorter than dim
-    * contributes only its elements (the HOF's min-zip); n clamps to
-    * [0, k] (slice semantics).
+    * (cos, -cid) struct-max/sort semantics. `x` MUST be exactly `dim`
+    * long: the expression fallback's `zip_with` dot null-pads the
+    * SHORTER side (yielding a NULL cosine), so a ragged vector has no
+    * consistent answer on either path — it is data corruption, and
+    * the kernel fails loud on it instead of silently diverging from
+    * the fallback with a partial dot. n clamps to [0, k] (slice
+    * semantics).
     */
   def cosTopC(x: ArrayData, flat: ArrayData, dim: Int, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_cos_topc: vector length ${x.numElements()} != dim $dim " +
+          "(ragged embedding — the expression fallback would null-pad " +
+          "to a NULL cosine; fix the input)")
     val k = if (dim > 0) flat.numElements() / dim else 0
     val m = math.min(x.numElements(), dim)
     var daa = 0.0

@@ -234,17 +234,33 @@ object Cluster {
     * to k when the derived k is smaller (a corpus inside one block
     * cannot multi-probe).
     *
-    * The derivation is one count job; the oracle derives the same k
-    * from count(*) with the same integer rule, so the scale knob
-    * itself is oracle-checked at every SF (the s4/d9/s11 precedent).
+    * HONEST LIMIT of the derived knob: scaling k holds the PAIR JOIN
+    * constant per block, but the quadratic term moves into the
+    * ASSIGNMENT scan — O(n·k·dim) = O(n²·dim/targetBlock) total, with
+    * k centroids collected to the driver and a k·dim literal in the
+    * plan. `kCap` bounds all three (at the cap, assignment is back to
+    * linear-in-n with ~targetBlock·kCap-row blocks); the cap never
+    * binds below n = targetBlock·kCap ≈ 2M rows at the defaults.
+    * Beyond the cap the right blocking is no longer k-means at all —
+    * hash blocking whose key count scales for free: the LSH family
+    * ([[graft.ops.Dedup.embeddingNearDupPairs]] under d8/d9's derived
+    * banding) is the declared escape hatch, at LSH's recall contract
+    * instead of SemDeDup's cluster-local one.
+    *
+    * The derivation is one count job; the oracle derives the same
+    * k = least(ceil(n/targetBlock), kCap) from count(*) with the same
+    * integer rule, so the scale knob itself is oracle-checked at
+    * every SF (the s4/d9/s11 precedent).
     */
   def semDedupPairsAuto(embs: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, targetBlock: Int = 512,
-                        iters: Int = 1, blockProbes: Int = 2): DataFrame = {
+                        iters: Int = 1, blockProbes: Int = 2,
+                        kCap: Int = 4096): DataFrame = {
     require(targetBlock >= 1, s"targetBlock must be >= 1, got $targetBlock")
+    require(kCap >= 1, s"kCap must be >= 1, got $kCap")
     val n = embs.count()
     require(n > 0, "semDedupPairsAuto: corpus is empty")
-    val k = math.ceil(n.toDouble / targetBlock).toInt
+    val k = math.min(math.ceil(n.toDouble / targetBlock), kCap.toDouble).toInt
     semDedupPairs(embs, vecCol, idCol, k, threshold, iters,
       math.min(blockProbes, k))
   }

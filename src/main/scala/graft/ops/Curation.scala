@@ -660,6 +660,102 @@ object Curation {
         graft.functions.num.fround(col("w").cast("double"), 4).as("log_w"))
   }
 
+  /** TRAINED quality classifier (the CCNet / GPT-3-recipe filtering
+    * rung): a multinomial naive-Bayes model over hashed n-gram
+    * features, trained target-vs-rest on the TRAIN split only, scoring
+    * EVERY document with a log-odds and a threshold verdict. This is
+    * the discriminative "looks like the target corpus" scorer the
+    * published curation recipes end in — where [[dsirWeights]] (t24)
+    * yields importance weights against the RAW corpus and
+    * [[qualityFilter]] (t16) applies fixed heuristics, this one FITS a
+    * decision rule on labeled data and applies it to held-out docs.
+    *
+    * Model: per-class bucket counts with add-`alpha` smoothing over
+    * the `buckets`-bucket hashed unigram+bigram feature space (t24's
+    * feature map, verbatim — portable md5-fold buckets), class priors
+    * from train doc counts with +1 smoothing (a degenerate single-
+    * class training set scores finite, not ±∞). Per-bucket log-
+    * likelihood ratio is ONE ln of the ratio-of-ratios, 6dp-rounded;
+    * the per-doc sum Σ tf·llr runs in exact decimal and the prior
+    * adds in decimal before the final 4dp round (t18's portability
+    * recipe end to end — every FP step is a single identically-
+    * associated expression both engines evaluate bit-identically).
+    *
+    * Scale shape = t24's: feature formation map-only; ONE corpus
+    * shuffle (the (doc, class, bucket) partial-agg groupBy); both
+    * class models are ≤ `buckets` rows — fixed-size broadcasts at any
+    * corpus scale; priors/totals ride a 1-row broadcast; scoring is a
+    * broadcast join + map-side fold, so applying the trained model to
+    * 100 TB is an embarrassingly parallel scan. Train cost is the
+    * same scan restricted to the split — never a second corpus pass.
+    * Docs with zero tokens produce no row (no features, no verdict —
+    * t24's contract).
+    *
+    * Output: (doc_id, n_feats, log_odds 4dp, pred 0/1) — pred 1 iff
+    * log_odds > `threshold` (0 = the Bayes decision boundary).
+    */
+  def nbQualityScore(docs: DataFrame, textCol: String, idCol: String,
+                     targetFilter: Column, trainFilter: Column,
+                     buckets: Int = 8192, alpha: Double = 0.5,
+                     threshold: Double = 0.0,
+                     persistIntermediate: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val norm = Native.normOf(docs)
+    val fold = Native.md5FoldOf(docs)
+    val toks = docs.withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
+        trainFilter.as("is_train"),
+        text.tokens(col("graft_norm")).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // posts feeds FOUR consumers (two class models, the prior counts,
+    // the scoring join) — persist the slim (doc, flags, bucket, tf)
+    // table so the explode + per-feature md5 pass runs once (t24's
+    // treatment of the same shape)
+    val postsPlan = toks
+      .select(col("doc_id"), col("is_target"), col("is_train"),
+        explode(concat(col("toks"), bigrams)).as("f"))
+      .select(col("doc_id"), col("is_target"), col("is_train"),
+        pmod(fold(col("f")), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "is_target", "is_train", "b")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val posts =
+      if (persistIntermediate)
+        postsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else postsPlan
+    val tgt = posts.filter(col("is_train") && col("is_target"))
+      .groupBy("b").agg(sum("tf").as("tcnt"))
+    val rst = posts.filter(col("is_train") && !col("is_target"))
+      .groupBy("b").agg(sum("tf").as("rcnt"))
+    val pri = posts.filter(col("is_train"))
+      .agg(count_distinct(when(col("is_target"), col("doc_id"))).as("nt"),
+        count_distinct(when(!col("is_target"), col("doc_id"))).as("nr"))
+    val stats = tgt.agg(coalesce(sum("tcnt"), lit(0.0)).as("t_total"))
+      .crossJoin(broadcast(rst.agg(coalesce(sum("rcnt"), lit(0.0)).as("r_total"))))
+      .crossJoin(broadcast(pri.select(graft.functions.num.fround(
+        log((col("nt") + lit(1.0)) / (col("nr") + lit(1.0))), 6).as("prior"))))
+    val ab = alpha * buckets
+    posts
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(rst), Seq("b"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lr", graft.functions.num.fround(log(
+        ((coalesce(col("tcnt"), lit(0.0)) + lit(alpha)) / (col("t_total") + lit(ab))) /
+          ((coalesce(col("rcnt"), lit(0.0)) + lit(alpha)) / (col("r_total") + lit(ab)))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feats"),
+        (sum(col("tf").cast("decimal(9,0)") * col("lr").cast("decimal(18,6)"))
+          + first(col("prior")).cast("decimal(18,6)")).as("w"))
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+        graft.functions.num.fround(col("w").cast("double"), 4).as("log_odds"))
+      .withColumn("pred",
+        when(col("log_odds") > threshold, 1).otherwise(0))
+  }
+
   /** SEMANTIC (embedding-space) decontamination — the vector twin of
     * the n-gram forms ([[decontaminate]]/d6, bloom-prefiltered d13):
     * verdict every TRAIN vector by whether any EVAL vector sits within

@@ -524,12 +524,24 @@ object Graph {
         lit(true)))
     // `strict` adds the SUFFICIENT half: every comp value must exist as
     // an id in the labeling (a representative that is a smaller NON-
-    // member id passes the per-row check but still diverges). The
-    // semi-join keys on comp==id — one extra exchange over the slim
-    // (id, comp) projection — so it is opt-in for labelings from
-    // untrusted producers, not the default hot path.
+    // member id passes the per-row check but still diverges), and ids
+    // must be UNIQUE (a malformed labeling with duplicate id rows —
+    // exactly the untrusted-producer input strict targets — would
+    // otherwise pass both assertions while the membership join fans
+    // base rows out into the merge). One groupBy over the slim
+    // (id, comp) projection serves both: per-id counts trip the
+    // duplicate check, and its (already-distinct) keys are the rep
+    // side of the membership join — so strict costs one extra
+    // exchange, opt-in off the default hot path.
     val base = if (!strict) base0 else {
-      val ids = base0.select(col("id").as("rep"))
+      val ids = base0.groupBy(col("id").as("rep"))
+        .agg(count(lit(1)).as("graft_idn"))
+        .filter(coalesce(
+          assert_true(col("graft_idn") === 1, lit(
+            "incrementalComponents (strict): labeling has duplicate id " +
+              "rows (ids must be unique)")),
+          lit(true)))
+        .select("rep")
       base0.join(ids, col("comp") === col("rep"), "left")
         .filter(coalesce(
           assert_true(col("rep").isNotNull, lit(

@@ -370,6 +370,28 @@ object EventStream {
       }
   }
 
+  /** Lists `dir`'s `batch_id=<n>` children with n < `batchId`, as
+    * (n, path) sorted by n. Suffixes that are not a plain long —
+    * manual debris like `batch_id=3.bak`, a half-cleaned temp rename —
+    * are SKIPPED, not thrown on: a throw inside foreachBatch re-fires
+    * on every retry and permanently wedges the stream on state the
+    * stream itself never wrote.
+    */
+  private def priorBatchDirs(spark: SparkSession, dir: String,
+                             batchId: Long): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap { p =>
+        if (p.getName.startsWith("batch_id="))
+          p.getName.stripPrefix("batch_id=").toLongOption
+            .map(n => (n, p.toString))
+        else None
+      }
+      .filter(_._1 < batchId).sortBy(_._1)
+  }
+
   /** Streaming driver for the d14 incremental-dedup chain — the batch
     * operator ([[graft.ops.Dedup.incrementalDedup]]) made continuous:
     * each micro-batch of documents is verdicted against the
@@ -412,16 +434,8 @@ object EventStream {
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        def prior(sub: String): Seq[String] = {
-          val root = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(root))
-            fs.listStatus(root).toSeq.map(_.getPath)
-              .filter(_.getName.startsWith("batch_id="))
-              .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
-              .map(_.toString)
-          else Seq.empty
-        }
+        def prior(sub: String): Seq[String] =
+          priorBatchDirs(spark, s"$indexDir/$sub", batchId).map(_._2)
         val (ph, pb) = (prior("hashes"), prior("bands"))
         // empty-index schemas derive from a zero-row prep of the batch
         // itself, so id/hash types always match the caller's
@@ -467,16 +481,8 @@ object EventStream {
     edges.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(labelDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val parent =
-          if (fs.exists(root))
-            fs.listStatus(root).toSeq.map(_.getPath)
-              .filter(_.getName.startsWith("batch_id="))
-              .map(p => (p.getName.stripPrefix("batch_id=").toLong, p.toString))
-              .filter(_._1 < batchId)
-              .sortBy(_._1).lastOption.map(_._2)
-          else None
+          priorBatchDirs(spark, labelDir, batchId).lastOption.map(_._2)
         val labels = parent match {
           case Some(p) => spark.read.parquet(p)
           case None => spark.createDataFrame(
@@ -498,15 +504,7 @@ object EventStream {
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior =
-          if (fs.exists(root))
-            fs.listStatus(root).toSeq.map(_.getPath)
-              .filter(_.getName.startsWith("batch_id="))
-              .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
-              .map(_.toString)
-          else Seq.empty
+        val prior = priorBatchDirs(spark, indexDir, batchId).map(_._2)
         val index =
           if (prior.isEmpty)
             spark.createDataFrame(
@@ -524,5 +522,53 @@ object EventStream {
           verdicts.where(col("verdict") === "new").select("fingerprint")
             .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
         } finally verdicts.unpersist()
+    }
+
+  /** Streaming driver for the q36 chain — incremental ROLLUP VIEW
+    * MAINTENANCE as a sink: each micro-batch of raw events rolls up
+    * into MERGEABLE state ([[graft.ops.Enrich.hourlyRollupState]]:
+    * count + exact-decimal sum, no derived ratios) and merges into the
+    * accumulated state table by plain addition — correct because
+    * merge(rollup(A), rollup(B)) == rollup(A ∪ B) bit-for-bit on
+    * mergeable state, which is exactly what q36's batch oracle proves.
+    * Serving columns (avg, rounded sum) derive AT READ TIME from the
+    * snapshot via [[graft.ops.Enrich.mergeRollups]]; storing them
+    * would break mergeability.
+    *
+    * State is a SNAPSHOT the merge REPLACES (the g4-sink shape, not
+    * the dedup sinks' append-only union): batch N reads the single
+    * snapshot written by the latest batch < N, merges its delta, and
+    * writes the full state under `batch_id=N` — so a retried batch N
+    * re-reads the same parent and overwrites only its own output (the
+    * foreachBatch idempotence contract), and restart-from-checkpoint
+    * resumes with the state exactly as the completed batches left it.
+    * 100 TB shape: per batch O(delta) + one partial-agg shuffle onto
+    * the BOUNDED (event_type, hour) grid — history is never rescanned
+    * (the full-recompute alternative rereads the corpus per batch).
+    * The stored sum is pinned to decimal(38,6) so every snapshot
+    * carries one schema regardless of Spark's sum-widening ladder.
+    */
+  def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
+                      valCol: String, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val parent =
+          priorBatchDirs(spark, stateDir, batchId).lastOption.map(_._2)
+        val delta = graft.ops.Enrich.hourlyRollupState(batch.toDF(),
+          tsCol, typeCol, valCol)
+        val merged = parent match {
+          case Some(p) => spark.read.parquet(p).unionByName(
+              delta.select(col("event_type"), col("hb_ms"), col("n"),
+                col("sum_value").cast("decimal(38,6)").as("sum_value")))
+            .groupBy("event_type", "hb_ms")
+            .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+          case None => delta
+        }
+        merged.select(col("event_type"), col("hb_ms"),
+            col("n").cast("long").as("n"),
+            col("sum_value").cast("decimal(38,6)").as("sum_value"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
     }
 }

@@ -47,6 +47,40 @@ class CurationSpec extends AnyFunSuite {
     assert(w(1L)._2 > w(4L)._2 && w(2L)._2 > w(4L)._2)
   }
 
+  test("nbQualityScore: held-out docs land on their class's side of the trained boundary; counts exact") {
+    // two separable vocabularies; docs 5/6 are HELD OUT (not in the
+    // train split) — the fitted model, not memorization, must classify
+    // them. Doc 7 is empty → no features, no row (t24's contract).
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true, true),
+      (2L, "alpha beta gamma alpha", true, true),
+      (3L, "zeta eta theta", false, true),
+      (4L, "zeta theta eta zeta", false, true),
+      (5L, "alpha beta beta", true, false),
+      (6L, "zeta eta eta", false, false),
+      (7L, "", false, false)).toDF("id", "txt", "tgt", "tr")
+    val got = Curation.nbQualityScore(docs, "txt", "id", col("tgt"), col("tr"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(got(5L)._1 == 5L && got(6L)._1 == 5L && got(1L)._1 == 7L)
+    // the VERDICT r08 gate: target docs rank above base rate — here
+    // fully separable, so every target doc (held-out included) is
+    // above the boundary and every rest doc below it
+    assert(got(5L)._3 == 1 && got(5L)._2 > 0.0,
+      s"held-out target doc must verdict 1: ${got(5L)}")
+    assert(got(6L)._3 == 0 && got(6L)._2 < 0.0,
+      s"held-out rest doc must verdict 0: ${got(6L)}")
+    assert(Seq(1L, 2L).forall(got(_)._3 == 1) &&
+      Seq(3L, 4L).forall(got(_)._3 == 0), s"train docs misclassified: $got")
+    // balanced train classes → prior 0; the unseen-bucket llr is the
+    // only off-vocab signal and it is tiny — scores are dominated by
+    // the evidence, so the margins are wide
+    assert(got(5L)._2 > 1.0 && got(6L)._2 < -1.0, s"margins: $got")
+  }
+
   test("scrubPii counts phones on the email-scrubbed text (no double redaction)") {
     // the local part contains a phone-shaped digit run; email wins
     val docs = Seq((1L, "x 555-123-4567@host.com y")).toDF("doc_id", "text")

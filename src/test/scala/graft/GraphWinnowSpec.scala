@@ -396,6 +396,22 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(s == Set(5L -> 5L, 6L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incrementalComponents strict mode: duplicate id rows trip the uniqueness tripwire") {
+    import spark.implicits._
+    val delta = Seq((20L, 21L)).toDF("id1", "id2")
+    // per-row comp <= id holds and every comp IS a member id — but id
+    // 6 appears twice, which the membership join would silently fan
+    // into duplicate merge rows (the ADVICE r08 finding)
+    val dup = Seq((5L, 5L), (6L, 5L), (6L, 5L)).toDF("id", "comp")
+    val e = intercept[Exception] {
+      Graph.incrementalComponents(dup, "id", "comp", delta, "id1", "id2",
+        strict = true).collect()
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    // the default (non-strict) path remains tripwire-only by contract
+    Graph.incrementalComponents(dup, "id", "comp", delta, "id1", "id2").collect()
+  }
+
   test("labelPropagation accepts STRING vertex ids with the same tie-break") {
     import spark.implicits._
     // the same barbell under a lexicographic alphabet: the (max votes,

@@ -91,6 +91,27 @@ class NativeSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cos_topc fails loud on ragged vectors (length != dim)") {
+    // a ragged embedding has no consistent answer on either path (the
+    // expression fallback's zip_with null-pads to a NULL cosine), so
+    // the kernel must reject it rather than silently return a
+    // partial-dot cosine (the ADVICE r08 finding)
+    val emb = tables.Tables(spark, sfDir).embeddings.limit(4)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cent = emb.select(col("embedding")).head()
+      .getSeq[Number](0).map(_.doubleValue()).toArray
+    val e = intercept[Throwable] {
+      emb.select(call_function("graft_cos_topc",
+          slice(col("embedding"), 1, dim - 1), lit(cent), lit(dim), lit(1)))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("graft_cos_topc: vector length")),
+      chain(e).mkString(" | "))
+  }
+
   test("graft_md5_fold64 equals conv(substring(md5,1,15),16,10) exactly") {
     val docs = tables.Tables(spark, sfDir).documents.limit(200)
       .select(explode(text.tokens(text.normalize(col("text")))).as("f"))

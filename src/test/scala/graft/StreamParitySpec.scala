@@ -542,6 +542,61 @@ class StreamParitySpec extends AnyFunSuite {
     assert(streamed == scratch, s"streamed $streamed != from-scratch $scratch")
   }
 
+  test("parity: rollupMergeSink — merged snapshot equals the single-pass rollup; restart resumes the state; batch_id debris is skipped") {
+    import graft.ops.Enrich
+    // three micro-batches across two hours + two types, with null-ts
+    // rows riding along (they form the null-hour group — q36's
+    // null-COMPLETE contract) and cross-batch key overlap so the merge
+    // leg actually adds
+    val h1 = t0 - t0 % 3600000
+    val batches: Seq[Seq[(Timestamp, String, Double)]] = Seq(
+      Seq((ts(h1 + 60000), "click", 1.25), (ts(h1 + 120000), "click", 2.5),
+        (ts(h1 + 3660000), "view", 0.5)),
+      Seq((ts(h1 + 180000), "click", 4.0), (null, "view", 1.0),
+        (ts(h1 + 3720000), "view", 0.25)),
+      Seq((ts(h1 + 3780000), "click", 3.0), (null, "view", 2.0)))
+    // batch truth: the single-pass rollup of everything, served
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      Enrich.mergeRollups(Seq(df)).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1))) -> (r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+    val all = batches.flatten.toDF("ts", "event_type", "value")
+    val truth = serve(Enrich.hourlyRollupState(all, "ts", "event_type", "value"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup")
+    val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    def startQuery() =
+      EventStream.rollupMergeSink(ms.toDS().toDF("ts", "event_type", "value"),
+          "ts", "event_type", "value", stateDir)
+        .option("checkpointLocation", ckpt).start()
+    // phase 1: batch 0 only, then STOP — the state must survive on disk
+    val q1 = startQuery()
+    try { ms.addData(batches(0): _*); q1.processAllAvailable() } finally q1.stop()
+    // debris between phases: a non-numeric batch_id suffix must be
+    // SKIPPED by the listing, not thrown on (a throw would wedge every
+    // retry of the next batch — the ADVICE r08 finding)
+    assert(new java.io.File(s"$stateDir/batch_id=0.bak").mkdirs())
+    // phase 2: restart from the checkpoint; batch 1 merges into the
+    // snapshot batch 0 left, batch 2 into batch 1's
+    val q2 = startQuery()
+    try {
+      ms.addData(batches(1): _*); q2.processAllAvailable()
+      ms.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val last = new java.io.File(stateDir).listFiles()
+      .filter(f => f.getName.startsWith("batch_id=") &&
+        f.getName.stripPrefix("batch_id=").forall(_.isDigit))
+      .maxBy(_.getName.stripPrefix("batch_id=").toLong)
+    assert(last.getName == "batch_id=2", s"latest snapshot: ${last.getName}")
+    val streamed = serve(spark.read.parquet(last.getAbsolutePath))
+    assert(streamed == truth, s"streamed $streamed != single-pass $truth")
+    // the merged state itself is EXACT: the click hour accumulated
+    // across all three batches (1.25 + 2.5 + 4.0 in h1)
+    val h1Click = streamed((Some("click"), Some(h1)))
+    assert(h1Click._1 == 3L && h1Click._2 == 7.75, s"h1 click: $h1Click")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
