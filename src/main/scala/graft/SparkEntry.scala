@@ -808,6 +808,20 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "t37_unigram_lm" -> ((s, dir) => {
+      // the OTHER production tokenizer trainer: unigram-LM
+      // (SentencePiece-style) Viterbi hard-EM over a substring seed,
+      // trained on the t8 train split — where t34's BPE merges grow
+      // the vocabulary bottom-up, EM prunes an over-complete seed
+      // top-down. The fixed 2-round EM TRAJECTORY (seed → segment →
+      // recount → re-normalize, twice) is itself oracle-replicated
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      TextAnalysis.unigramLmTrain(docs.filter(train), "text")
+        .orderBy("piece")
+    }),
+
     "t35_bpe_segment" -> ((s, dir) => {
       // the APPLY side: segment the corpus with the 10 learned merges
       // and roll up the piece vocabulary with corpus-weighted usage —
@@ -2899,6 +2913,43 @@ object SparkEntry {
 
     "t34_bpe_train" -> bpeOracleSql(10),
 
+    "t37_unigram_lm" ->
+      s"""WITH d AS (
+            SELECT ${toksSql(normSql)} AS toks FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)
+              < 'e666'),
+          words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(toks) AS w FROM d)
+            WHERE length(w) BETWEEN 1 AND 16 GROUP BY w),
+          subs AS (
+            SELECT substr(word, i, l) AS piece, word, freq
+            FROM words,
+              LATERAL (SELECT unnest(generate_series(1, length(word))) AS i),
+              LATERAL (SELECT unnest(generate_series(1,
+                least(4, length(word) - i + 1))) AS l)),
+          sc AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece),
+          chars AS (SELECT piece FROM sc WHERE length(piece) = 1),
+          seed AS (
+            SELECT piece, cnt FROM sc WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+              SELECT piece, cnt,
+                row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+              FROM sc WHERE length(piece) > 1) WHERE rn <= 512),
+          v0 AS (
+            SELECT piece,
+              floor(ln(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1000000.0 + 0.5)
+                / 1000000.0 AS logp
+            FROM seed),
+          wp AS (SELECT DISTINCT word, piece FROM subs),
+          ${t37RoundCtes(1, "v0", 4)},
+          ${t37RoundCtes(2, "v1", 4)}
+          SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
+
     "t35_bpe_segment" -> bpeSegmentOracleSql(10),
 
     "t19_vocab" ->
@@ -4150,6 +4201,72 @@ object SparkEntry {
     * targetBlock) lowest-id vectors, replicating
     * `Cluster.semDedupPairsAuto`'s derivation as a scalar subquery.
     */
+  /** t37's Viterbi dp as DuckDB SQL — mirrors
+    * `TextAnalysis.viterbiPieces` exactly (see its Scaladoc for the
+    * determinism contract: l-ascending candidate scan, strict-greater
+    * replacement, −1e18 unreachable sentinel, clamped prefix index).
+    * DuckDB's `list_reduce` has no separate init value, so the
+    * position index rides the fold ELEMENTS as 1-struct dp lists and
+    * the true init dp[0] is prepended. The candidate max is an
+    * UNROLLED CASE chain — the same structure as the Spark side's
+    * when-chain — and deliberately NOT an inner
+    * list_filter/list_reduce: DuckDB 1.0 mis-evaluates that nested-
+    * lambda form at volume (correct on a 2-row probe, wrong answers —
+    * including empty pieces — on the same data at hundreds of rows;
+    * bisected at sf1 during round 9).
+    */
+  private def t37ViterbiSql(w: String, m: String, maxPieceLen: Int): String = {
+    val j = "CAST(x[1].s AS INT)"
+    val best = (1 to maxPieceLen).foldLeft(
+        "{'s': -1e18, 'p': CAST([] AS VARCHAR[])}") { (b, l) =>
+      val pc = s"substr($w, $j - $l + 1, $l)"
+      val lp = s"list_extract(map_extract($m, $pc), 1)"
+      val prev = s"acc[greatest($j - $l + 1, 1)]"
+      val cand = s"{'s': $prev.s + $lp, 'p': list_append($prev.p, $pc)}"
+      s"""CASE WHEN ($j >= $l AND $lp IS NOT NULL AND $prev.s > -1e17)
+             AND ($cand).s > ($b).s THEN $cand ELSE $b END"""
+    }
+    s"""list_reduce(
+         list_prepend([{'s': 0.0, 'p': CAST([] AS VARCHAR[])}],
+           list_transform(generate_series(1, length($w)),
+             j -> [{'s': CAST(j AS DOUBLE), 'p': CAST([] AS VARCHAR[])}])),
+         (acc, x) -> list_append(acc, $best))[length($w) + 1].p"""
+  }
+
+  /** One t37 hard-EM round as CTEs: piece-candidate join → per-word
+    * map → Viterbi segmentation → freq-weighted recount → prune +
+    * alphabet smoothing → re-normalized logp (exact-decimal total).
+    */
+  private def t37RoundCtes(r: Int, prevV: String, maxPieceLen: Int): String =
+    s"""cand$r AS (
+          SELECT s.word, s.piece, v.logp FROM wp s JOIN $prevV v USING (piece)),
+        pm$r AS (
+          SELECT word,
+            MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS m
+          FROM cand$r GROUP BY word),
+        seg$r AS (
+          SELECT w.freq,
+            unnest(${t37ViterbiSql("w.word", "p.m", maxPieceLen)}) AS piece
+          FROM words w JOIN pm$r p ON w.word = p.word),
+        cnt$r AS (
+          SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM seg$r GROUP BY piece),
+        all$r AS (
+          SELECT coalesce(c.piece, a.piece) AS piece, coalesce(c.cnt, 0) AS cnt
+          FROM cnt$r c FULL JOIN chars a ON c.piece = a.piece),
+        sm$r AS (
+          SELECT piece, cnt,
+            CAST(cnt AS DECIMAL(18,1)) +
+              (CASE WHEN length(piece) = 1 THEN CAST(0.5 AS DECIMAL(18,1))
+                    ELSE CAST(0.0 AS DECIMAL(18,1)) END) AS cs
+          FROM all$r WHERE cnt > 0 OR length(piece) = 1),
+        v$r AS (
+          SELECT piece, cnt,
+            floor(ln(CAST(cs AS DOUBLE) /
+              (SELECT CAST(sum(cs) AS DOUBLE) FROM sm$r)) * 1000000.0 + 0.5)
+              / 1000000.0 AS logp
+          FROM sm$r)"""
+
   private def autoKInitSql(targetBlock: Int, kCap: Int = 4096): String =
     s"""SELECT cid, c FROM (
              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c

@@ -1061,4 +1061,157 @@ object TextAnalysis {
       .groupBy("piece")
       .agg(sum(col("freq")).as("n_occurrences"))
   }
+
+  /** Viterbi best-segmentation of `word` under the piece → logp map
+    * `pmap`: standard subword-tokenizer inference (maximize the sum of
+    * piece log-probs) as ONE fold over character positions — dp[j] =
+    * best over piece lengths l = 1..`maxPieceLen` of dp[j−l] +
+    * logp(word[j−l+1..j]), carried as (score, pieces) structs so the
+    * final state IS the segmentation. Deterministic in both engines:
+    * candidates scan l ascending and replace only on STRICTLY greater
+    * score (ties keep the shorter final piece), every score is a sum
+    * of 6dp-rounded logps accumulated in the same association, and
+    * unreachable positions carry a −1e18 sentinel (a position is
+    * unreachable when a pruned vocabulary covers no piece ending
+    * there; the single-character alphabet is never pruned, so the
+    * FINAL position always resolves). `greatest(…, 1)` clamps the
+    * prefix index so no branch ever evaluates an out-of-range
+    * element_at, reachable or not (the validity conjunct gates the
+    * value; the clamp only keeps ANSI mode quiet on the dead branch).
+    */
+  private def viterbiPieces(word: Column, pmap: Column,
+                            maxPieceLen: Int): Column = {
+    val emptyP = array().cast("array<string>")
+    val folded = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0.0).as("s"), emptyP.as("p"))),
+      (acc, j) => {
+        val sentinel = struct(lit(-1e18).as("s"), emptyP.as("p"))
+        val best = (1 to maxPieceLen).foldLeft(sentinel: Column) { (b, l) =>
+          val piece = word.substr(j - lit(l) + lit(1), lit(l))
+          val lp = element_at(pmap, piece)
+          val prev = element_at(acc, greatest(j - lit(l) + lit(1), lit(1)))
+          val candS = prev.getField("s") + lp
+          when((j >= lit(l)) && lp.isNotNull &&
+              (prev.getField("s") > lit(-1e17)) && (candS > b.getField("s")),
+            struct(candS.as("s"),
+              array_append(prev.getField("p"), piece).as("p")))
+            .otherwise(b)
+        }
+        array_append(acc, best)
+      })
+    element_at(folded, length(word) + lit(1)).getField("p")
+  }
+
+  /** UNIGRAM-LM subword tokenizer trainer (the SentencePiece family,
+    * Kudo 2018) in a deterministic Viterbi hard-EM form — the other
+    * production tokenizer next to [[bpeTrain]]'s BPE (VERDICT r08 #7):
+    * where BPE grows a vocabulary bottom-up by merging, the unigram
+    * trainer starts from an over-complete substring seed and lets EM
+    * re-estimate piece probabilities, pruning what the best
+    * segmentations stop using.
+    *
+    * Recipe (every step engine-replicable):
+    *  1. Word table: normalized whitespace tokens of the corpus with
+    *     frequencies; words longer than `maxWordLen` chars are dropped
+    *     (they are vanishingly rare post-normalization and would only
+    *     deepen the dp).
+    *  2. Seed: every substring of length 1..`maxPieceLen`, counted
+    *     with corpus multiplicity; vocabulary = ALL single characters
+    *     (coverage — never pruned) ∪ the top `seedSize` multi-char
+    *     pieces by (count desc, piece asc). logp = 6dp-ln of
+    *     count/total.
+    *  3. `iters` hard-EM rounds: Viterbi-segment every DISTINCT word
+    *     under the current logps ([[viterbiPieces]]), recount pieces
+    *     with word frequencies, drop multi-char pieces with count 0,
+    *     re-normalize with +0.5 smoothing on the alphabet only (an
+    *     unused character keeps a finite floor logp, so coverage
+    *     survives any pruning trajectory), logp = 6dp-ln over the
+    *     exact-decimal smoothed total.
+    *
+    * Determinism/portability: integer counts sum exactly; smoothed
+    * counts live in decimal(18,1); each logp is ONE 6dp-floor-rounded
+    * ln of a ratio of exact values; dp sums replay in one fixed
+    * association with strict-greater tie-breaks (t18/t34's recipe) —
+    * so a fixed-iteration EM TRAJECTORY, not just the final table, is
+    * oracle-checkable (the d21 principle: the knob's derivation is
+    * itself under the gate).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-table groupBy —
+    * same single scan as BPE's); everything downstream runs at
+    * DICTIONARY size (distinct words ≤ vocabulary, piece tables ≤
+    * alphabet + `seedSize` rows — the e1/e2 dictionary contract).
+    * Per round: one piece-key join, one per-word map rollup, the
+    * map-only Viterbi pass, one bounded recount shuffle; totals ride
+    * 1-row broadcasts. Seed selection is a TakeOrdered top-k, never a
+    * global sort. No driver state at all — the vocabulary stays
+    * distributed (vs BPE's collected merge list).
+    *
+    * Output: (piece, cnt, logp) after round `iters` — cnt the raw
+    * final Viterbi count (0 for never-used alphabet chars), logp the
+    * smoothed model the next round would use.
+    */
+  def unigramLmTrain(docs: DataFrame, textCol: String,
+                     seedSize: Int = 512, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16, iters: Int = 2,
+                     persistIntermediate: Boolean = true): DataFrame = {
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [2, 8], got $maxPieceLen")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
+      s"maxWordLen must be in [$maxPieceLen, 64], got $maxWordLen")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    def persist(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    // the ONE corpus scan; dictionary-sized from here on
+    val words = persist(docs
+      .select(explode(text.tokens(
+        graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+    // all substring occurrences; feeds seed counts AND the per-round
+    // candidate join (distinct form)
+    val subs = persist(words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word"), col("freq"),
+        col("word").substr(col("i"), col("l")).as("piece")))
+    val sc = persist(subs.groupBy("piece").agg(sum("freq").as("cnt")))
+    val chars = sc.where(length(col("piece")) === 1).select("piece")
+    val multis = sc.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+    val seed = sc.where(length(col("piece")) === 1).unionAll(multis)
+    val v0 = seed
+      .crossJoin(broadcast(seed.agg(sum("cnt").cast("double").as("tot"))))
+      .select(col("piece"),
+        fround(log(col("cnt").cast("double") / col("tot")), 6).as("logp"))
+    val wp = subs.select("word", "piece").distinct()
+    def emRound(v: DataFrame): DataFrame = {
+      val cand = wp.join(v.select("piece", "logp"), Seq("piece"))
+      val pm = cand.groupBy("word")
+        .agg(map_from_entries(collect_list(
+          struct(col("piece"), col("logp")))).as("m"))
+      val seg = words.join(pm, Seq("word"))
+        .select(col("freq"),
+          explode(viterbiPieces(col("word"), col("m"), maxPieceLen))
+            .as("piece"))
+      val cnt = seg.groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
+      val sm = cnt.join(chars, Seq("piece"), "full")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .where(col("cnt") > 0 || length(col("piece")) === 1)
+        .withColumn("cs", col("cnt").cast("decimal(18,1)") +
+          when(length(col("piece")) === 1, lit(0.5)).otherwise(lit(0.0))
+            .cast("decimal(18,1)"))
+      sm.crossJoin(broadcast(sm.agg(sum("cs").cast("double").as("tot"))))
+        .select(col("piece"), col("cnt"),
+          fround(log(col("cs").cast("double") / col("tot")), 6).as("logp"))
+    }
+    (1 to iters).foldLeft(v0.withColumn("cnt", lit(0L)))((v, _) => emRound(v))
+      .select("piece", "cnt", "logp")
+  }
 }

@@ -196,4 +196,31 @@ class RetrievalSpec extends AnyFunSuite {
       .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got3 == Seq(("aa", 1L), ("aaa", 1L), ("ab", 2L)), s"merges=3: $got3")
   }
+
+  test("unigramLmTrain: hand-traced EM — whole-word pieces win Viterbi, " +
+      "unused multis prune, the alphabet keeps a smoothed floor") {
+    import spark.implicits._
+    def lp(x: Double): Double = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    // words: ab x3, abc x1. Seed pieces: a(4) b(4) ab(4) c(1) bc(1)
+    // abc(1), total 15. Viterbi round 1: 'ab' -> [ab] (one piece beats
+    // a|b), 'abc' -> [abc] (beats ab|c and a|bc). Counts: ab=3, abc=1;
+    // 'bc' is never used -> PRUNED; chars keep the +0.5 floor.
+    // Smoothed total = 3 + 1 + 3*0.5 = 5.5; round 2 re-segments the
+    // same way, so the trajectory is a fixed point from round 1.
+    val docs = Seq("ab ab ab abc").toDF("text")
+    val got = TextAnalysis.unigramLmTrain(docs, "text",
+        persistIntermediate = false)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val charLp = lp(0.5 / 5.5)
+    assert(got == Seq(
+      ("a", 0L, charLp), ("ab", 3L, lp(3.0 / 5.5)), ("abc", 1L, lp(1.0 / 5.5)),
+      ("b", 0L, charLp), ("c", 0L, charLp)), s"trajectory mismatch: $got")
+    // determinism: a re-run reproduces the table exactly
+    val again = TextAnalysis.unigramLmTrain(docs, "text",
+        persistIntermediate = false)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == got)
+  }
 }
