@@ -1190,26 +1190,44 @@ object TextAnalysis {
       .crossJoin(broadcast(seed.agg(sum("cnt").cast("double").as("tot"))))
       .select(col("piece"),
         fround(log(col("cnt").cast("double") / col("tot")), 6).as("logp"))
-    val wp = subs.select("word", "piece").distinct()
+    // distinct (word, piece) feeds EVERY round's candidate join —
+    // persisted so the distinct shuffle runs once, not per round
+    val wp = persist(subs.select("word", "piece").distinct())
+    // per-round exchanges are the price at many slots (the t34
+    // scheduling-floor class), so the round is built lean: the
+    // vocabulary and the word-frequency table are BOUNDED — broadcast
+    // both, leaving ONE word-key rollup and two bounded piece aggs
     def emRound(v: DataFrame): DataFrame = {
-      val cand = wp.join(v.select("piece", "logp"), Seq("piece"))
-      val pm = cand.groupBy("word")
-        .agg(map_from_entries(collect_list(
-          struct(col("piece"), col("logp")))).as("m"))
-      val seg = words.join(pm, Seq("word"))
-        .select(col("freq"),
-          explode(viterbiPieces(col("word"), col("m"), maxPieceLen))
-            .as("piece"))
+      val pm = wp.join(broadcast(v.select("piece", "logp")), Seq("piece"))
+        .join(broadcast(words), Seq("word"))
+        .groupBy("word")
+        .agg(first(col("freq")).as("freq"),
+          map_from_entries(collect_list(
+            struct(col("piece"), col("logp")))).as("m"))
+      val seg = pm.select(col("freq"),
+        explode(viterbiPieces(col("word"), col("m"), maxPieceLen))
+          .as("piece"))
       val cnt = seg.groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
-      val sm = cnt.join(chars, Seq("piece"), "full")
-        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      // alphabet floor rows via union + re-agg (chars used in the
+      // segmentation merge with their counts; unused ones surface at
+      // 0) — one partial agg where a full-outer join would shuffle
+      // both sides
+      val sm = cnt.unionByName(chars.withColumn("cnt", lit(0L)))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
         .where(col("cnt") > 0 || length(col("piece")) === 1)
         .withColumn("cs", col("cnt").cast("decimal(18,1)") +
           when(length(col("piece")) === 1, lit(0.5)).otherwise(lit(0.0))
             .cast("decimal(18,1)"))
       sm.crossJoin(broadcast(sm.agg(sum("cs").cast("double").as("tot"))))
-        .select(col("piece"), col("cnt"),
+        .select(col("piece"), col("cnt").cast("long").as("cnt"),
           fround(log(col("cs").cast("double") / col("tot")), 6).as("logp"))
+        // the vocabulary is BOUNDED (≤ alphabet + seedSize rows) but
+        // its lineage holds the round's whole dp mega-expression —
+        // left in place, round r+1's plan embeds round r's tree and
+        // Catalyst re-optimizes the Viterbi expressions once per
+        // remaining round (measured 4.5-7 s at sf0.1 from planning
+        // alone). Truncate per round: each round plans only itself.
+        .localCheckpoint(true)
     }
     (1 to iters).foldLeft(v0.withColumn("cnt", lit(0L)))((v, _) => emRound(v))
       .select("piece", "cnt", "logp")
