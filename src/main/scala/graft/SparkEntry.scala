@@ -822,6 +822,21 @@ object SparkEntry {
         .orderBy("piece")
     }),
 
+    "t38_tokenizer_cost" -> ((s, dir) => {
+      // the APPLY side of t37 (t35's role for t34): train the
+      // unigram-LM vocabulary on the t8 train split, Viterbi-segment
+      // EVERY doc's words under it, and account per doc — n_words,
+      // n_pieces, UNK words (uncoverable by the trained model), and
+      // the pieces-per-word ratio: the corpus's token cost under a
+      // REAL trained tokenizer, the number packing (t9) and budget
+      // (t27) decisions start from
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      TextAnalysis.tokenizerCost(docs, "text", "doc_id", train)
+        .orderBy("doc_id")
+    }),
+
     "t35_bpe_segment" -> ((s, dir) => {
       // the APPLY side: segment the corpus with the 10 learned merges
       // and roll up the piece vocabulary with corpus-weighted usage —
@@ -2914,41 +2929,47 @@ object SparkEntry {
     "t34_bpe_train" -> bpeOracleSql(10),
 
     "t37_unigram_lm" ->
-      s"""WITH d AS (
-            SELECT ${toksSql(normSql)} AS toks FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)
-              < 'e666'),
-          words AS (
-            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest(toks) AS w FROM d)
-            WHERE length(w) BETWEEN 1 AND 16 GROUP BY w),
-          subs AS (
-            SELECT substr(word, i, l) AS piece, word, freq
-            FROM words,
+      s"""WITH $t37VocabCtes
+          SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
+
+    "t38_tokenizer_cost" ->
+      s"""WITH $t37VocabCtes,
+          dall AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          aw AS (SELECT doc_id, unnest(toks) AS word FROM dall),
+          wdist AS (SELECT DISTINCT word FROM aw),
+          wsub AS (
+            SELECT DISTINCT word, substr(word, i, l) AS piece
+            FROM (SELECT word FROM wdist WHERE length(word) <= 16),
               LATERAL (SELECT unnest(generate_series(1, length(word))) AS i),
               LATERAL (SELECT unnest(generate_series(1,
                 least(4, length(word) - i + 1))) AS l)),
-          sc AS (
-            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-            FROM subs GROUP BY piece),
-          chars AS (SELECT piece FROM sc WHERE length(piece) = 1),
-          seed AS (
-            SELECT piece, cnt FROM sc WHERE length(piece) = 1
-            UNION ALL
-            SELECT piece, cnt FROM (
-              SELECT piece, cnt,
-                row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-              FROM sc WHERE length(piece) > 1) WHERE rn <= 512),
-          v0 AS (
-            SELECT piece,
-              floor(ln(CAST(cnt AS DOUBLE) /
-                (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1000000.0 + 0.5)
-                / 1000000.0 AS logp
-            FROM seed),
-          wp AS (SELECT DISTINCT word, piece FROM subs),
-          ${t37RoundCtes(1, "v0", 4)},
-          ${t37RoundCtes(2, "v1", 4)}
-          SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
+          wpm AS (
+            SELECT word,
+              MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS m
+            FROM (SELECT s.word, s.piece, v.logp
+                  FROM wsub s JOIN v2 v USING (piece))
+            GROUP BY word),
+          wseg AS (
+            SELECT w.word,
+              CASE WHEN length(w.word) > 16 OR a.m IS NULL
+                THEN CAST([] AS VARCHAR[])
+                ELSE ${t37ViterbiSql("w.word", "a.m", 4)} END AS pieces
+            FROM wdist w LEFT JOIN wpm a ON w.word = a.word),
+          wstat AS (
+            SELECT word, CAST(len(pieces) AS BIGINT) AS np,
+              CASE WHEN len(pieces) = 0 THEN 1 ELSE 0 END AS unk
+            FROM wseg)
+          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(s.np) AS BIGINT) AS n_pieces,
+            CAST(sum(s.unk) AS BIGINT) AS n_unk_words,
+            CASE WHEN count(*) - sum(s.unk) > 0
+              THEN floor(CAST(sum(s.np) AS DOUBLE)
+                / CAST(count(*) - sum(s.unk) AS DOUBLE) * 10000.0 + 0.5)
+                / 10000.0
+              ELSE NULL END AS pieces_per_word
+          FROM aw a JOIN wstat s USING (word)
+          GROUP BY a.doc_id ORDER BY a.doc_id""",
 
     "t35_bpe_segment" -> bpeSegmentOracleSql(10),
 
@@ -4266,6 +4287,48 @@ object SparkEntry {
               (SELECT CAST(sum(cs) AS DOUBLE) FROM sm$r)) * 1000000.0 + 0.5)
               / 1000000.0 AS logp
           FROM sm$r)"""
+
+  /** t37's full trained-vocabulary CTE chain (word table → substring
+    * seed → v0 → two hard-EM rounds → v2) — shared by the t37 oracle
+    * (which reads v2 directly) and the t38 oracle (which applies v2
+    * to the whole corpus), so the two can never assert different
+    * trained models.
+    */
+  private lazy val t37VocabCtes: String =
+    s"""d AS (
+            SELECT ${toksSql(normSql)} AS toks FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)
+              < 'e666'),
+          words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(toks) AS w FROM d)
+            WHERE length(w) BETWEEN 1 AND 16 GROUP BY w),
+          subs AS (
+            SELECT substr(word, i, l) AS piece, word, freq
+            FROM words,
+              LATERAL (SELECT unnest(generate_series(1, length(word))) AS i),
+              LATERAL (SELECT unnest(generate_series(1,
+                least(4, length(word) - i + 1))) AS l)),
+          sc AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece),
+          chars AS (SELECT piece FROM sc WHERE length(piece) = 1),
+          seed AS (
+            SELECT piece, cnt FROM sc WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+              SELECT piece, cnt,
+                row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+              FROM sc WHERE length(piece) > 1) WHERE rn <= 512),
+          v0 AS (
+            SELECT piece,
+              floor(ln(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1000000.0 + 0.5)
+                / 1000000.0 AS logp
+            FROM seed),
+          wp AS (SELECT DISTINCT word, piece FROM subs),
+          ${t37RoundCtes(1, "v0", 4)},
+          ${t37RoundCtes(2, "v1", 4)}"""
 
   private def autoKInitSql(targetBlock: Int, kCap: Int = 4096): String =
     s"""SELECT cid, c FROM (

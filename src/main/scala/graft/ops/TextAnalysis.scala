@@ -1232,4 +1232,81 @@ object TextAnalysis {
     (1 to iters).foldLeft(v0.withColumn("cnt", lit(0L)))((v, _) => emRound(v))
       .select("piece", "cnt", "logp")
   }
+
+  /** TOKENIZER COST report — the APPLY side of [[unigramLmTrain]],
+    * closing the train → apply loop exactly as t35 does for t34's
+    * BPE: train the unigram-LM vocabulary on the `trainFilter` split,
+    * then Viterbi-segment EVERY document's words (held-out included)
+    * under the trained model and account per doc: (n_words, n_pieces,
+    * n_unk_words, pieces_per_word 4dp) — "what does this corpus cost
+    * in tokens", the number every pretraining-budget and packing
+    * decision (t9) starts from, measured under a REAL trained
+    * tokenizer instead of whitespace counts.
+    *
+    * Held-out words segment with the trained pieces (the model
+    * generalizes by construction — every trained character reaches
+    * any position); a word is UNK when the trained vocabulary cannot
+    * cover it at all — it contains a character never seen in
+    * training, or exceeds `maxWordLen` (the trainer's own word
+    * bound) — and contributes 0 pieces. `pieces_per_word` is the 4dp
+    * ratio over the segmentable words only (NULL when a doc has
+    * none). Docs with zero tokens produce no row (t24's contract).
+    *
+    * Scale shape: the train corpus is touched once (inside the
+    * trainer), the full corpus once more (the (doc, word) explode —
+    * the operator's only unbounded exchange); segmentation runs per
+    * DISTINCT word at dictionary size and joins back as a BROADCAST
+    * (the e1/e2 dictionary contract — normalized-word dictionaries
+    * are vocabulary-scale at any corpus size); the per-doc rollup is
+    * one partial agg.
+    */
+  def tokenizerCost(docs: DataFrame, textCol: String, idCol: String,
+                    trainFilter: Column, seedSize: Int = 512,
+                    maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                    iters: Int = 2,
+                    persistIntermediate: Boolean = true): DataFrame = {
+    def persist(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    // the trained model — localCheckpointed by the trainer, so this
+    // subtree is a bounded table, not a replay of the EM rounds
+    val vocab = unigramLmTrain(docs.filter(trainFilter), textCol, seedSize,
+        maxPieceLen, maxWordLen, iters, persistIntermediate)
+      .select("piece", "logp")
+    val aw = persist(docs.select(col(idCol).as("doc_id"),
+      explode(text.tokens(
+        graft.ops.Native.normOf(docs)(col(textCol)))).as("word")))
+    val wdist = persist(aw.select("word").distinct())
+    val wsub = wdist.where(length(col("word")) <= maxWordLen)
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word"), col("word").substr(col("i"), col("l")).as("piece"))
+      .distinct()
+    val wpm = wsub.join(broadcast(vocab), Seq("piece"))
+      .groupBy("word").agg(map_from_entries(collect_list(
+        struct(col("piece"), col("logp")))).as("m"))
+    val wstat = wdist.join(wpm, Seq("word"), "left")
+      .select(col("word"),
+        when(length(col("word")) > maxWordLen || col("m").isNull,
+          array().cast("array<string>"))
+          .otherwise(viterbiPieces(col("word"), col("m"), maxPieceLen))
+          .as("pieces"))
+      .select(col("word"), size(col("pieces")).cast("long").as("np"),
+        when(size(col("pieces")) === 0, 1L).otherwise(0L).as("unk"))
+    aw.join(broadcast(wstat), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("np"),
+        sum("unk").as("unk"))
+      .select(col("doc_id"), col("n_words"),
+        col("np").cast("long").as("n_pieces"),
+        col("unk").cast("long").as("n_unk_words"),
+        when(col("n_words") - col("unk") > 0,
+          fround(col("np").cast("double")
+            / (col("n_words") - col("unk")).cast("double"), 4))
+          .as("pieces_per_word"))
+  }
 }

@@ -223,4 +223,27 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(again == got)
   }
+
+  test("tokenizerCost: held-out words segment with the trained model; " +
+      "unseen-char and over-long words are UNK with 0 pieces") {
+    import spark.implicits._
+    // doc 1 trains the t37-traced vocab {a b c ab abc}; doc 2 is held
+    // out: 'ba' re-uses trained chars (2 pieces), 'abab' re-uses the
+    // trained 'ab' (2 pieces), 'xy' has no trained character -> UNK,
+    // and the 17-char word exceeds maxWordLen -> UNK. doc 3 is empty
+    // (no tokens -> no row).
+    val docs = Seq(
+      (1L, "ab ab ab abc", true),
+      (2L, "ba xy " + "a" * 17 + " abab", false),
+      (3L, "", false)).toDF("id", "txt", "tr")
+    val got = TextAnalysis.tokenizerCost(docs, "txt", "id", col("tr"),
+        persistIntermediate = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 0L, Some(1.0)),
+      (2L, 4L, 4L, 2L, Some(2.0))), s"cost rows: $got")
+  }
 }
