@@ -298,6 +298,13 @@ class ClusterSpec extends AnyFunSuite {
       "embedding", "vec_id", "blk", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(one == brute, "k=1 auto blocking must be the exact pair set")
+    // kCap binds: targetBlock=1 would derive k=n, the cap pins it to
+    // the SAME k as the pinned call — the capped knob is the pinned
+    // operator, which is what keeps the cap itself oracle-checkable
+    val capped = Cluster.semDedupPairsAuto(embs, "embedding", "vec_id",
+      threshold = 0.4, targetBlock = 1, kCap = k)
+      .orderBy("id1", "id2").collect().mkString("|")
+    assert(capped == pinned, "kCap must reduce the derived k to the cap")
   }
 
   test("semDedupPairs rejects blockProbes outside [1, k]") {

@@ -81,6 +81,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L)._2 > 1.0 && got(6L)._2 < -1.0, s"margins: $got")
   }
 
+  test("nbQualityScore: a single-class training split scores finite (the +1 prior and empty-model coalesce)") {
+    // every train doc is target — the rest model is EMPTY. The +1
+    // prior smoothing and the coalesce'd rest counts must keep every
+    // score finite (raw ln(nt/0) would be +inf and poison the sums).
+    val docs = Seq(
+      (1L, "alpha beta alpha", true, true),
+      (2L, "alpha beta gamma", true, true),
+      (3L, "zeta eta theta", false, false)).toDF("id", "txt", "tgt", "tr")
+    val got = Curation.nbQualityScore(docs, "txt", "id", col("tgt"), col("tr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite), s"scores: $got")
+    // the held-out off-vocab doc still scores BELOW the in-vocab ones
+    assert(got(3L) < got(1L) && got(3L) < got(2L), s"ranking: $got")
+  }
+
   test("scrubPii counts phones on the email-scrubbed text (no double redaction)") {
     // the local part contains a phone-shaped digit run; email wins
     val docs = Seq((1L, "x 555-123-4567@host.com y")).toDF("doc_id", "text")
