@@ -79,6 +79,23 @@ object Cluster {
   private def cidAt(centroids: Seq[(Long, Array[Double])], idx: Column): Column =
     element_at(typedLit(centroids.map(_._1).toArray), (idx + 1).cast("int"))
 
+  /** The expression-fallback twin of `graft_cos_topc`'s ragged-input
+    * guard: a vector whose length ≠ the centroid dim is data
+    * corruption with no consistent answer (the HOF dot would null-pad
+    * the shorter side into a NULL cosine), and the native kernel
+    * fails loud on it — so the fallback must fail on the SAME input
+    * too, or the two paths silently diverge exactly where FallbackSpec
+    * promises they agree. `raise_error` rides the row pipeline
+    * (map-only, codegen'd); well-formed vectors pass through untouched.
+    */
+  private def raggedGuard(vecCol: String, dim: Int): Column =
+    when(size(col(vecCol)) =!= dim,
+      raise_error(concat(
+        lit("graft assign: vector length "),
+        size(col(vecCol)).cast("string"),
+        lit(s" != dim $dim (ragged embedding — fix the input)"))))
+      .otherwise(col(vecCol))
+
   /** Nearest-centroid id + cosine for each row, as two extra columns
     * (`cluster_id`, `cos`). Map-only: `centroids` become literals.
     * Tie-break: equal cosine goes to the LOWER cluster id (the
@@ -95,11 +112,13 @@ object Cluster {
         .drop("graft_best")
     } else {
       val cos = cosOf
+      val guarded = points.withColumn(vecCol,
+        raggedGuard(vecCol, centroids.head._2.length))
       val scored = centroids.map { case (cid, c) =>
         struct(cos(col(vecCol), array(c.map(lit).toSeq: _*)).as("cos"),
           lit(-cid).as("ncid"))
       }
-      points
+      guarded
         .withColumn("graft_best", array_max(array(scored: _*)))
         .withColumn("cluster_id", -col("graft_best.ncid"))
         .withColumn("cos", col("graft_best.cos"))
@@ -210,10 +229,11 @@ object Cluster {
         struct(cos(col("v"), array(c.map(lit).toSeq: _*)).as("cos"),
           lit(-cid).as("ncid"))
       }
-      points.withColumn("cluster_id",
-        explode(transform(
-          slice(reverse(array_sort(array(scored: _*))), 1, blockProbes),
-          s => -s.getField("ncid"))))
+      points.withColumn("v", raggedGuard("v", centroids.head._2.length))
+        .withColumn("cluster_id",
+          explode(transform(
+            slice(reverse(array_sort(array(scored: _*))), 1, blockProbes),
+            s => -s.getField("ncid"))))
     }
     Dedup.embeddingNearDupPairs(blocked, "v", "id", "cluster_id", threshold)
       .dropDuplicates("id1", "id2")

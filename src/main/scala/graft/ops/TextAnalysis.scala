@@ -1128,6 +1128,19 @@ object TextAnalysis {
     *     unused character keeps a finite floor logp, so coverage
     *     survives any pruning trajectory), logp = 6dp-ln over the
     *     exact-decimal smoothed total.
+    *  4. TARGET-VOCABULARY pruning (`vocabSize` > 0 — Kudo's actual
+    *     shrink step, the knob a real tokenizer build sets first):
+    *     each round additionally keeps only the top
+    *     max(`vocabSize`, ceil(n_multis·`shrinkFactor`)) multi-char
+    *     pieces by (cnt desc, piece asc) — geometric shrink toward
+    *     `vocabSize` multi-char pieces, never below it, alphabet
+    *     always exempt — and the +0.5/normalize runs over the
+    *     SURVIVORS, so the pruning trajectory (not just the final
+    *     table) is what the oracle replicates (the d21 principle).
+    *     `vocabSize` counts multi-char pieces; the alphabet rides on
+    *     top. Reaching the target needs iters ≥
+    *     log(seedSize/vocabSize)/log(1/shrinkFactor) rounds.
+    *     Default 0 = no target (prune only usage-0 pieces).
     *
     * Determinism/portability: integer counts sum exactly; smoothed
     * counts live in decimal(18,1); each logp is ONE 6dp-floor-rounded
@@ -1139,13 +1152,18 @@ object TextAnalysis {
     *
     * Scale shape: the corpus is touched ONCE (the word-table groupBy —
     * same single scan as BPE's); everything downstream runs at
-    * DICTIONARY size (distinct words ≤ vocabulary, piece tables ≤
-    * alphabet + `seedSize` rows — the e1/e2 dictionary contract).
+    * DICTIONARY size (distinct words and piece tables ≤ alphabet +
+    * `seedSize` rows for pieces — the e1/e2 dictionary contract).
     * Per round: one piece-key join, one per-word map rollup, the
     * map-only Viterbi pass, one bounded recount shuffle; totals ride
-    * 1-row broadcasts. Seed selection is a TakeOrdered top-k, never a
-    * global sort. No driver state at all — the vocabulary stays
-    * distributed (vs BPE's collected merge list).
+    * 1-row broadcasts. The word-frequency table is dictionary-scale
+    * but NOT bounded — distinct normalized words grow with the corpus
+    * (Heaps' law) — so its per-round join is broadcast only behind
+    * `broadcastModel` (default true for the small-corpus fast path;
+    * false = plain equi-join AQE gates, the 100 TB path). Seed
+    * selection is a TakeOrdered top-k, never a global sort. No driver
+    * state at all — the vocabulary stays distributed (vs BPE's
+    * collected merge list).
     *
     * Output: (piece, cnt, logp) after round `iters` — cnt the raw
     * final Viterbi count (0 for never-used alphabet chars), logp the
@@ -1154,13 +1172,19 @@ object TextAnalysis {
   def unigramLmTrain(docs: DataFrame, textCol: String,
                      seedSize: Int = 512, maxPieceLen: Int = 4,
                      maxWordLen: Int = 16, iters: Int = 2,
-                     persistIntermediate: Boolean = true): DataFrame = {
+                     persistIntermediate: Boolean = true,
+                     broadcastModel: Boolean = true,
+                     vocabSize: Int = 0,
+                     shrinkFactor: Double = 0.75): DataFrame = {
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
     require(maxPieceLen >= 2 && maxPieceLen <= 8,
       s"maxPieceLen must be in [2, 8], got $maxPieceLen")
     require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
       s"maxWordLen must be in [$maxPieceLen, 64], got $maxWordLen")
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    require(vocabSize >= 0, s"vocabSize must be >= 0, got $vocabSize")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      s"shrinkFactor must be in (0, 1), got $shrinkFactor")
     def persist(df: DataFrame): DataFrame =
       if (persistIntermediate)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1171,6 +1195,14 @@ object TextAnalysis {
         graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
       .where(length(col("word")).between(1, maxWordLen))
       .groupBy("word").agg(count(lit(1)).as("freq")))
+    // an all-empty (or fully length-filtered) train split would
+    // otherwise train a silent EMPTY vocabulary that verdicts every
+    // downstream word UNK with no signal — fail loud instead (the
+    // semDedupPairsAuto degenerate-input contract)
+    require(!words.isEmpty,
+      "unigramLmTrain: the train corpus produced ZERO words after " +
+        s"normalization and the 1..$maxWordLen length filter — an empty " +
+        "vocabulary would silently verdict every word UNK downstream")
     // all substring occurrences; feeds seed counts AND the per-round
     // candidate join (distinct form)
     val subs = persist(words
@@ -1194,12 +1226,21 @@ object TextAnalysis {
     // persisted so the distinct shuffle runs once, not per round
     val wp = persist(subs.select("word", "piece").distinct())
     // per-round exchanges are the price at many slots (the t34
-    // scheduling-floor class), so the round is built lean: the
-    // vocabulary and the word-frequency table are BOUNDED — broadcast
-    // both, leaving ONE word-key rollup and two bounded piece aggs
+    // scheduling-floor class), so the round is built lean: ONE
+    // word-key rollup and two bounded piece aggs per round. The
+    // VOCABULARY is bounded (≤ alphabet + seedSize rows — a true
+    // unconditional broadcast); the word-FREQUENCY table is NOT:
+    // distinct normalized words grow with the corpus (Heaps' law — a
+    // web-scale crawl holds 10^8-10^9 distinct "words": typos, URLs,
+    // numbers), exactly the class t20's scaladoc and §4's size-gated
+    // rule forbid broadcasting unconditionally. `broadcastModel` is
+    // the t18/t21 knob: true = broadcast (the small-corpus fast
+    // path), false = a plain equi-join AQE plans (the 100 TB path —
+    // past the 8 GB exchange cap the plan degrades to a shuffle join
+    // instead of dying). Both legs are row-identical (RobustSpec).
     def emRound(v: DataFrame): DataFrame = {
       val pm = wp.join(broadcast(v.select("piece", "logp")), Seq("piece"))
-        .join(broadcast(words), Seq("word"))
+        .join(if (broadcastModel) broadcast(words) else words, Seq("word"))
         .groupBy("word")
         .agg(first(col("freq")).as("freq"),
           map_from_entries(collect_list(
@@ -1218,7 +1259,31 @@ object TextAnalysis {
         .withColumn("cs", col("cnt").cast("decimal(18,1)") +
           when(length(col("piece")) === 1, lit(0.5)).otherwise(lit(0.0))
             .cast("decimal(18,1)"))
-      sm.crossJoin(broadcast(sm.agg(sum("cs").cast("double").as("tot"))))
+      val kept = if (vocabSize <= 0) sm else {
+        // Kudo's vocabulary-shrink step in a deterministic form: keep
+        // the TOP max(vocabSize, ceil(n_multis·shrinkFactor))
+        // multi-char pieces by (cnt desc, piece asc) — count IS the
+        // probability rank here (logp is monotone in cnt under the
+        // shared normalization), so this is the likelihood-
+        // contribution order with an engine-exact integer tie-break,
+        // replicable as row_number + a scalar-count filter in any
+        // engine. The alphabet rides on top unconditionally
+        // (coverage). The rank's single-partition window is
+        // vocabulary-sized (the seed top-k class). sm would feed
+        // three consumers — localCheckpoint (bounded) so the round's
+        // Viterbi subtree runs once, not once per consumer.
+        val smc = sm.localCheckpoint(true)
+        val multis = smc.where(length(col("piece")) > 1)
+        multis
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cnt").desc, col("piece"))))
+          .crossJoin(broadcast(multis.agg(count(lit(1)).as("nm"))))
+          .where(col("rn") <= greatest(lit(vocabSize.toLong),
+            ceil(col("nm") * lit(shrinkFactor))))
+          .select("piece", "cnt", "cs")
+          .unionByName(smc.where(length(col("piece")) === 1))
+      }
+      kept.crossJoin(broadcast(kept.agg(sum("cs").cast("double").as("tot"))))
         .select(col("piece"), col("cnt").cast("long").as("cnt"),
           fround(log(col("cs").cast("double") / col("tot")), 6).as("logp"))
         // the vocabulary is BOUNDED (≤ alphabet + seedSize rows) but
@@ -1253,18 +1318,27 @@ object TextAnalysis {
     * none). Docs with zero tokens produce no row (t24's contract).
     *
     * Scale shape: the train corpus is touched once (inside the
-    * trainer), the full corpus once more (the (doc, word) explode —
-    * the operator's only unbounded exchange); segmentation runs per
-    * DISTINCT word at dictionary size and joins back as a BROADCAST
-    * (the e1/e2 dictionary contract — normalized-word dictionaries
-    * are vocabulary-scale at any corpus size); the per-doc rollup is
-    * one partial agg.
+    * trainer); the FULL corpus is scanned twice — once for the
+    * distinct-word leg, once for the per-doc join-back — a deliberate
+    * trade: the (doc, word) explode is corpus-scale, and persisting
+    * it (the r09 form) swaps the second map-only columnar scan for
+    * corpus-sized cache state, which at 100 TB is the expensive side
+    * (the persist spills ~the corpus to executor disk; the rescan is
+    * a pruned-column parquet read). Only the DICTIONARY-sized
+    * intermediates (`wdist`, the trainer's tables) persist.
+    * Segmentation runs per DISTINCT word at dictionary size; the
+    * join-back of the per-word stats is broadcast only behind
+    * `broadcastModel` — the distinct-word table GROWS with the corpus
+    * (Heaps' law), so the 100 TB path is `broadcastModel = false`: a
+    * plain doc-word equi-join AQE plans (both legs row-identical,
+    * RobustSpec). The per-doc rollup is one partial agg.
     */
   def tokenizerCost(docs: DataFrame, textCol: String, idCol: String,
                     trainFilter: Column, seedSize: Int = 512,
                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
                     iters: Int = 2,
-                    persistIntermediate: Boolean = true): DataFrame = {
+                    persistIntermediate: Boolean = true,
+                    broadcastModel: Boolean = true): DataFrame = {
     def persist(df: DataFrame): DataFrame =
       if (persistIntermediate)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1272,11 +1346,12 @@ object TextAnalysis {
     // the trained model — localCheckpointed by the trainer, so this
     // subtree is a bounded table, not a replay of the EM rounds
     val vocab = unigramLmTrain(docs.filter(trainFilter), textCol, seedSize,
-        maxPieceLen, maxWordLen, iters, persistIntermediate)
+        maxPieceLen, maxWordLen, iters, persistIntermediate, broadcastModel)
       .select("piece", "logp")
-    val aw = persist(docs.select(col(idCol).as("doc_id"),
+    // deliberately NOT persisted: corpus-scale — see "Scale shape"
+    val aw = docs.select(col(idCol).as("doc_id"),
       explode(text.tokens(
-        graft.ops.Native.normOf(docs)(col(textCol)))).as("word")))
+        graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
     val wdist = persist(aw.select("word").distinct())
     val wsub = wdist.where(length(col("word")) <= maxWordLen)
       .select(col("word"),
@@ -1297,7 +1372,7 @@ object TextAnalysis {
           .as("pieces"))
       .select(col("word"), size(col("pieces")).cast("long").as("np"),
         when(size(col("pieces")) === 0, 1L).otherwise(0L).as("unk"))
-    aw.join(broadcast(wstat), Seq("word"))
+    aw.join(if (broadcastModel) broadcast(wstat) else wstat, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("np").as("np"),
         sum("unk").as("unk"))

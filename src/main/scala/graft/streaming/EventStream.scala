@@ -392,6 +392,26 @@ object EventStream {
       .filter(_._1 < batchId).sortBy(_._1)
   }
 
+  /** Deletes `batch_id=<n>` snapshot dirs with n < `batchId` − 1,
+    * called AFTER batch `batchId`'s own write succeeds. Snapshot-
+    * REPLACE sinks (g4's labeling, q36's rollup state) write a full
+    * snapshot per micro-batch; without pruning, storage grows
+    * O(batches × state) and the per-batch dir listing degrades with
+    * stream age. Keeping the PARENT (`batchId` − 1) preserves the
+    * retry-idempotence contract: a retried batch N re-reads exactly
+    * the parent it merged the first time. Non-`batch_id=<long>`
+    * debris is never touched (the listing skips it — not ours to
+    * delete). Append-only-index sinks (d14, d16) must NOT prune:
+    * their state IS the union of all batch extensions.
+    */
+  private def pruneSnapshots(spark: SparkSession, dir: String,
+                             batchId: Long): Unit =
+    priorBatchDirs(spark, dir, batchId - 1).foreach { case (_, p) =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+
   /** Streaming driver for the d14 incremental-dedup chain — the batch
     * operator ([[graft.ops.Dedup.incrementalDedup]]) made continuous:
     * each micro-batch of documents is verdicted against the
@@ -473,7 +493,10 @@ object EventStream {
     * nothing IS from-scratch CC over the batch). Per-batch output is
     * the full (id, comp) snapshot — the operator's own contract; at
     * corpus scale a caller would partition the labeling and rewrite
-    * only components the relabel join touched.
+    * only components the relabel join touched. Snapshots older than
+    * the parent are deleted after each successful write
+    * ([[pruneSnapshots]] — state stays O(2 snapshots), not
+    * O(batches)).
     */
   def componentsIncrementalSink(edges: DataFrame, srcCol: String,
                                 dstCol: String, labelDir: String)
@@ -496,6 +519,9 @@ object EventStream {
         graft.ops.Graph.incrementalComponents(labels, "id", "comp",
             batch, srcCol, dstCol)
           .write.mode("overwrite").parquet(s"$labelDir/batch_id=$batchId")
+        // grandparent snapshots are dead state once this write lands
+        // (see pruneSnapshots — the parent stays for retry idempotence)
+        pruneSnapshots(spark, labelDir, batchId)
     }
 
   def incrementalDedupSink(docs: DataFrame, textCol: String, idCol: String,
@@ -547,6 +573,10 @@ object EventStream {
     * (the full-recompute alternative rereads the corpus per batch).
     * The stored sum is pinned to decimal(38,6) so every snapshot
     * carries one schema regardless of Spark's sum-widening ladder.
+    * After each successful write, snapshots OLDER than the parent are
+    * deleted ([[pruneSnapshots]]) — without it, a long-running stream
+    * accumulates O(batches × state) dead snapshots and the per-batch
+    * dir listing degrades with stream age.
     */
   def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
                       valCol: String, stateDir: String)
@@ -570,5 +600,8 @@ object EventStream {
             col("n").cast("long").as("n"),
             col("sum_value").cast("decimal(38,6)").as("sum_value"))
           .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+        // grandparent snapshots are dead state once this write lands
+        // (see pruneSnapshots — the parent stays for retry idempotence)
+        pruneSnapshots(spark, stateDir, batchId)
     }
 }

@@ -131,4 +131,30 @@ class FallbackSpec extends AnyFunSuite {
     assert(p3 == "[1,10,100,1,90]|[null,11,100,null,null]|[null,12,50,null,null]",
       s"null keys must match nothing in both forms: $p3")
   }
+
+  test("ragged vectors fail loud on BOTH the native kernel and the expression fallback") {
+    // the two execution paths must fail on the SAME corrupt input —
+    // before the guard, the fallback silently null-padded a ragged
+    // vector into a NULL cosine while the kernel threw (the ADVICE
+    // r09 finding: intentional divergence weakens this suite's
+    // 'both paths agree exactly' invariant)
+    import spark.implicits._
+    val ragged = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: chain(t.getCause)
+    def messages(body: => Unit): Seq[String] =
+      chain(intercept[Throwable](body))
+    val native = messages(
+      graft.ops.Cluster.kmeansAssign(ragged, "embedding", "vec_id", 2, 1)
+        .collect())
+    assert(native.exists(_.contains("ragged embedding")),
+      s"native path: ${native.mkString(" | ")}")
+    val fallback = messages(withFallback(
+      graft.ops.Cluster.kmeansAssign(ragged, "embedding", "vec_id", 2, 1)
+        .collect()))
+    assert(fallback.exists(_.contains("ragged embedding")),
+      s"fallback path: ${fallback.mkString(" | ")}")
+  }
 }

@@ -224,6 +224,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("unigramLmTrain: target-vocab pruning — hand-traced shrink keeps " +
+      "top multis by count, forces re-segmentation, alphabet exempt") {
+    import spark.implicits._
+    def lp(x: Double): Double = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    // words: ab x3, cd x2 -> seed a3 b3 ab3 c2 d2 cd2 (total 15).
+    // Round 1 Viterbi: 'ab'->[ab], 'cd'->[cd]; counts ab=3, cd=2.
+    // Prune (vocabSize=1, shrink=0.5): n_multis=2, keep
+    // max(1, ceil(2*0.5)) = 1 -> 'ab' survives (cnt desc), 'cd' is
+    // PRUNED despite nonzero usage — the target-size step, not the
+    // usage-0 one. Smoothed total 3 + 4*0.5 = 5.
+    // Round 2: 'ab'->[ab]; 'cd' must RE-SEGMENT as [c][d] (cd gone
+    // from the model). Counts ab=3 c=2 d=2; n_multis=1, keep 1.
+    // cs total = 3 + 2.5 + 2.5 + 0.5 + 0.5 = 9.
+    val docs = Seq("ab ab ab cd cd").toDF("text")
+    val got = TextAnalysis.unigramLmTrain(docs, "text",
+        persistIntermediate = false, vocabSize = 1, shrinkFactor = 0.5)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("a", 0L, lp(0.5 / 9)), ("ab", 3L, lp(3.0 / 9)), ("b", 0L, lp(0.5 / 9)),
+      ("c", 2L, lp(2.5 / 9)), ("d", 2L, lp(2.5 / 9))),
+      s"pruned trajectory: $got")
+    // without a target, the same corpus keeps 'cd' (usage-0 pruning
+    // only — the legacy t37 trajectory is untouched by the new knob)
+    val noTarget = TextAnalysis.unigramLmTrain(docs, "text",
+        persistIntermediate = false)
+      .orderBy("piece").collect().map(_.getString(0)).toSeq
+    assert(noTarget.contains("cd"), s"no-target vocab: $noTarget")
+  }
+
+  test("unigramLmTrain fails loud on an all-empty train corpus") {
+    import spark.implicits._
+    // an accidentally empty train split must not train a silent empty
+    // vocabulary that verdicts every downstream word UNK (ADVICE r09)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLmTrain(Seq("", "   ").toDF("text"), "text",
+        persistIntermediate = false)
+    }
+    assert(e.getMessage.contains("ZERO words"), e.getMessage)
+  }
+
   test("tokenizerCost: held-out words segment with the trained model; " +
       "unseen-char and over-long words are UNK with 0 pieces") {
     import spark.implicits._

@@ -466,6 +466,31 @@ class RobustSpec extends AnyFunSuite {
     assert(key(full) == key(bf), "fully-degraded ivfpq rerank != brute force")
   }
 
+  test("t37/t38: broadcast and shuffle dictionary-join legs are row-identical") {
+    // the word-frequency (t37) and distinct-word (t38) tables GROW
+    // with the corpus (Heaps' law), so the 100 TB path is
+    // broadcastModel = false — a plain equi-join AQE plans. Both legs
+    // must be row-identical (the d2/d4 verify-join treatment; VERDICT
+    // r09 #1)
+    import graft.ops.TextAnalysis
+    val train = substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), lit("graft"))), 1, 4) < "e666"
+    val trainLegs = Seq(true, false).map(b =>
+      TextAnalysis.unigramLmTrain(docs.filter(train), "text",
+          persistIntermediate = false, broadcastModel = b)
+        .orderBy("piece").collect().mkString("|"))
+    assert(trainLegs.distinct.size == 1,
+      "unigramLmTrain diverges between broadcast and shuffle dictionary joins")
+    assert(trainLegs.head.nonEmpty)
+    val costLegs = Seq(true, false).map(b =>
+      TextAnalysis.tokenizerCost(docs, "text", "doc_id", train,
+          persistIntermediate = false, broadcastModel = b)
+        .orderBy("doc_id").collect().mkString("|"))
+    assert(costLegs.distinct.size == 1,
+      "tokenizerCost diverges between broadcast and shuffle dictionary joins")
+    assert(costLegs.head.nonEmpty)
+  }
+
   test("round-6 operators are partitioning-invariant") {
     import graft.ops.{Curation, Graph, TextAnalysis}
     def run[A](f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,

@@ -427,6 +427,23 @@ class StreamParitySpec extends AnyFunSuite {
     // the on-disk index is exactly the distinct `new` fingerprints
     val idx = spark.read.parquet(idxDir).collect().map(_.getString(0)).toSet
     assert(idx.size == 4, s"index must hold the 4 canonical fingerprints: $idx")
+    // maintenance loop (VERDICT r09 #7): the sink's per-batch
+    // `batch_id=N` subdirs are exactly the small-files generator
+    // compactParquet exists for — compacting the accumulated verdict
+    // output must preserve the state content-exactly (batch_id rides
+    // along as a discovered partition column)
+    def sortedRows(path: String): Seq[String] = {
+      val df = spark.read.parquet(path)
+      df.select(df.columns.sorted.map(col).toSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val before = sortedRows(outDir)
+    val compactDir = s"$base/verdicts_compacted"
+    val nFiles = graft.sources.Sources.compactParquet(spark, outDir,
+      compactDir, targetRowsPerFile = 1000L)
+    assert(nFiles == 1L, s"8 verdict rows must compact to ONE file, got $nFiles")
+    assert(sortedRows(compactDir) == before,
+      "compaction changed the sink's accumulated state")
   }
 
   test("parity: neardupIncrementalSink — streamed near-dup verdicts equal the text-bootstrap operator; restart resumes the banded index") {
@@ -595,6 +612,14 @@ class StreamParitySpec extends AnyFunSuite {
     // across all three batches (1.25 + 2.5 + 4.0 in h1)
     val h1Click = streamed((Some("click"), Some(h1)))
     assert(h1Click._1 == 3L && h1Click._2 == 7.75, s"h1 click: $h1Click")
+    // snapshot pruning (ADVICE r09): after batch 2's write, the
+    // grandparent snapshot batch_id=0 is deleted; the parent (1, for
+    // retry idempotence) and the latest (2) remain; debris that isn't
+    // a plain batch_id=<long> is never touched
+    val dirs = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0.bak", "batch_id=1", "batch_id=2"),
+      s"pruned snapshot set: $dirs")
   }
 
   test("parity: funnel — streamed completions equal the batch stage rows") {
