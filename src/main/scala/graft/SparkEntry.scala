@@ -631,12 +631,21 @@ object SparkEntry {
     "t7_pii_scrub" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the query plants a
       // deterministic payload per doc (identically on the oracle side)
-      // and the operator must find and redact exactly it
+      // and the operator must find and redact exactly it — emails +
+      // phones + IPv4s + SSN-shaped ids, the CCNet-class rule set
       val docs = Tables(s, dir).documents.withColumn("pii_text",
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com"),
           when(col("doc_id") % 3 === 0, lit(" call 555-123-4567 or 555-987-6543"))
             .when(col("doc_id") % 3 === 1, lit(" call 555-111-2222"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 123-45-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
             .otherwise(lit(""))))
       Curation.scrubPii(docs, "pii_text", "doc_id").orderBy("doc_id")
     }),
@@ -777,6 +786,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t39_classifier_eval" -> ((s, dir) => {
+      // the eval gate for t36 (the s5/s15 recall-gate pattern pointed
+      // at the trained classifier): held-out confusion counts +
+      // precision/recall/F1/accuracy — the numbers a threshold tune
+      // actually reads, as a first-class oracle-checked query
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      Curation.nbClassifierEval(docs, "text", "doc_id",
+        col("lang") === "en", train)
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -819,6 +840,20 @@ object SparkEntry {
       val train = substring(md5(concat(col("doc_id").cast("string"),
         lit(":"), lit("graft"))), 1, 4) < "e666"
       TextAnalysis.unigramLmTrain(docs.filter(train), "text")
+        .orderBy("piece")
+    }),
+
+    "t40_unigram_prune" -> ((s, dir) => {
+      // t37 with Kudo's TARGET-VOCABULARY shrink active: each EM
+      // round keeps only the top max(vocabSize, ceil(n·shrink))
+      // multi-char pieces by count — the knob a real tokenizer build
+      // sets first, its pruning trajectory itself oracle-replicated
+      // (the d21 principle: the derivation is under the gate)
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      TextAnalysis.unigramLmTrain(docs.filter(train), "text",
+          vocabSize = 16, shrinkFactor = 0.75)
         .orderBy("piece")
     }),
 
@@ -2379,6 +2414,12 @@ object SparkEntry {
              text || ' contact user' || doc_id || '@example.com' ||
                (CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567 or 555-987-6543'
                      WHEN doc_id % 3 = 1 THEN ' call 555-111-2222'
+                     ELSE '' END) ||
+               (CASE WHEN doc_id % 4 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                     ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                      ELSE '' END) AS pii_text
            FROM documents),
          s AS (
@@ -2387,12 +2428,22 @@ object SparkEntry {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email,
              CAST(len(regexp_extract_all(pii_text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
-           FROM p)
+           FROM p),
+         s2 AS (
+           SELECT doc_id, n_emails,
+             regexp_replace(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS no_phone,
+             CAST(len(regexp_extract_all(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
+           FROM s),
+         s3 AS (
+           SELECT doc_id, n_emails, n_phones,
+             regexp_replace(no_phone, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS no_ip,
+             CAST(len(regexp_extract_all(no_phone, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips
+           FROM s2)
          SELECT doc_id,
-           regexp_replace(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean_text,
-           n_emails,
-           CAST(len(regexp_extract_all(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
-         FROM s ORDER BY doc_id""",
+           regexp_replace(no_ip, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean_text,
+           n_emails, n_phones, n_ips,
+           CAST(len(regexp_extract_all(no_ip, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns
+         FROM s3 ORDER BY doc_id""",
 
     "t8_split_det" ->
       """WITH b AS (
@@ -2783,64 +2834,38 @@ object SparkEntry {
           ORDER BY log_w DESC, doc_id LIMIT 50""",
 
     "t36_quality_classifier" ->
-      s"""WITH d AS (
-            SELECT doc_id, lang = 'en' AS is_target,
-              substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
-                AS is_train,
-              ${toksSql(normSql)} AS toks FROM documents),
-          uni AS (SELECT doc_id, is_target, is_train, unnest(toks) AS f FROM d),
-          big AS (
-            SELECT doc_id, is_target, is_train,
-              toks[i] || ' ' || toks[i + 1] AS f
-            FROM (
-              SELECT doc_id, is_target, is_train, toks,
-                unnest(generate_series(1, len(toks) - 1)) AS i
-              FROM d WHERE len(toks) >= 2)),
-          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
-          hb AS (
-            SELECT doc_id, is_target, is_train,
-              list_reduce(list_transform(range(1, 16),
-                i -> CAST(strpos('0123456789abcdef',
-                       substr(md5(f), i, 1)) - 1 AS BIGINT)),
-                (acc, dg) -> acc * 16 + dg) % 8192 AS b
-            FROM feats),
-          posts AS (
-            SELECT doc_id, is_target, is_train, b,
-              CAST(count(*) AS DOUBLE) AS tf
-            FROM hb GROUP BY doc_id, is_target, is_train, b),
-          tgt AS (
-            SELECT b, sum(tf) AS tcnt FROM posts
-            WHERE is_train AND is_target GROUP BY b),
-          rst AS (
-            SELECT b, sum(tf) AS rcnt FROM posts
-            WHERE is_train AND NOT is_target GROUP BY b),
-          pri AS (
-            SELECT count(DISTINCT CASE WHEN is_target THEN doc_id END) AS nt,
-                   count(DISTINCT CASE WHEN NOT is_target THEN doc_id END) AS nr
-            FROM posts WHERE is_train),
-          stats AS (
-            SELECT coalesce((SELECT sum(tcnt) FROM tgt), 0.0) AS t_total,
-                   coalesce((SELECT sum(rcnt) FROM rst), 0.0) AS r_total,
-                   (SELECT floor(ln((nt + 1.0) / (nr + 1.0)) * 1000000.0 + 0.5)
-                      / 1000000.0 FROM pri) AS prior),
-          scored AS (
-            SELECT p.doc_id, p.tf,
-              floor(ln(
-                ((coalesce(t.tcnt, 0.0) + 0.5) / (s.t_total + 4096.0)) /
-                ((coalesce(r.rcnt, 0.0) + 0.5) / (s.r_total + 4096.0)))
-                * 1000000.0 + 0.5) / 1000000.0 AS lr
-            FROM posts p LEFT JOIN tgt t USING (b) LEFT JOIN rst r USING (b)
-            CROSS JOIN stats s),
-          agg AS (
-            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
-              floor(CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(lr AS DECIMAL(18,6)))
-                    + (SELECT CAST(prior AS DECIMAL(18,6)) FROM stats) AS DOUBLE)
-                    * 10000.0 + 0.5) / 10000.0 AS log_odds
-            FROM scored GROUP BY doc_id)
-          SELECT doc_id, n_feats, log_odds,
-            CAST(CASE WHEN log_odds > 0.0 THEN 1 ELSE 0 END AS INT) AS pred
-          FROM agg ORDER BY doc_id""",
+      s"""WITH $t36ScoredCtes
+          SELECT doc_id, n_feats, log_odds, pred
+          FROM predd ORDER BY doc_id""",
 
+    "t39_classifier_eval" ->
+      s"""WITH $t36ScoredCtes,
+          ev AS (
+            SELECT p.pred, d.is_target
+            FROM predd p JOIN d USING (doc_id)
+            WHERE NOT d.is_train),
+          cm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_heldout,
+              CAST(sum(CASE WHEN pred = 1 AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred = 1 AND NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN pred = 0 AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN pred = 0 AND NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM ev)
+          SELECT n_heldout, tp, fp, fn, tn,
+            CASE WHEN tp + fp > 0
+              THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS "precision",
+            CASE WHEN tp + fn > 0
+              THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS recall,
+            CASE WHEN 2 * tp + fp + fn > 0
+              THEN floor(2.0 * CAST(tp AS DOUBLE)
+                / CAST(2 * tp + fp + fn AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS f1,
+            CASE WHEN n_heldout > 0
+              THEN floor(CAST(tp + tn AS DOUBLE) / CAST(n_heldout AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS accuracy
+          FROM cm""",
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
           t AS (SELECT unnest(toks) AS term FROM d),
@@ -2930,6 +2955,10 @@ object SparkEntry {
 
     "t37_unigram_lm" ->
       s"""WITH $t37VocabCtes
+          SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
+
+    "t40_unigram_prune" ->
+      s"""WITH $t40VocabCtes
           SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
 
     "t38_tokenizer_cost" ->
@@ -4257,8 +4286,28 @@ object SparkEntry {
   /** One t37 hard-EM round as CTEs: piece-candidate join → per-word
     * map → Viterbi segmentation → freq-weighted recount → prune +
     * alphabet smoothing → re-normalized logp (exact-decimal total).
+    * `vocabSize` > 0 splices in the target-vocabulary shrink step
+    * (t40): keep the top max(vocabSize, ceil(n_multis·shrink))
+    * multi-char pieces by (cnt desc, piece asc) — the row_number +
+    * scalar-count form of `unigramLmTrain`'s prune — and normalize
+    * over the SURVIVORS, so the pruning trajectory itself is what the
+    * oracle replicates.
     */
-  private def t37RoundCtes(r: Int, prevV: String, maxPieceLen: Int): String =
+  private def t37RoundCtes(r: Int, prevV: String, maxPieceLen: Int,
+                           vocabSize: Int = 0,
+                           shrink: Double = 0.75): String = {
+    val pruneCtes = if (vocabSize <= 0) "" else s""",
+        pr$r AS (
+          SELECT piece, cnt, cs,
+            row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM sm$r WHERE length(piece) > 1),
+        keep$r AS (
+          SELECT piece, cnt, cs FROM pr$r
+          WHERE rn <= greatest($vocabSize,
+            CAST(ceil((SELECT count(*) FROM pr$r) * $shrink) AS BIGINT))
+          UNION ALL
+          SELECT piece, cnt, cs FROM sm$r WHERE length(piece) = 1)"""
+    val normSrc = if (vocabSize <= 0) s"sm$r" else s"keep$r"
     s"""cand$r AS (
           SELECT s.word, s.piece, v.logp FROM wp s JOIN $prevV v USING (piece)),
         pm$r AS (
@@ -4280,21 +4329,94 @@ object SparkEntry {
             CAST(cnt AS DECIMAL(18,1)) +
               (CASE WHEN length(piece) = 1 THEN CAST(0.5 AS DECIMAL(18,1))
                     ELSE CAST(0.0 AS DECIMAL(18,1)) END) AS cs
-          FROM all$r WHERE cnt > 0 OR length(piece) = 1),
+          FROM all$r WHERE cnt > 0 OR length(piece) = 1)$pruneCtes,
         v$r AS (
           SELECT piece, cnt,
             floor(ln(CAST(cs AS DOUBLE) /
-              (SELECT CAST(sum(cs) AS DOUBLE) FROM sm$r)) * 1000000.0 + 0.5)
+              (SELECT CAST(sum(cs) AS DOUBLE) FROM $normSrc)) * 1000000.0 + 0.5)
               / 1000000.0 AS logp
-          FROM sm$r)"""
+          FROM $normSrc)"""
+  }
 
   /** t37's full trained-vocabulary CTE chain (word table → substring
     * seed → v0 → two hard-EM rounds → v2) — shared by the t37 oracle
     * (which reads v2 directly) and the t38 oracle (which applies v2
     * to the whole corpus), so the two can never assert different
-    * trained models.
+    * trained models. `vocabSize` > 0 is the t40 variant: the SAME
+    * chain with the target-vocabulary prune spliced into every round.
     */
-  private lazy val t37VocabCtes: String =
+  /** t36's trained-model scoring chain as CTEs (doc flags → hashed
+    * unigram+bigram features → class models → per-doc log-odds +
+    * pred) — shared by the t36 oracle (which reads `predd` directly)
+    * and the t39 eval oracle (which joins `predd` back to the truth
+    * flags in `d` over the held-out split), so the classifier and its
+    * eval gate can never assert different trained models.
+    */
+  private lazy val t36ScoredCtes: String =
+    s"""d AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+              substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+                AS is_train,
+              ${toksSql(normSql)} AS toks FROM documents),
+          uni AS (SELECT doc_id, is_target, is_train, unnest(toks) AS f FROM d),
+          big AS (
+            SELECT doc_id, is_target, is_train,
+              toks[i] || ' ' || toks[i + 1] AS f
+            FROM (
+              SELECT doc_id, is_target, is_train, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)),
+          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+          hb AS (
+            SELECT doc_id, is_target, is_train,
+              list_reduce(list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(f), i, 1)) - 1 AS BIGINT)),
+                (acc, dg) -> acc * 16 + dg) % 8192 AS b
+            FROM feats),
+          posts AS (
+            SELECT doc_id, is_target, is_train, b,
+              CAST(count(*) AS DOUBLE) AS tf
+            FROM hb GROUP BY doc_id, is_target, is_train, b),
+          tgt AS (
+            SELECT b, sum(tf) AS tcnt FROM posts
+            WHERE is_train AND is_target GROUP BY b),
+          rst AS (
+            SELECT b, sum(tf) AS rcnt FROM posts
+            WHERE is_train AND NOT is_target GROUP BY b),
+          pri AS (
+            SELECT count(DISTINCT CASE WHEN is_target THEN doc_id END) AS nt,
+                   count(DISTINCT CASE WHEN NOT is_target THEN doc_id END) AS nr
+            FROM posts WHERE is_train),
+          stats AS (
+            SELECT coalesce((SELECT sum(tcnt) FROM tgt), 0.0) AS t_total,
+                   coalesce((SELECT sum(rcnt) FROM rst), 0.0) AS r_total,
+                   (SELECT floor(ln((nt + 1.0) / (nr + 1.0)) * 1000000.0 + 0.5)
+                      / 1000000.0 FROM pri) AS prior),
+          scored AS (
+            SELECT p.doc_id, p.tf,
+              floor(ln(
+                ((coalesce(t.tcnt, 0.0) + 0.5) / (s.t_total + 4096.0)) /
+                ((coalesce(r.rcnt, 0.0) + 0.5) / (s.r_total + 4096.0)))
+                * 1000000.0 + 0.5) / 1000000.0 AS lr
+            FROM posts p LEFT JOIN tgt t USING (b) LEFT JOIN rst r USING (b)
+            CROSS JOIN stats s),
+          agg AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+              floor(CAST(sum(CAST(tf AS DECIMAL(9,0)) * CAST(lr AS DECIMAL(18,6)))
+                    + (SELECT CAST(prior AS DECIMAL(18,6)) FROM stats) AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0 AS log_odds
+            FROM scored GROUP BY doc_id),
+          predd AS (
+            SELECT doc_id, n_feats, log_odds,
+              CAST(CASE WHEN log_odds > 0.0 THEN 1 ELSE 0 END AS INT) AS pred
+            FROM agg)"""
+
+  private lazy val t37VocabCtes: String = t37VocabCtesWith(0, 0.75)
+
+  private lazy val t40VocabCtes: String = t37VocabCtesWith(16, 0.75)
+
+  private def t37VocabCtesWith(vocabSize: Int, shrink: Double): String =
     s"""d AS (
             SELECT ${toksSql(normSql)} AS toks FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)
@@ -4327,8 +4449,8 @@ object SparkEntry {
                 / 1000000.0 AS logp
             FROM seed),
           wp AS (SELECT DISTINCT word, piece FROM subs),
-          ${t37RoundCtes(1, "v0", 4)},
-          ${t37RoundCtes(2, "v1", 4)}"""
+          ${t37RoundCtes(1, "v0", 4, vocabSize, shrink)},
+          ${t37RoundCtes(2, "v1", 4, vocabSize, shrink)}"""
 
   private def autoKInitSql(targetBlock: Int, kCap: Int = 4096): String =
     s"""SELECT cid, c FROM (

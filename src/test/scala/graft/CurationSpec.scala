@@ -20,11 +20,33 @@ class CurationSpec extends AnyFunSuite {
     val got = Curation.scrubPii(docs, "text", "doc_id")
       .orderBy("doc_id").collect().toSeq
     assert(got == Seq(
-      Row(1L, "write to <EMAIL> or <EMAIL> today", 2L, 0L),
-      Row(2L, "call <PHONE> or <PHONE> now", 0L, 2L),
-      Row(3L, "mixed <EMAIL> and <PHONE>", 1L, 1L),
-      Row(4L, "clean text, nothing to redact", 0L, 0L),
-      Row(5L, "", 0L, 0L)))
+      Row(1L, "write to <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 0L),
+      Row(2L, "call <PHONE> or <PHONE> now", 0L, 2L, 0L, 0L),
+      Row(3L, "mixed <EMAIL> and <PHONE>", 1L, 1L, 0L, 0L),
+      Row(4L, "clean text, nothing to redact", 0L, 0L, 0L, 0L),
+      Row(5L, "", 0L, 0L, 0L, 0L)))
+  }
+
+  test("scrubPii redacts IPv4s and SSN-shaped ids after emails/phones, with per-stage counts") {
+    // the two CCNet-class rules beyond email/phone: dotted-quad IPs
+    // and ddd-dd-dddd national IDs — precedence is fixed (email ->
+    // phone -> ip -> ssn) and each count is taken post-previous-stage,
+    // so a dotted phone is never mistaken for an IP (2 dots vs 3) and
+    // a phone's 3-3-4 groups never read as an SSN's 3-2-4
+    val docs = Seq(
+      (1L, "server 10.0.42.7 and 192.168.1.254 up"),
+      (2L, "id 123-45-6789 on file"),
+      (3L, "call 555.123.4567 from 10.0.0.1 ssn 987-65-4321"),
+      (4L, "version 1.2.3 is not an ip; 12-34-5678 is not an ssn"))
+      .toDF("doc_id", "text")
+    val got = Curation.scrubPii(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, "server <IP> and <IP> up", 0L, 0L, 2L, 0L),
+      Row(2L, "id <SSN> on file", 0L, 0L, 0L, 1L),
+      Row(3L, "call <PHONE> from <IP> ssn <SSN>", 0L, 1L, 1L, 1L),
+      Row(4L, "version 1.2.3 is not an ip; 12-34-5678 is not an ssn",
+        0L, 0L, 0L, 0L)), got.toString)
   }
 
   test("dsirWeights: target-vocab docs outrank off-domain; feature counts exact") {
@@ -101,7 +123,39 @@ class CurationSpec extends AnyFunSuite {
     // the local part contains a phone-shaped digit run; email wins
     val docs = Seq((1L, "x 555-123-4567@host.com y")).toDF("doc_id", "text")
     val got = Curation.scrubPii(docs, "text", "doc_id").head()
-    assert(got == Row(1L, "x <EMAIL> y", 1L, 0L))
+    assert(got == Row(1L, "x <EMAIL> y", 1L, 0L, 0L, 0L))
+  }
+
+  test("nbClassifierEval: hand-computed confusion cells on engineered held-out docs") {
+    // the t36 separable-vocab setup with DELIBERATE label noise in the
+    // held-out split so every confusion cell is nonzero: 5 = tp
+    // (target vocab, target label), 6 = tn, 8 = fn (rest vocab but
+    // target-LABELED), 9 = fp (target vocab but rest-labeled); 7 is
+    // empty -> no score row -> excluded from the eval (the contract)
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true, true),
+      (2L, "alpha beta gamma alpha", true, true),
+      (3L, "zeta eta theta", false, true),
+      (4L, "zeta theta eta zeta", false, true),
+      (5L, "alpha beta beta", true, false),
+      (6L, "zeta eta eta", false, false),
+      (7L, "", true, false),
+      (8L, "zeta eta", true, false),
+      (9L, "alpha beta", false, false)).toDF("id", "txt", "tgt", "tr")
+    val got = Curation.nbClassifierEval(docs, "txt", "id",
+      col("tgt"), col("tr")).head()
+    // tp=1 fp=1 fn=1 tn=1 over 4 held-out scored docs ->
+    // precision = recall = accuracy = 1/2; f1 = 2·1/(2+1+1) = 1/2
+    assert(got == Row(4L, 1L, 1L, 1L, 1L, 0.5, 0.5, 0.5, 0.5),
+      got.toString)
+    // degenerate: nothing held out -> zero row with NULL ratios, not
+    // a divide-by-zero
+    val allTrain = Seq((1L, "alpha beta", true, true),
+      (2L, "zeta eta", false, true)).toDF("id", "txt", "tgt", "tr")
+    val empty = Curation.nbClassifierEval(allTrain, "txt", "id",
+      col("tgt"), col("tr")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(5) && empty.isNullAt(6),
+      empty.toString)
   }
 
   test("deterministicSplit is stable, total, and close to requested fractions") {
