@@ -798,6 +798,18 @@ object SparkEntry {
         col("lang") === "en", train)
     }),
 
+    "t41_pr_curve" -> ((s, dir) => {
+      // t39 swept over a threshold grid from ONE scoring pass — the
+      // precision/recall curve a threshold tune reads (t39 prices the
+      // chosen operating point; this shows what the others would cost)
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      Curation.nbPrCurve(docs, "text", "doc_id",
+          col("lang") === "en", train, T41Thresholds)
+        .orderBy("threshold")
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -2866,6 +2878,38 @@ object SparkEntry {
               THEN floor(CAST(tp + tn AS DOUBLE) / CAST(n_heldout AS DOUBLE)
                 * 10000.0 + 0.5) / 10000.0 END AS accuracy
           FROM cm""",
+
+    "t41_pr_curve" ->
+      s"""WITH $t36ScoredCtes,
+          thr(threshold) AS (VALUES ${T41Thresholds.map(t => s"($t)").mkString(", ")}),
+          ev AS (
+            SELECT p.log_odds, d.is_target
+            FROM predd p JOIN d USING (doc_id)
+            WHERE NOT d.is_train),
+          cells AS (
+            SELECT t.threshold,
+              CASE WHEN e.log_odds > t.threshold THEN 1 ELSE 0 END AS pred,
+              e.is_target
+            FROM ev e CROSS JOIN thr t),
+          cm AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n_heldout,
+              CAST(sum(CASE WHEN pred = 1 AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred = 1 AND NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN pred = 0 AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN pred = 0 AND NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM cells GROUP BY threshold)
+          SELECT threshold, n_heldout, tp, fp, fn, tn,
+            CASE WHEN tp + fp > 0
+              THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS "precision",
+            CASE WHEN tp + fn > 0
+              THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS recall,
+            CASE WHEN 2 * tp + fp + fn > 0
+              THEN floor(2.0 * CAST(tp AS DOUBLE)
+                / CAST(2 * tp + fp + fn AS DOUBLE)
+                * 10000.0 + 0.5) / 10000.0 END AS f1
+          FROM cm ORDER BY threshold""",
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
           t AS (SELECT unnest(toks) AS term FROM d),
@@ -4411,6 +4455,13 @@ object SparkEntry {
             SELECT doc_id, n_feats, log_odds,
               CAST(CASE WHEN log_odds > 0.0 THEN 1 ELSE 0 END AS INT) AS pred
             FROM agg)"""
+
+  /** t41's threshold grid — ONE Scala constant feeds both the query
+    * and the oracle's VALUES list, so the two can never sweep
+    * different grids. Exact binary literals only (compared against
+    * the 4dp log_odds in both engines).
+    */
+  private val T41Thresholds = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
 
   private lazy val t37VocabCtes: String = t37VocabCtesWith(0, 0.75)
 

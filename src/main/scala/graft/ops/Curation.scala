@@ -707,6 +707,34 @@ object Curation {
     * Output: (doc_id, n_feats, log_odds 4dp, pred 0/1) — pred 1 iff
     * log_odds > `threshold` (0 = the Bayes decision boundary).
     */
+  /** (doc_id, extras..., bucket, tf) hashed-feature postings — the
+    * shared feature map of the NB-classifier family (t24's
+    * unigram+bigram md5-fold buckets, verbatim), factored so
+    * [[nbQualityScore]], [[nbFitModel]] and [[nbScoreWithModel]] can
+    * never hash differently. Map-only until the one partial-agg
+    * groupBy; docs with zero tokens produce no rows.
+    */
+  private def nbPosts(df: DataFrame, textCol: String, idCol: String,
+                      buckets: Int,
+                      extras: Seq[(String, Column)]): DataFrame = {
+    val norm = Native.normOf(df)
+    val fold = Native.md5FoldOf(df)
+    val toks = df.withColumn("graft_norm", norm(col(textCol)))
+      .select(col(idCol).as("doc_id") +: extras.map { case (n, c) => c.as(n) } :+
+        text.tokens(col("graft_norm")).as("toks"): _*)
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val keep = col("doc_id") +: extras.map(e => col(e._1))
+    toks
+      .select(keep :+ explode(concat(col("toks"), bigrams)).as("f"): _*)
+      .select(keep :+ pmod(fold(col("f")), lit(buckets.toLong)).as("b"): _*)
+      .groupBy(keep :+ col("b"): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
   def nbQualityScore(docs: DataFrame, textCol: String, idCol: String,
                      targetFilter: Column, trainFilter: Column,
                      buckets: Int = 8192, alpha: Double = 0.5,
@@ -714,28 +742,12 @@ object Curation {
                      persistIntermediate: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    val norm = Native.normOf(docs)
-    val fold = Native.md5FoldOf(docs)
-    val toks = docs.withColumn("graft_norm", norm(col(textCol)))
-      .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
-        trainFilter.as("is_train"),
-        text.tokens(col("graft_norm")).as("toks"))
-    val bigrams = when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat(element_at(col("toks"), i), lit(" "),
-            element_at(col("toks"), i + 1))))
-      .otherwise(array().cast("array<string>"))
     // posts feeds FOUR consumers (two class models, the prior counts,
     // the scoring join) — persist the slim (doc, flags, bucket, tf)
     // table so the explode + per-feature md5 pass runs once (t24's
     // treatment of the same shape)
-    val postsPlan = toks
-      .select(col("doc_id"), col("is_target"), col("is_train"),
-        explode(concat(col("toks"), bigrams)).as("f"))
-      .select(col("doc_id"), col("is_target"), col("is_train"),
-        pmod(fold(col("f")), lit(buckets.toLong)).as("b"))
-      .groupBy("doc_id", "is_target", "is_train", "b")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val postsPlan = nbPosts(docs, textCol, idCol, buckets,
+      Seq("is_target" -> targetFilter, "is_train" -> trainFilter))
     val posts =
       if (persistIntermediate)
         postsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -826,6 +838,139 @@ object Curation {
           fr4((col("tp") + col("tn")).cast("double")
             / col("n_heldout").cast("double")))
           .as("accuracy"))
+  }
+
+  /** Precision/recall CURVE for [[nbQualityScore]] — [[nbClassifierEval]]
+    * swept over a threshold grid: one confusion row PER candidate
+    * threshold, all computed from ONE scoring pass (the grid join is
+    * a bounded literal-array explode, so sweeping k thresholds costs
+    * one extra k-fan map stage, never k scoring passes). This is the
+    * artifact a threshold tune actually reads — t39 prices the
+    * operating point you chose; the curve shows what the OTHER
+    * choices would have cost.
+    *
+    * Same contracts as t39: held-out scored docs only; exact-integer
+    * ratios in double, 4dp, NULL on empty denominators; F1 direct.
+    * `thresholds` must be exact literals (engine-identical compares
+    * against the 4dp log_odds).
+    *
+    * Scale shape: t39's plus the k-fan explode BEFORE the partial
+    * agg — the shuffle carries k·(partial cells), bounded by the
+    * grid, never k·corpus.
+    */
+  def nbPrCurve(docs: DataFrame, textCol: String, idCol: String,
+                targetFilter: Column, trainFilter: Column,
+                thresholds: Seq[Double] =
+                  Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
+                buckets: Int = 8192, alpha: Double = 0.5,
+                persistIntermediate: Boolean = true): DataFrame = {
+    require(thresholds.nonEmpty, "nbPrCurve: thresholds must be non-empty")
+    val scored = nbQualityScore(docs, textCol, idCol, targetFilter,
+      trainFilter, buckets, alpha, 0.0, persistIntermediate)
+    val flags = docs.select(col(idCol).as("doc_id"),
+      targetFilter.as("is_target"), trainFilter.as("is_train"))
+    val fr4 = (c: Column) => graft.functions.num.fround(c, 4)
+    scored.join(flags, Seq("doc_id"))
+      .filter(!col("is_train"))
+      .select(col("log_odds"), col("is_target"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .withColumn("pred",
+        when(col("log_odds") > col("threshold"), 1).otherwise(0))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_heldout"),
+        sum(when(col("pred") === 1 && col("is_target"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && !col("is_target"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("is_target"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0 && !col("is_target"), 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("n_heldout"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          fr4(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          fr4(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          fr4((lit(2.0) * col("tp").cast("double")) /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+          .as("f1"))
+  }
+
+  /** FIT [[nbQualityScore]]'s model alone, as ONE persistable table —
+    * the train-offline half of the production loop (the apply half is
+    * [[nbScoreWithModel]] / the streaming quality-gate sink): per
+    * touched bucket a (b, tcnt, rcnt) row, plus the `b = -1` marker
+    * row carrying the (target, rest) TRAIN DOC counts the +1 prior
+    * needs. ≤ `buckets` + 1 rows — fixed-size at any corpus scale, so
+    * the persisted model is a broadcast at apply time forever.
+    * Zero-token docs contribute no features and are not counted in
+    * the prior (the posts-derived count — [[nbQualityScore]]'s exact
+    * semantics, asserted bit-identical in CurationSpec).
+    */
+  def nbFitModel(train: DataFrame, textCol: String, idCol: String,
+                 targetFilter: Column, buckets: Int = 8192,
+                 persistIntermediate: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val postsPlan = nbPosts(train, textCol, idCol, buckets,
+      Seq("is_target" -> targetFilter))
+    val posts =
+      if (persistIntermediate)
+        postsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else postsPlan
+    val tgt = posts.filter(col("is_target")).groupBy("b").agg(sum("tf").as("tcnt"))
+    val rst = posts.filter(!col("is_target")).groupBy("b").agg(sum("tf").as("rcnt"))
+    val merged = tgt.join(rst, Seq("b"), "full")
+      .select(col("b"), coalesce(col("tcnt"), lit(0.0)).as("tcnt"),
+        coalesce(col("rcnt"), lit(0.0)).as("rcnt"))
+    val pri = posts.agg(
+        count_distinct(when(col("is_target"), col("doc_id")))
+          .cast("double").as("tcnt"),
+        count_distinct(when(!col("is_target"), col("doc_id")))
+          .cast("double").as("rcnt"))
+      .select(lit(-1L).as("b"), col("tcnt"), col("rcnt"))
+    merged.unionByName(pri)
+  }
+
+  /** Score documents against a PERSISTED [[nbFitModel]] table —
+    * bit-identical to [[nbQualityScore]] run with the same train
+    * split (CurationSpec asserts it: every sum the two forms take is
+    * over integer-valued doubles, exact in any order, and every FP
+    * step after that is the same single expression), but with the
+    * model as an INPUT instead of refit per call. This is the shape
+    * the streaming quality-gate sink needs: per micro-batch the cost
+    * is the batch's own map-only feature pass + one broadcast join
+    * against the fixed ≤ `buckets`+1-row model — history is never
+    * rescanned and the model is never refit in the hot path.
+    */
+  def nbScoreWithModel(docs: DataFrame, textCol: String, idCol: String,
+                       model: DataFrame, buckets: Int = 8192,
+                       alpha: Double = 0.5,
+                       threshold: Double = 0.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val mb = model.filter(col("b") >= 0)
+    val pri = model.filter(col("b") === -1L)
+      .select(col("tcnt").as("nt"), col("rcnt").as("nr"))
+    val stats = mb.agg(coalesce(sum("tcnt"), lit(0.0)).as("t_total"),
+        coalesce(sum("rcnt"), lit(0.0)).as("r_total"))
+      .crossJoin(broadcast(pri.select(graft.functions.num.fround(
+        log((col("nt") + lit(1.0)) / (col("nr") + lit(1.0))), 6).as("prior"))))
+    val ab = alpha * buckets
+    nbPosts(docs, textCol, idCol, buckets, Nil)
+      .join(broadcast(mb), Seq("b"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lr", graft.functions.num.fround(log(
+        ((coalesce(col("tcnt"), lit(0.0)) + lit(alpha)) / (col("t_total") + lit(ab))) /
+          ((coalesce(col("rcnt"), lit(0.0)) + lit(alpha)) / (col("r_total") + lit(ab)))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feats"),
+        (sum(col("tf").cast("decimal(9,0)") * col("lr").cast("decimal(18,6)"))
+          + first(col("prior")).cast("decimal(18,6)")).as("w"))
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+        graft.functions.num.fround(col("w").cast("double"), 4).as("log_odds"))
+      .withColumn("pred",
+        when(col("log_odds") > threshold, 1).otherwise(0))
   }
 
   /** SEMANTIC (embedding-space) decontamination — the vector twin of

@@ -578,6 +578,37 @@ object EventStream {
     * accumulates O(batches × state) dead snapshots and the per-batch
     * dir listing degrades with stream age.
     */
+  /** Streaming QUALITY GATE — the production shape of the t36
+    * classifier: the model is FIT OFFLINE ([[graft.ops.Curation
+    * .nbFitModel]], persisted as parquet at `modelPath`) and each
+    * micro-batch of arriving documents is scored against it
+    * ([[graft.ops.Curation.nbScoreWithModel]] — bit-identical to the
+    * batch operator on the same model). Per batch the cost is the
+    * batch's OWN map-only feature pass + one broadcast join against
+    * the fixed ≤ buckets+1-row model: no history rescans, no refit in
+    * the ingest path, so the gate keeps up with arrival rate at any
+    * corpus size. STATELESS across batches (unlike the index/snapshot
+    * sinks): idempotence is just "batch N overwrites only
+    * `batch_id=N`", and restart-from-checkpoint needs no state
+    * recovery at all. Retraining is a deliberate OFFLINE act — write
+    * a new model table and the next batch picks it up (the model is
+    * re-read per batch precisely so a hot-swap needs no stream
+    * restart).
+    */
+  def qualityGateSink(docs: DataFrame, textCol: String, idCol: String,
+                      modelPath: String, verdictDir: String,
+                      buckets: Int = 8192, alpha: Double = 0.5,
+                      threshold: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val model = spark.read.parquet(modelPath)
+        graft.ops.Curation.nbScoreWithModel(batch.toDF(), textCol, idCol,
+            model, buckets, alpha, threshold)
+          .write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+    }
+
   def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
                       valCol: String, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

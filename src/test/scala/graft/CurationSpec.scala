@@ -158,6 +158,34 @@ class CurationSpec extends AnyFunSuite {
       empty.toString)
   }
 
+  test("nbFitModel + nbScoreWithModel equal nbQualityScore bit-for-bit through a parquet round-trip") {
+    // the train-offline / apply-online split of t36: fitting the
+    // model to a table and scoring against the reloaded table must
+    // reproduce the one-call operator EXACTLY (every sum either form
+    // takes is over integer-valued doubles — exact in any order — and
+    // every FP step after that is the same single expression)
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val train = substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), lit("graft"))), 1, 4) < "e666"
+    val direct = Curation.nbQualityScore(docs, "text", "doc_id",
+        col("lang") === "en", train)
+      .orderBy("doc_id").collect().mkString("|")
+    val modelPath =
+      java.nio.file.Files.createTempDirectory("graft_nbmodel").toString + "/model"
+    Curation.nbFitModel(docs.filter(train), "text", "doc_id",
+        col("lang") === "en")
+      .write.parquet(modelPath)
+    val model = spark.read.parquet(modelPath)
+    val viaModel = Curation.nbScoreWithModel(docs, "text", "doc_id", model)
+      .orderBy("doc_id").collect().mkString("|")
+    assert(viaModel == direct,
+      "persisted-model scoring diverges from the one-call operator")
+    assert(viaModel.nonEmpty)
+    // the persisted model is bounded: <= buckets + 1 rows, one marker
+    assert(model.count() <= 8193L)
+    assert(model.filter(col("b") === -1L).count() == 1L)
+  }
+
   test("deterministicSplit is stable, total, and close to requested fractions") {
     val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
     val fr = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))

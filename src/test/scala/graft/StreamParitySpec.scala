@@ -622,6 +622,52 @@ class StreamParitySpec extends AnyFunSuite {
       s"pruned snapshot set: $dirs")
   }
 
+  test("parity: qualityGateSink — streamed verdicts equal the batch operator on the same persisted model") {
+    import graft.ops.Curation
+    // the production loop: fit OFFLINE on labeled docs, persist the
+    // model table, score every arriving micro-batch against it
+    val trainDocs = Seq(
+      (101L, "alpha beta alpha beta", true), (102L, "alpha beta gamma", true),
+      (103L, "zeta eta theta", false), (104L, "zeta theta eta", false))
+      .toDF("doc_id", "text", "tgt")
+    val base = java.nio.file.Files.createTempDirectory("graft_qgate")
+    val modelPath = s"$base/model"; val ckpt = s"$base/ckpt"
+    val outDir = s"$base/verdicts"
+    Curation.nbFitModel(trainDocs, "text", "doc_id", col("tgt"))
+      .write.parquet(modelPath)
+    // held-out arrivals across two batches; doc 5 is empty (no
+    // features -> no verdict row, the operator's contract)
+    val batches = Seq(
+      Seq((1L, "alpha beta beta"), (2L, "zeta eta eta")),
+      Seq((3L, "alpha gamma"), (4L, "theta zeta"), (5L, "")))
+    val truth = Curation.nbScoreWithModel(
+        batches.flatten.toDF("doc_id", "text"), "text", "doc_id",
+        spark.read.parquet(modelPath))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStream.qualityGateSink(ms.toDS().toDF("doc_id", "text"),
+        "text", "doc_id", modelPath, outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(batches(0): _*); q.processAllAvailable()
+      ms.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("log_odds"),
+          r.getAs[Int]("pred")))
+      .toMap
+    assert(streamed == truth, s"streamed $streamed != batch $truth")
+    assert(streamed.keySet == Set(1L, 2L, 3L, 4L),
+      "zero-token doc must produce no verdict row")
+    // the gate actually discriminates: target-vocab arrivals pass,
+    // rest-vocab arrivals are rejected
+    assert(streamed(1L)._3 == 1 && streamed(3L)._3 == 1)
+    assert(streamed(2L)._3 == 0 && streamed(4L)._3 == 0)
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
