@@ -17,6 +17,17 @@ object Curation {
     * repetition, no backrefs or lookaround. IP = IPv4 dotted quad;
     * SSN = the ddd-dd-dddd national-ID shape (CCNet-class scrubbers
     * hit both on web crawls, next to emails and phones).
+    *
+    * DELIBERATE imprecision in `IpPattern` (the CCNet-class recall-
+    * over-precision trade): octets are not range-checked (it matches
+    * `999.999.999.999`) and there are no word-boundary anchors (in a
+    * longer dotted run like `1.2.3.4.5` it redacts the leftmost quad,
+    * leaving `<IP>.5`). A scrubber errs toward redacting non-IPs over
+    * leaking real ones; bounding octets to 0-255 would need a
+    * 3-branch alternation per octet that buys precision on inputs
+    * (version strings, section numbers) that were never PII to begin
+    * with. Callers needing the strict form can pass their own
+    * pattern through `regexp_replace` upstream.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
@@ -902,11 +913,21 @@ object Curation {
     * [[nbScoreWithModel]] / the streaming quality-gate sink): per
     * touched bucket a (b, tcnt, rcnt) row, plus the `b = -1` marker
     * row carrying the (target, rest) TRAIN DOC counts the +1 prior
-    * needs. ≤ `buckets` + 1 rows — fixed-size at any corpus scale, so
+    * needs. ≤ `buckets` + 2 rows — fixed-size at any corpus scale, so
     * the persisted model is a broadcast at apply time forever.
     * Zero-token docs contribute no features and are not counted in
     * the prior (the posts-derived count — [[nbQualityScore]]'s exact
     * semantics, asserted bit-identical in CurationSpec).
+    *
+    * The `b = -2` marker row records the `buckets` the model was FIT
+    * with (`tcnt` = buckets, `rcnt` unused): buckets changes both the
+    * md5-fold bucket assignment AND the α·B smoothing denominator, so
+    * scoring against an apply-side `buckets` different from the fit
+    * side would silently produce wrong log-odds — [[nbScoreWithModel]]
+    * `require()`s the marker matches before it scores anything.
+    * (α is NOT fit state — the stored counts are raw; smoothing is
+    * applied at scoring time, so any apply-side α is valid against
+    * the same counts.)
     */
   def nbFitModel(train: DataFrame, textCol: String, idCol: String,
                  targetFilter: Column, buckets: Int = 8192,
@@ -929,7 +950,12 @@ object Curation {
         count_distinct(when(!col("is_target"), col("doc_id")))
           .cast("double").as("rcnt"))
       .select(lit(-1L).as("b"), col("tcnt"), col("rcnt"))
-    merged.unionByName(pri)
+    // fit-config marker: the buckets this model hashes with (see
+    // scaladoc — apply-side mismatch silently corrupts log-odds)
+    val cfg = train.sparkSession.range(1)
+      .select(lit(-2L).as("b"), lit(buckets.toDouble).as("tcnt"),
+        lit(0.0).as("rcnt"))
+    merged.unionByName(pri).unionByName(cfg)
   }
 
   /** Score documents against a PERSISTED [[nbFitModel]] table —
@@ -949,6 +975,21 @@ object Curation {
                        threshold: Double = 0.0): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    // fit-config guard: a model hashed with different `buckets` would
+    // score SILENTLY wrong (both the fold and the α·B denominator
+    // shift) — fail loud instead. The probe is one bounded job over
+    // the ≤ buckets+2-row model table (already read per call).
+    val marker = model.filter(col("b") === -2L)
+      .select(col("tcnt").cast("double")).collect()
+    require(marker.length == 1,
+      s"nbScoreWithModel: model table carries ${marker.length} fit-config " +
+        "marker rows (b = -2); expected exactly 1 — was this table " +
+        "written by nbFitModel?")
+    val fitBuckets = marker(0).getDouble(0)
+    require(fitBuckets == buckets.toDouble,
+      s"nbScoreWithModel: model was fit with buckets=${fitBuckets.toLong} " +
+        s"but apply-side buckets=$buckets — the hash fold and smoothing " +
+        "denominator would disagree; pass the fit-side value")
     val mb = model.filter(col("b") >= 0)
     val pri = model.filter(col("b") === -1L)
       .select(col("tcnt").as("nt"), col("rcnt").as("nr"))

@@ -1198,7 +1198,11 @@ object TextAnalysis {
     // an all-empty (or fully length-filtered) train split would
     // otherwise train a silent EMPTY vocabulary that verdicts every
     // downstream word UNK with no signal — fail loud instead (the
-    // semDedupPairsAuto degenerate-input contract)
+    // semDedupPairsAuto degenerate-input contract). NOTE this makes
+    // CONSTRUCTION eager: the isEmpty probe runs one bounded Spark
+    // job (a limit-1 on the persisted word table) at operator-call
+    // time, even if the returned plan is never acted on — the priced
+    // cost of failing loud here instead of deep in round 1's join.
     require(!words.isEmpty,
       "unigramLmTrain: the train corpus produced ZERO words after " +
         s"normalization and the 1..$maxWordLen length filter — an empty " +

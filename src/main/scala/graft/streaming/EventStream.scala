@@ -403,13 +403,26 @@ object EventStream {
     * debris is never touched (the listing skips it — not ours to
     * delete). Append-only-index sinks (d14, d16) must NOT prune:
     * their state IS the union of all batch extensions.
+    *
+    * BEST-EFFORT: runs after the batch's state write has already
+    * committed, and correctness never depends on a prune succeeding
+    * (an unpruned grandparent is dead weight, not wrong state — the
+    * next batch's prune retries it). A transient filesystem error
+    * here must therefore NOT fail the otherwise-committed batch and
+    * force a replay; failures are logged and swallowed.
     */
   private def pruneSnapshots(spark: SparkSession, dir: String,
                              batchId: Long): Unit =
     priorBatchDirs(spark, dir, batchId - 1).foreach { case (_, p) =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(path, true)
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] snapshot prune of $p failed " +
+            s"(will retry next batch): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
 
   /** Streaming driver for the d14 incremental-dedup chain — the batch

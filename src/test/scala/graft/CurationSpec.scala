@@ -181,9 +181,26 @@ class CurationSpec extends AnyFunSuite {
     assert(viaModel == direct,
       "persisted-model scoring diverges from the one-call operator")
     assert(viaModel.nonEmpty)
-    // the persisted model is bounded: <= buckets + 1 rows, one marker
-    assert(model.count() <= 8193L)
+    // the persisted model is bounded: <= buckets + 2 rows, one prior
+    // marker and one fit-config marker
+    assert(model.count() <= 8194L)
     assert(model.filter(col("b") === -1L).count() == 1L)
+    assert(model.filter(col("b") === -2L).count() == 1L)
+    // the fit-config marker records buckets, and a mismatched
+    // apply-side buckets fails loud instead of scoring silently wrong
+    assert(model.filter(col("b") === -2L).head().getDouble(1) == 8192.0)
+    val mismatch = intercept[IllegalArgumentException] {
+      Curation.nbScoreWithModel(docs, "text", "doc_id", model,
+        buckets = 4096)
+    }
+    assert(mismatch.getMessage.contains("fit with buckets=8192"),
+      mismatch.getMessage)
+    // a table that never came from nbFitModel (no marker) also fails
+    val noMarker = intercept[IllegalArgumentException] {
+      Curation.nbScoreWithModel(docs, "text", "doc_id",
+        model.filter(col("b") =!= -2L))
+    }
+    assert(noMarker.getMessage.contains("marker"), noMarker.getMessage)
   }
 
   test("deterministicSplit is stable, total, and close to requested fractions") {
