@@ -810,6 +810,61 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    "t42_roc_auc" -> ((s, dir) => {
+      // the ONE scalar a classifier comparison reads: exact
+      // tie-corrected Mann–Whitney ROC-AUC over the held-out 4dp
+      // log-odds — t39 prices one operating point, t41 a 7-point
+      // grid; this ranks the model (integer rank sums, one division)
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      Curation.nbRocAuc(docs, "text", "doc_id",
+        col("lang") === "en", train)
+    }),
+
+    "t43_source_cap" -> ((s, dir) => {
+      // C4/Gopher's per-domain quota: keep at most 10 docs per source,
+      // best first by t2 quality (4dp, id tie-break) — the curation
+      // rung between dedup and mixing that stops a handful of
+      // boilerplate-heavy domains from dominating the selection
+      val docs = Tables(s, dir).documents
+      val scored = docs.select(col("source"), col("doc_id"),
+        text.qualityScore(col("text")).as("quality"))
+      Curation.sourceCap(scored, "doc_id", "source", "quality", 10)
+        .orderBy("grp", "rank")
+    }),
+
+    "t44_para_dedup" -> ((s, dir) => {
+      // CCNet's first rung: strip repeated paragraphs INSIDE each doc
+      // (keep first occurrence), map-only. The corpus text carries no
+      // line structure, so the declared query PLANTS it
+      // deterministically (the m5 pattern): each doc's tokens chunk
+      // into 10-token paragraphs and the FIRST + MIDDLE paragraphs are
+      // re-appended as within-doc duplicates the operator must strip —
+      // the oracle replicates the plant, so the strip is under the gate
+      val docs = Tables(s, dir).documents
+      val planted = docs
+        .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1L),
+                floor((size(col("toks")) + lit(9)) / lit(10.0)).cast("long")),
+              j => array_join(
+                slice(col("toks"), ((j - 1) * 10 + 1).cast("int"), lit(10)),
+                " ")))
+            .as("chunks"))
+        .select(col("doc_id"),
+          when(size(col("chunks")) === 0, lit(""))
+            .otherwise(array_join(concat(col("chunks"),
+              array(element_at(col("chunks"), 1),
+                element_at(col("chunks"),
+                  floor((size(col("chunks")) + lit(1)) / lit(2.0)).cast("int")))),
+              "\n"))
+            .as("text"))
+      Curation.paragraphDedup(planted, "text", "doc_id").orderBy("doc_id")
+    }),
+
     "t21_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM on the same t8 train split — the
       // word-order-sensitive upgrade of t18's unigram signal
@@ -2910,6 +2965,111 @@ object SparkEntry {
                 / CAST(2 * tp + fp + fn AS DOUBLE)
                 * 10000.0 + 0.5) / 10000.0 END AS f1
           FROM cm ORDER BY threshold""",
+
+    // exact tie-corrected Mann–Whitney AUC over the DISTINCT-4dp-score
+    // grid: integer group products (BIGINT), DECIMAL(38,0) total, one
+    // trailing double division — shares t36ScoredCtes so the
+    // classifier, t39's gate, t41's curve and this scalar can never
+    // assert different trained models
+    "t42_roc_auc" ->
+      s"""WITH $t36ScoredCtes,
+          ev AS (
+            SELECT p.log_odds, d.is_target
+            FROM predd p JOIN d USING (doc_id)
+            WHERE NOT d.is_train),
+          grp AS (
+            SELECT log_odds,
+              CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS pos_g,
+              CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS neg_g
+            FROM ev GROUP BY log_odds),
+          cum AS (
+            SELECT pos_g, neg_g,
+              coalesce(sum(neg_g) OVER (ORDER BY log_odds
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+            FROM grp),
+          aucagg AS (
+            SELECT CAST(sum(pos_g + neg_g) AS BIGINT) AS n_heldout,
+              CAST(sum(pos_g) AS BIGINT) AS n_pos,
+              CAST(sum(neg_g) AS BIGINT) AS n_neg,
+              sum(CAST(2 * cneg * pos_g + pos_g * neg_g AS DECIMAL(38,0))) AS num2
+            FROM cum)
+          SELECT n_heldout, n_pos, n_neg,
+            CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN floor(CAST(num2 AS DOUBLE)
+                / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                * 1000000.0 + 0.5) / 1000000.0 END AS auc
+          FROM aucagg""",
+
+    "t43_source_cap" ->
+      s"""WITH f AS (
+            SELECT doc_id, source,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(text)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(text) AS n_chars_raw
+            FROM documents),
+          q AS (
+            SELECT doc_id, source,
+              floor((
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+                + 0.2 * (1.0 - least((
+                    (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                    + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                  ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+            FROM f),
+          r AS (
+            SELECT source AS grp, doc_id AS id, quality AS score,
+              row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id) AS rank
+            FROM q)
+          SELECT grp, CAST(rank AS INTEGER) AS rank, id, score
+          FROM r WHERE rank <= 10 ORDER BY grp, rank""",
+
+    // the plant (10-token chunks + first/middle re-appended) and the
+    // strip (trimmed split, first-occurrence keep) are BOTH replicated,
+    // so the oracle gates the cleaning itself, not just the accounting
+    "t44_para_dedup" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+          ch AS (
+            SELECT doc_id,
+              CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(
+                  range(1, CAST(floor((len(toks) + 9) / 10.0) AS BIGINT) + 1),
+                  j -> array_to_string(
+                    list_slice(toks, (j - 1) * 10 + 1, (j - 1) * 10 + 10), ' '))
+              END AS chunks
+            FROM d),
+          pl AS (
+            SELECT doc_id,
+              CASE WHEN len(chunks) = 0 THEN ''
+                ELSE array_to_string(list_concat(chunks,
+                  [chunks[1],
+                   chunks[CAST(floor((len(chunks) + 1) / 2.0) AS INTEGER)]]),
+                  chr(10))
+              END AS text
+            FROM ch),
+          p AS (
+            SELECT doc_id,
+              list_filter(list_transform(string_split(text, chr(10)),
+                s -> trim(s)), s -> s <> '') AS paras
+            FROM pl),
+          k AS (
+            SELECT doc_id, paras,
+              list_filter(paras,
+                (s, i) -> list_position(paras, s) = i) AS kept
+            FROM p)
+          SELECT doc_id,
+            CAST(len(paras) AS BIGINT) AS n_paras,
+            CAST(len(paras) - len(kept) AS BIGINT) AS n_dup_paras,
+            CAST(length(array_to_string(paras, ''))
+              - length(array_to_string(kept, '')) AS BIGINT) AS removed_chars,
+            array_to_string(kept, chr(10)) AS text_clean
+          FROM k ORDER BY doc_id""",
+
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
           t AS (SELECT unnest(toks) AS term FROM d),

@@ -908,6 +908,156 @@ object Curation {
           .as("f1"))
   }
 
+  /** Exact ROC-AUC for [[nbQualityScore]] — the ONE scalar a model
+    * comparison reads ([[nbClassifierEval]] prices a single operating
+    * point, [[nbPrCurve]] a fixed grid; neither RANKS two models).
+    * Rank-based Mann–Whitney with tie correction over the held-out
+    * 4dp log-odds: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻),
+    * computed over the DISTINCT-score groups as
+    * Σ_g (neg_below_g·pos_g + ½·pos_g·neg_g) / (n_pos·n_neg) — the
+    * average-rank formulation with the ½ absorbed by doubling both
+    * sides (num2 = Σ (2·neg_below·pos_g + pos_g·neg_g),
+    * den = 2·n_pos·n_neg), so every term is an INTEGER and the only
+    * FP step is one trailing division.
+    *
+    * Scale shape: scoring is t36's (map-only features, one corpus
+    * shuffle, fixed-size model broadcasts); the held-out scores then
+    * collapse to the DISTINCT 4dp score grid (bounded by the 4dp
+    * resolution — the t22 value-grid principle), so the cumulative
+    * window runs over a tiny value table, never the corpus. Per-group
+    * products stay in BIGINT — exact to ~2×10⁹ held-out docs per
+    * class (a held-out EVAL split, not the corpus; generous) — and
+    * the group sum accumulates in DECIMAL(38,0) so the total cannot
+    * overflow; both engines convert the decimal and the two counts to
+    * double identically (< 2⁵³) before the one division. AUC is NULL
+    * when either class is absent from the held-out scored set (no
+    * ranking is defined), never 0/0.
+    */
+  def nbRocAuc(docs: DataFrame, textCol: String, idCol: String,
+               targetFilter: Column, trainFilter: Column,
+               buckets: Int = 8192, alpha: Double = 0.5,
+               persistIntermediate: Boolean = true): DataFrame = {
+    import graft.functions.num.fround
+    val scored = nbQualityScore(docs, textCol, idCol, targetFilter,
+      trainFilter, buckets, alpha, 0.0, persistIntermediate)
+    val flags = docs.select(col(idCol).as("doc_id"),
+      targetFilter.as("is_target"), trainFilter.as("is_train"))
+    val grp = scored.join(flags, Seq("doc_id"))
+      .filter(!col("is_train"))
+      .groupBy("log_odds")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("pos_g"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("neg_g"))
+    // global window over the DISTINCT-4dp-score grid only (bounded by
+    // score resolution, the t22 shape) — never over held-out rows
+    val w = Window.orderBy("log_odds")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp.withColumn("cneg", coalesce(sum("neg_g").over(w), lit(0L)))
+      .agg(
+        sum(col("pos_g") + col("neg_g")).as("n_heldout"),
+        sum("pos_g").as("n_pos"),
+        sum("neg_g").as("n_neg"),
+        sum((lit(2L) * col("cneg") * col("pos_g")
+          + col("pos_g") * col("neg_g")).cast("decimal(38,0)")).as("num2"))
+      .select(col("n_heldout").cast("long").as("n_heldout"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          fround(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
+  /** Per-source/domain QUOTA — the C4/Gopher "keep at most `n` docs
+    * per domain, best first" curation rung that runs between dedup and
+    * mixing: a crawl is dominated by a handful of boilerplate-heavy
+    * domains, and capping each source at its `n` best docs (by a
+    * quality score) is the standard counter before any global
+    * selection sees the counts. Keeps the top `n` rows per group by
+    * (`scoreCol` desc, id asc) — the id tie-break makes the cut
+    * deterministic even on a 4dp score grid full of ties; groups
+    * smaller than `n` keep everything (the cap binds only above `n`).
+    *
+    * Scale shape = [[weightedSample]]'s: the per-group top-n rides the
+    * bounded `graft_topk` aggregate when registered — each map task
+    * forwards at most `n` rows per group, so the shuffle carries
+    * O(n · groups · partitions) rows, never a per-group sort of
+    * corpus/groups rows (with few hot domains a window would buffer
+    * enormous groups — the degenerate case the bounded aggregate
+    * exists for). The extension-less fallback is the standard window
+    * idiom: same rows, and the q20 rewrite restores the bounded plan
+    * when injected.
+    *
+    * Output: (grp, rank 1-based, id, score) — rank in quota order.
+    */
+  def sourceCap(df: DataFrame, idCol: String, groupCol: String,
+                scoreCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val scored = df.select(col(groupCol).as("grp"),
+      col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("score"))
+    if (Native.enabled(df, "graft_topk")) {
+      scored.groupBy("grp")
+        .agg(call_function("graft_topk", col("score"), col("id"), lit(n))
+          .as("topk"))
+        .select(col("grp"), posexplode(col("topk")))
+        .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"), col("col.score").as("score"))
+    } else {
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= n)
+        .select(col("grp"), col("rank").cast("int").as("rank"),
+          col("id"), col("score"))
+    }
+  }
+
+  /** WITHIN-document paragraph dedup — CCNet's first cleaning rung,
+    * BEFORE any cross-corpus pass: strip repeated lines/paragraphs
+    * INSIDE each document (navigation chrome, repeated boilerplate
+    * blocks, copy-paste loops), keeping each paragraph's FIRST
+    * occurrence in document order. d1/d10/d19 compare ACROSS
+    * documents and t14 measures within-doc repetition without
+    * stripping it — this is the operator that actually cleans.
+    *
+    * Semantics (engine-exact, oracle-replicated): paragraphs =
+    * `sep`-split of the text, each trimmed, empty strings dropped;
+    * paragraph at 1-based position i survives iff its first
+    * occurrence index (array_position — 1-based, first match, in both
+    * engines) equals i. Output per doc: n_paras, n_dup_paras,
+    * removed_chars (the summed length of stripped paragraphs), and
+    * the cleaned text re-joined with `sep`.
+    *
+    * Scale shape: MAP-ONLY — one split + two array higher-order
+    * passes per row, no explode, no shuffle, no window; the whole
+    * operator stays in the scan stage at any corpus size
+    * (plan-asserted Exchange-free in CurationSpec). The first-
+    * occurrence probe is O(paras²) string compares WITHIN one row —
+    * document-bounded, never corpus-bounded.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "paragraphDedup: sep must be non-empty")
+    // split() takes a regex — quote the separator so "." or "|"
+    // separators mean themselves (Spark-side only; the oracle splits
+    // on the literal)
+    val paras = filter(
+      transform(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        p => trim(p)),
+      p => p =!= "")
+    df.select(col(idCol).as("doc_id"), paras.as("paras"))
+      .select(col("doc_id"), col("paras"),
+        filter(col("paras"),
+          (p, i) => array_position(col("paras"), p) === i + 1).as("kept"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_dup_paras"),
+        (length(array_join(col("paras"), ""))
+          - length(array_join(col("kept"), ""))).cast("long")
+          .as("removed_chars"),
+        array_join(col("kept"), sep).as("text_clean"))
+  }
+
   /** FIT [[nbQualityScore]]'s model alone, as ONE persistable table —
     * the train-offline half of the production loop (the apply half is
     * [[nbScoreWithModel]] / the streaming quality-gate sink): per

@@ -203,6 +203,113 @@ class CurationSpec extends AnyFunSuite {
     assert(noMarker.getMessage.contains("marker"), noMarker.getMessage)
   }
 
+  test("nbRocAuc equals the average-rank Mann–Whitney AUC, tie group included") {
+    // t39's engineered setup plus doc 10: the SAME text as doc 9 but
+    // the OPPOSITE label, so the held-out set carries a genuine
+    // pos/neg TIE GROUP (identical text -> identical features ->
+    // identical 4dp log_odds) and the ½-credit tie correction is
+    // exercised, not just reachable
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true, true),
+      (2L, "alpha beta gamma alpha", true, true),
+      (3L, "zeta eta theta", false, true),
+      (4L, "zeta theta eta zeta", false, true),
+      (5L, "alpha beta beta", true, false),
+      (6L, "zeta eta eta", false, false),
+      (7L, "", true, false),
+      (8L, "zeta eta", true, false),
+      (9L, "alpha beta", false, false),
+      (10L, "alpha beta", true, false)).toDF("id", "txt", "tgt", "tr")
+    val got = Curation.nbRocAuc(docs, "txt", "id", col("tgt"), col("tr"))
+      .head()
+    // independent reimplementation of the rank formula: collect the
+    // held-out (log_odds, is_target) pairs from the scoring operator
+    // itself and compute the average-rank AUC in plain Scala
+    val heldIds = Set(5L, 6L, 8L, 9L, 10L)
+    val scored = Curation.nbQualityScore(docs, "txt", "id",
+        col("tgt"), col("tr"))
+      .filter(col("doc_id").isin(heldIds.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the engineered tie: identical text scores identically
+    assert(scored(9L) == scored(10L), s"9/10 must tie: $scored")
+    val labels = Map(5L -> true, 6L -> false, 8L -> true,
+      9L -> false, 10L -> true)
+    val byScore = scored.toSeq.map { case (id, s) => (s, labels(id)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    var cneg = 0L; var num2 = 0L; var nPos = 0L; var nNeg = 0L
+    byScore.foreach { case (_, grp) =>
+      val p = grp.count(_._2).toLong; val n = grp.size - p
+      num2 += 2L * cneg * p + p * n
+      cneg += n; nPos += p; nNeg += n
+    }
+    val expAuc = math.floor(
+      num2.toDouble / (2.0 * nPos * nNeg) * 1e6 + 0.5) / 1e6
+    assert(got == Row(5L, 3L, 2L, expAuc), s"$got vs auc=$expAuc")
+    // degenerate: a single-class held-out set defines no ranking ->
+    // NULL auc, never 0/0 (doc 7 is empty -> no score row, so the
+    // held-out scored set here is all-positive)
+    val oneClass = Seq(
+      (1L, "alpha beta", true, true), (2L, "zeta eta", false, true),
+      (3L, "alpha alpha", true, false), (7L, "", false, false))
+      .toDF("id", "txt", "tgt", "tr")
+    val deg = Curation.nbRocAuc(oneClass, "txt", "id",
+      col("tgt"), col("tr")).head()
+    assert(deg.getLong(1) == 1L && deg.getLong(2) == 0L && deg.isNullAt(3),
+      deg.toString)
+  }
+
+  test("sourceCap keeps the best n per group; the cap binds only above n; ties break by id") {
+    val df = Seq(
+      // group a: 5 rows, cap 3 binds — and a SCORE TIE at 0.7 must
+      // resolve to the lower id
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.7),
+      (4L, "a", 0.5), (5L, "a", 0.3),
+      // group b: 2 rows, cap does not bind — both kept, ranks 1..2
+      (6L, "b", 0.2), (7L, "b", 0.8)).toDF("id", "src", "q")
+    val got = Curation.sourceCap(df, "id", "src", "q", 3)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 1, 1L, 0.9), ("a", 2, 2L, 0.7), ("a", 3, 3L, 0.7),
+      ("b", 1, 7L, 0.8), ("b", 2, 6L, 0.2)), got.toString)
+    // native bounded-aggregate path ≡ window fallback (same rows, same
+    // ranks — the extension is a plan change, never a result change)
+    val native = Curation.sourceCap(df, "id", "src", "q", 3)
+      .orderBy("grp", "rank").collect().toSeq
+    spark.conf.set("graft.native.disabled", "true")
+    val fallback =
+      try Curation.sourceCap(df, "id", "src", "q", 3)
+        .orderBy("grp", "rank").collect().toSeq
+      finally spark.conf.unset("graft.native.disabled")
+    assert(native == fallback)
+  }
+
+  test("paragraphDedup strips interleaved within-doc repeats, first occurrence wins; map-only plan") {
+    val docs = Seq(
+      // interleaved repeats: a and b recur non-adjacently
+      (1L, "a x\nb y\na x\nc z\nb y\nd w"),
+      // trim + empty-paragraph handling: blanks drop, spaces trim
+      (2L, "  x q \n\n x q\ny r  "),
+      // no dups -> untouched accounting
+      (3L, "p\nq\nr"),
+      // degenerate: empty and whitespace-only docs
+      (4L, ""), (5L, " \n  \n ")).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 6L, 2L, 6L, "a x\nb y\nc z\nd w"),
+      Row(2L, 3L, 1L, 3L, "x q\ny r"),
+      Row(3L, 3L, 0L, 0L, "p\nq\nr"),
+      Row(4L, 0L, 0L, 0L, ""),
+      Row(5L, 0L, 0L, 0L, "")), got.toString)
+    // CCNet's first rung runs BEFORE any corpus pass — it must cost
+    // zero shuffles at any corpus size
+    val plan = Curation.paragraphDedup(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"paragraphDedup must be map-only:\n$plan")
+  }
+
   test("deterministicSplit is stable, total, and close to requested fractions") {
     val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
     val fr = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
