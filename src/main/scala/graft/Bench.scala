@@ -1,10 +1,75 @@
 package graft
 object Bench {
+
+  /** Fixed single-thread CPU spin (xorshift64*, 3e8 steps): a box/VM
+    * under CPU contention reads this HIGH regardless of what Spark is
+    * doing — the machine-health half of the calibration probe. The
+    * fold is returned so the JIT cannot dead-code the loop.
+    */
+  private def cpuProbe(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    var i = 0
+    while (i < 300000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545f4914f6cdd1dL
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** Fixed Spark job (range-sum over 64 fixed partitions): times the
+    * scheduler + codegen + task-launch path — the session-health half
+    * of the probe (the r10 degraded pair was session-wide scheduling,
+    * not data-dependent). Comparable only at the same `local[n]`, so
+    * the baseline records its cpus and the compare skips on mismatch.
+    */
+  private def sparkProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // modulo keeps the running sum far below long overflow (ANSI mode)
+    spark.range(0L, 1000000000L, 1L, 64)
+      .selectExpr("sum(id % 97)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-box probe baseline: {"cpus":n,"cpu_sec":x,"spark_sec":y}
+    * medians recorded by `SPARK_GRAFT_PROBE_ONLY=1` runs (see
+    * tools/bench_probe_baseline.json). A board whose probes read
+    * >1.5× the stored median is stamped `degraded` in the record
+    * itself, so a bad session is machine-flagged, not adjudicated by
+    * narrative after the fact.
+    */
+  private def readBaseline(path: String): Option[(Int, Double, Double)] = {
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      def num(key: String): Option[Double] =
+        (s"""\"$key\"\\s*:\\s*([0-9.eE+-]+)""").r
+          .findFirstMatchIn(s).map(_.group(1).toDouble)
+      for (c <- num("cpus"); a <- num("cpu_sec"); b <- num("spark_sec"))
+        yield (c.toInt, a, b)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- Calibration probe (pre) ----------------------------------
+    // One tiny untimed job first so the pre-probe measures the session,
+    // not first-job init; then the fixed CPU spin + fixed Spark job.
+    spark.range(100000L).selectExpr("count(*)").collect()
+    val preCpu = cpuProbe()._1
+    val preSpark = sparkProbe(spark)
+    // probe-only mode: print the probe line and exit — used to record
+    // the per-box baseline medians without a full sweep
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("1")) {
+      println(s"""{"probe_only":true,"cpus":$cpus,"cpu_sec":$preCpu,"spark_sec":$preSpark}""")
+      spark.stop()
+      return
+    }
     // Deterministic order, relational queries first: they warm the
     // JVM/codegen paths cheaply so the heavy pairwise ops are not
     // charged the session's one-time costs.
@@ -132,6 +197,35 @@ object Bench {
       sweep()
       (name, if (times.nonEmpty) times.min else -1.0, err)
     }
+    // ---- Calibration probe (post) + degraded stamp -----------------
+    val postCpu = cpuProbe()._1
+    val postSpark = sparkProbe(spark)
+    val basePath = sys.env.get("SPARK_GRAFT_PROBE_BASELINE") match {
+      case Some("") => None
+      case Some(p) => Some(p)
+      case None => Some("tools/bench_probe_baseline.json")
+    }
+    val baseline = basePath.flatMap(readBaseline)
+    // degraded iff a probe reads >1.5x its stored per-box median at
+    // BOTH ends of the sweep (min of pre/post): a session-wide
+    // slowdown — the r10 failure mode — is high throughout, while a
+    // healthy box still throws occasional single-draw spikes (measured
+    // ~1.5x once in five idle-box probes) that must not stamp a clean
+    // board. The spark probe only compares at the baseline's local[n].
+    val degraded: Option[Boolean] = baseline.map { case (bCpus, bCpu, bSpark) =>
+      math.min(preCpu, postCpu) > 1.5 * bCpu ||
+        (bCpus == cpus.toInt && math.min(preSpark, postSpark) > 1.5 * bSpark)
+    }
+    val probeJson = {
+      val base = baseline match {
+        case Some((bc, ba, bb)) =>
+          s""","baseline_cpus":$bc,"baseline_cpu":$ba,"baseline_spark":$bb"""
+        case None => ""
+      }
+      s""""probe":{"pre_cpu":$preCpu,"pre_spark":$preSpark,""" +
+        s""""post_cpu":$postCpu,"post_spark":$postSpark$base,""" +
+        s""""degraded":${degraded.map(_.toString).getOrElse("null")}}"""
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -142,7 +236,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,$probeJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's record truncates the per-query tail at ~2000 chars,
     // hiding the front of the board from audit — so ALSO write the

@@ -317,7 +317,25 @@ object TextAnalysis {
       if (persistIntermediate)
         countsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else countsPlan
-    val support = docs.sparkSession.range(buckets.toLong).toDF("b")
+    jsDivergence(counts, docs.sparkSession, buckets, alpha,
+      "slice_tokens", "rest_tokens")
+  }
+
+  /** The smoothed-JS core shared by [[distributionDrift]] and
+    * [[driftAgainstHistogram]] (factored so the two can never compute
+    * divergence differently): `counts` is the PARTIAL support table
+    * (b, a_cnt, r_cnt) — ≤ `buckets` rows; untouched buckets re-enter
+    * via the support join as (0, 0). All numeric behavior is
+    * [[distributionDrift]]'s original (t18/t24 recipe: 6dp-ln,
+    * count-weighted 6dp terms, exact-decimal sums, one trailing IEEE
+    * division per side).
+    */
+  private def jsDivergence(counts: DataFrame,
+                           spark: org.apache.spark.sql.SparkSession,
+                           buckets: Int, alpha: Double,
+                           aTotalName: String, rTotalName: String)
+      : DataFrame = {
+    val support = spark.range(buckets.toLong).toDF("b")
     val joined = support.join(counts, Seq("b"), "left")
       .select(coalesce(col("a_cnt"), lit(0L)).cast("double").as("a_cnt"),
         coalesce(col("r_cnt"), lit(0L)).cast("double").as("r_cnt"))
@@ -341,9 +359,56 @@ object TextAnalysis {
     val js = (col("sa") / denomA + col("sr") / denomR) * lit(0.5)
     sums.crossJoin(broadcast(totals))
       .select(lit(buckets).as("buckets"),
-        col("a_total").as("slice_tokens"), col("r_total").as("rest_tokens"),
+        col("a_total").as(aTotalName), col("r_total").as(rTotalName),
         fround(js, 6).as("js_nats"),
         fround(js / lit(0.6931471805599453), 4).as("js_bits"))
+  }
+
+  /** Fixed-support hashed-token histogram — the PERSISTABLE half of
+    * the drift family: (b, cnt) over [[distributionDrift]]'s exact
+    * bucket hash (t24's md5 fold mod `buckets`), ≤ `buckets` rows at
+    * any corpus scale. Fit it ONCE on the training/reference corpus
+    * and store it next to the model; [[driftAgainstHistogram]] then
+    * prices any arriving batch against it without ever touching the
+    * reference corpus again — the same train-offline/apply-online
+    * split as nbFitModel/nbScoreWithModel.
+    */
+  def tokenHistogram(docs: DataFrame, textCol: String,
+                     buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    docs
+      .select(explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("f"))
+      .select(pmod(Native.md5FoldOf(docs)(col("f")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** JS divergence of `docs` against a PERSISTED reference histogram
+    * ([[tokenHistogram]] output) — [[distributionDrift]] with one side
+    * stored: the drift monitor a streaming gate runs per batch, where
+    * the reference is the distribution the model was TRAINED on and
+    * re-tokenizing the training corpus per batch would be absurd.
+    * Identical numerics to [[distributionDrift]] by construction (the
+    * shared [[jsDivergence]] core); the only difference is where the
+    * second count column comes from. Per-batch cost: the batch's own
+    * explode + one ≤ `buckets`-row partial agg + a full-outer join of
+    * two ≤ `buckets`-row tables — fixed-size beyond the batch scan.
+    * `buckets` must match the histogram's fit-side value (same hash
+    * fold — a mismatch folds tokens into different buckets and the
+    * divergence is meaningless; callers store buckets with the
+    * histogram exactly as nbFitModel stores its marker).
+    */
+  def driftAgainstHistogram(docs: DataFrame, textCol: String,
+                            refHist: DataFrame, buckets: Int = 4096,
+                            alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val batchHist = tokenHistogram(docs, textCol, buckets)
+      .select(col("b"), col("cnt").as("a_cnt"))
+    val counts = batchHist
+      .join(refHist.select(col("b"), col("cnt").as("r_cnt")), Seq("b"), "full")
+      .select(col("b"), coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("r_cnt"), lit(0L)).as("r_cnt"))
+    jsDivergence(counts, docs.sparkSession, buckets, alpha,
+      "batch_tokens", "ref_tokens")
   }
 
   /** Per-document unigram Shannon entropy over normalized whitespace

@@ -608,19 +608,65 @@ object EventStream {
     * re-read per batch precisely so a hot-swap needs no stream
     * restart).
     */
+  /** DRIFT MONITOR extension (round 11, VERDICT r10 #5): when
+    * `refHistPath`/`monitorDir` are set, each batch ALSO writes one
+    * monitor row next to its verdicts — the arriving docs' hashed-
+    * token JS divergence against a persisted TRAINING-REFERENCE
+    * histogram ([[graft.ops.TextAnalysis.tokenHistogram]], fit
+    * offline beside the model) plus the batch's accept rate. A static
+    * gate scores forever against a frozen model; this is the number a
+    * dashboard thresholds to notice the arriving distribution has
+    * LEFT the training distribution before the gate's verdicts rot
+    * silently. Per batch: one extra explode over the batch + a
+    * ≤ `driftBuckets`-row join — fixed-size beyond the batch scan,
+    * stateless, same `batch_id=N`-overwrite idempotence as the
+    * verdicts. The monitor records evidence; ALARMING on it is the
+    * consumer's thresholding decision, not a mechanism here.
+    * `accept_rate` counts pred=1 over SCORED docs (zero-token docs
+    * receive no verdict — the t36 contract), NULL when none scored.
+    */
   def qualityGateSink(docs: DataFrame, textCol: String, idCol: String,
                       modelPath: String, verdictDir: String,
                       buckets: Int = 8192, alpha: Double = 0.5,
-                      threshold: Double = 0.0)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                      threshold: Double = 0.0,
+                      refHistPath: String = "", monitorDir: String = "",
+                      driftBuckets: Int = 4096)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refHistPath.isEmpty == monitorDir.isEmpty,
+      "qualityGateSink: refHistPath and monitorDir must be set together")
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val model = spark.read.parquet(modelPath)
-        graft.ops.Curation.nbScoreWithModel(batch.toDF(), textCol, idCol,
-            model, buckets, alpha, threshold)
-          .write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+        val verdicts = graft.ops.Curation.nbScoreWithModel(batch.toDF(),
+          textCol, idCol, model, buckets, alpha, threshold)
+        if (monitorDir.isEmpty) {
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+        } else {
+          val v = verdicts
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            v.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+            val accept = v.agg(
+              count(lit(1)).as("n_scored"),
+              sum(when(col("pred") === 1, 1L).otherwise(0L)).as("n_pass"))
+              .select(col("n_scored"), col("n_pass"),
+                when(col("n_scored") > 0, graft.functions.num.fround(
+                  col("n_pass").cast("double") / col("n_scored").cast("double"),
+                  4)).as("accept_rate"))
+            val drift = graft.ops.TextAnalysis.driftAgainstHistogram(
+              batch.toDF(), textCol, spark.read.parquet(refHistPath),
+              driftBuckets, alpha)
+            // batch_id arrives as the partition dir on read-back —
+            // storing it as a column too would collide with partition
+            // inference
+            accept.crossJoin(drift)
+              .write.mode("overwrite").parquet(s"$monitorDir/batch_id=$batchId")
+          } finally v.unpersist()
+        }
     }
+  }
 
   def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
                       valCol: String, stateDir: String)

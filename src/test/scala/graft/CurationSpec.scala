@@ -544,6 +544,19 @@ class CurationSpec extends AnyFunSuite {
     val empty = graft.ops.TextAnalysis.distributionDrift(
       same.where(lit(false)), "text", col("is_a"), buckets = 256).head()
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.getDouble(3) == 0.0)
+    // the PERSISTED-reference form computes the identical divergence:
+    // tokenHistogram(rest) + driftAgainstHistogram(slice) == the
+    // one-call operator bit-for-bit (the shared jsDivergence core +
+    // both count paths taking the same integer partial agg)
+    val hist = graft.ops.TextAnalysis.tokenHistogram(
+      disjoint.filter(!col("is_a")), "text", buckets = 256)
+    val viaHist = graft.ops.TextAnalysis.driftAgainstHistogram(
+      disjoint.filter(col("is_a")), "text", hist, buckets = 256).head()
+    assert(viaHist.getDouble(3) == jsDis.getDouble(3) &&
+      viaHist.getDouble(4) == jsDis.getDouble(4),
+      s"histogram form $viaHist != one-call $jsDis")
+    assert(viaHist.getLong(1) == jsDis.getLong(1) &&
+      viaHist.getLong(2) == jsDis.getLong(2))
   }
 
   test("deterministicShuffle global order is invariant to the bucket count") {

@@ -668,6 +668,78 @@ class StreamParitySpec extends AnyFunSuite {
     assert(streamed(2L)._3 == 0 && streamed(4L)._3 == 0)
   }
 
+  test("qualityGateSink drift monitor: a planted drifted batch reads js_bits >> in-distribution; restart-safe; equals the batch operator") {
+    import graft.ops.{Curation, TextAnalysis}
+    def rep0(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val trainDocs = Seq(
+      (101L, rep0("alpha beta alpha beta", 10), true),
+      (102L, rep0("alpha beta gamma", 10), true),
+      (103L, rep0("zeta eta theta", 10), false),
+      (104L, rep0("zeta theta eta", 10), false))
+      .toDF("doc_id", "text", "tgt")
+    val base = java.nio.file.Files.createTempDirectory("graft_qdrift")
+    val modelPath = s"$base/model"; val ckpt = s"$base/ckpt"
+    val outDir = s"$base/verdicts"; val monDir = s"$base/monitor"
+    val refPath = s"$base/refhist"
+    Curation.nbFitModel(trainDocs, "text", "doc_id", col("tgt"))
+      .write.parquet(modelPath)
+    // the training-reference histogram, fit offline beside the model
+    TextAnalysis.tokenHistogram(trainDocs, "text", buckets = 64)
+      .write.parquet(refPath)
+    // batches 0/1 speak the training vocabulary; batch 2 is DRIFTED —
+    // an entirely disjoint vocabulary the reference has never seen.
+    // Docs carry enough tokens that the add-α prior (α·B = 32 pseudo-
+    // counts) cannot wash the real counts out of the divergence.
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val batches = Seq(
+      Seq((1L, rep("alpha beta beta", 10)), (2L, rep("zeta eta eta", 10))),
+      Seq((3L, rep("alpha beta gamma", 10)), (4L, rep("theta zeta eta", 10))),
+      Seq((5L, rep("qqq www rrr qqq", 10)), (6L, rep("uuu vvv www uuu vvv", 10))))
+    def startGate(ms: MemoryStream[(Long, String)]) =
+      EventStream.qualityGateSink(ms.toDS().toDF("doc_id", "text"),
+          "text", "doc_id", modelPath, outDir,
+          refHistPath = refPath, monitorDir = monDir, driftBuckets = 64)
+        .option("checkpointLocation", ckpt).start()
+    val ms = MemoryStream[(Long, String)]
+    val q = startGate(ms)
+    try {
+      ms.addData(batches(0): _*); q.processAllAvailable()
+      ms.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // checkpointed RESTART before the drifted batch: the monitor is
+    // stateless, so resumption needs nothing beyond the checkpoint
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData(batches(0): _*); ms2.addData(batches(1): _*)
+    val q2 = startGate(ms2)
+    try {
+      ms2.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val mon = spark.read.parquet(monDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_scored"), r.getAs[Long]("n_pass"),
+          r.getAs[Double]("accept_rate"), r.getAs[Double]("js_bits")))
+      .toMap
+    assert(mon.keySet == Set(0L, 1L, 2L), s"one monitor row per batch: $mon")
+    // accept accounting: batch 0 = 1 target-vocab pass of 2 scored
+    assert(mon(0L)._1 == 2L && mon(0L)._2 == 1L && mon(0L)._3 == 0.5, mon.toString)
+    // the drifted batch reads FAR above the in-distribution batches
+    // (disjoint vocab approaches the 1-bit JS ceiling)
+    assert(mon(2L)._4 > 0.5, s"drifted batch must approach 1 bit: $mon")
+    assert(mon(2L)._4 > 3.0 * math.max(mon(0L)._4, mon(1L)._4),
+      s"drift must dominate in-distribution jitter: $mon")
+    // streamed monitor row == the batch operator on the same slice
+    // (the parity contract, monitor edition)
+    val direct = TextAnalysis.driftAgainstHistogram(
+        batches(2).toDF("doc_id", "text"), "text",
+        spark.read.parquet(refPath), buckets = 64)
+      .head()
+    assert(mon(2L)._4 == direct.getAs[Double]("js_bits"),
+      s"streamed ${mon(2L)._4} != batch ${direct.getAs[Double]("js_bits")}")
+    // verdicts still land for every batch (the monitor rides beside
+    // the gate, never replaces it)
+    assert(spark.read.parquet(outDir).count() == 6L)
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
