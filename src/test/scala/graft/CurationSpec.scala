@@ -245,6 +245,21 @@ class CurationSpec extends AnyFunSuite {
     val expAuc = math.floor(
       num2.toDouble / (2.0 * nPos * nNeg) * 1e6 + 0.5) / 1e6
     assert(got == Row(5L, 3L, 2L, expAuc), s"$got vs auc=$expAuc")
+    // a perfectly separable held-out set reads AUC = 1.0 exactly
+    // (every positive above every negative — consistent with a t41
+    // curve holding a perfect operating point on the same data)
+    val sep = Seq(
+      (1L, "alpha beta alpha beta", true, true),
+      (2L, "alpha beta gamma", true, true),
+      (3L, "zeta eta theta", false, true),
+      (4L, "zeta theta eta", false, true),
+      (5L, "alpha beta beta", true, false),
+      (6L, "alpha gamma beta", true, false),
+      (7L, "zeta eta eta", false, false),
+      (8L, "theta zeta", false, false)).toDF("id", "txt", "tgt", "tr")
+    val perfect = Curation.nbRocAuc(sep, "txt", "id",
+      col("tgt"), col("tr")).head()
+    assert(perfect == Row(4L, 2L, 2L, 1.0), perfect.toString)
     // degenerate: a single-class held-out set defines no ranking ->
     // NULL auc, never 0/0 (doc 7 is empty -> no score row, so the
     // held-out scored set here is all-positive)
