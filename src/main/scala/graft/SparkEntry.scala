@@ -842,27 +842,21 @@ object SparkEntry {
       // into 10-token paragraphs and the FIRST + MIDDLE paragraphs are
       // re-appended as within-doc duplicates the operator must strip —
       // the oracle replicates the plant, so the strip is under the gate
-      val docs = Tables(s, dir).documents
-      val planted = docs
-        .select(col("doc_id"), text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          when(size(col("toks")) === 0, array().cast("array<string>"))
-            .otherwise(transform(
-              sequence(lit(1L),
-                floor((size(col("toks")) + lit(9)) / lit(10.0)).cast("long")),
-              j => array_join(
-                slice(col("toks"), ((j - 1) * 10 + 1).cast("int"), lit(10)),
-                " ")))
-            .as("chunks"))
-        .select(col("doc_id"),
-          when(size(col("chunks")) === 0, lit(""))
-            .otherwise(array_join(concat(col("chunks"),
-              array(element_at(col("chunks"), 1),
-                element_at(col("chunks"),
-                  floor((size(col("chunks")) + lit(1)) / lit(2.0)).cast("int")))),
-              "\n"))
-            .as("text"))
-      Curation.paragraphDedup(planted, "text", "doc_id").orderBy("doc_id")
+      Curation.paragraphDedup(plantedParagraphDocs(Tables(s, dir).documents),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "c4_pipeline_full" -> ((s, dir) => {
+      // the COMPLETE composed pipeline — c3 with round-11's rungs
+      // slotted where production runs them: paragraph dedup FIRST
+      // (t44's planted corpus, so the strip is non-vacuous and under
+      // the gate), the per-source quota LAST before the split, quality
+      // scored on the text that actually ships (post-scrub)
+      Curation.curationPipelineFull(
+          plantedParagraphDocs(Tables(s, dir).documents),
+          "text", "doc_id", "lang", "source")
+        .orderBy("doc_id")
     }),
 
     "t21_bigram_lm" -> ((s, dir) => {
@@ -3033,42 +3027,94 @@ object SparkEntry {
     // strip (trimmed split, first-occurrence keep) are BOTH replicated,
     // so the oracle gates the cleaning itself, not just the accounting
     "t44_para_dedup" ->
-      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-          ch AS (
+      s"""WITH $paraPlantCtes
+          SELECT doc_id, n_paras, n_dup_paras, removed_chars,
+            text AS text_clean
+          FROM pcl ORDER BY doc_id""",
+
+    // the COMPOSED pipeline over the SAME planted corpus (shared
+    // paraPlantCtes builder — t44 and c4 can never plant differently):
+    // clean -> exact dedup on cleaned fingerprints -> t16 filter ->
+    // t7 scrub -> t2 quality on the SCRUBBED text -> top-10-per-source
+    // quota -> t8 split
+    "c4_pipeline_full" ->
+      s"""WITH $paraPlantCtes,
+          g AS (
+            SELECT min(doc_id) AS doc_id FROM pcl GROUP BY md5($normSql)),
+          u AS (SELECT pcl.* FROM pcl JOIN g USING (doc_id)),
+          uf AS (
+            SELECT doc_id, text AS txt, ${toksSql("text")} AS toks FROM u),
+          us AS (
             SELECT doc_id,
-              CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-                ELSE list_transform(
-                  range(1, CAST(floor((len(toks) + 9) / 10.0) AS BIGINT) + 1),
-                  j -> array_to_string(
-                    list_slice(toks, (j - 1) * 10 + 1, (j - 1) * 10 + 10), ' '))
-              END AS chunks
-            FROM d),
-          pl AS (
-            SELECT doc_id,
-              CASE WHEN len(chunks) = 0 THEN ''
-                ELSE array_to_string(list_concat(chunks,
-                  [chunks[1],
-                   chunks[CAST(floor((len(chunks) + 1) / 2.0) AS INTEGER)]]),
-                  chr(10))
-              END AS text
-            FROM ch),
-          p AS (
-            SELECT doc_id,
-              list_filter(list_transform(string_split(text, chr(10)),
-                s -> trim(s)), s -> s <> '') AS paras
-            FROM pl),
-          k AS (
-            SELECT doc_id, paras,
-              list_filter(paras,
-                (s, i) -> list_position(paras, s) = i) AS kept
-            FROM p)
-          SELECT doc_id,
-            CAST(len(paras) AS BIGINT) AS n_paras,
-            CAST(len(paras) - len(kept) AS BIGINT) AS n_dup_paras,
-            CAST(length(array_to_string(paras, ''))
-              - length(array_to_string(kept, '')) AS BIGINT) AS removed_chars,
-            array_to_string(kept, chr(10)) AS text_clean
-          FROM k ORDER BY doc_id""",
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / len(toks) END AS mwl,
+              COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS maxw,
+              len(list_filter(${toksSql("lower(txt)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS stop,
+              CASE WHEN length(txt) = 0 THEN 0.0
+                   ELSE CAST(length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE)
+                        / length(txt) END AS dr
+            FROM uf),
+          ukeep AS (
+            SELECT doc_id FROM us
+            WHERE n_tokens >= 10 AND n_tokens <= 100000
+              AND mwl >= 2.0 AND mwl <= 12.0 AND stop >= 1
+              AND dr < 0.3 AND maxw <= 30),
+          sc0 AS (
+            SELECT u.doc_id, u.lang, u.source, u.n_dup_paras, u.text
+            FROM u JOIN ukeep USING (doc_id)),
+          s1 AS (
+            SELECT doc_id, lang, source, n_dup_paras,
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+            FROM sc0),
+          s2 AS (
+            SELECT doc_id, lang, source, n_dup_paras, n_emails,
+              regexp_replace(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS no_phone,
+              CAST(len(regexp_extract_all(no_email, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
+            FROM s1),
+          s3 AS (
+            SELECT doc_id, lang, source, n_dup_paras, n_emails, n_phones,
+              regexp_replace(no_phone, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS no_ip
+            FROM s2),
+          s4 AS (
+            SELECT doc_id, lang, source, n_dup_paras, n_emails, n_phones,
+              regexp_replace(no_ip, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS stext
+            FROM s3),
+          qf AS (
+            SELECT doc_id, lang, source, n_dup_paras, n_emails, n_phones,
+              CAST(len(${toksSql("stext")}) AS BIGINT) AS n_tokens,
+              CAST(length(stext) - length(regexp_replace(stext, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(length(stext) - length(regexp_replace(stext, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(${toksSql("lower(stext)")},
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+              length(stext) AS n_chars_raw
+            FROM s4),
+          q AS (
+            SELECT doc_id, lang, source, n_dup_paras, n_emails, n_phones,
+              floor((
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END * 5.0, 1.0)
+                + 0.2 * (1.0 - least((
+                    (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_raw END)
+                    + (CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars_raw END)
+                  ) * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+            FROM qf),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS rank
+            FROM q)
+          SELECT doc_id, source, CAST(rank AS INTEGER) AS rank, lang,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'f333' THEN 'val'
+                 ELSE 'test' END AS split,
+            quality, n_dup_paras, n_emails, n_phones
+          FROM r WHERE rank <= 10 ORDER BY doc_id""",
 
     "t23_heavy_hitters" ->
       s"""WITH d AS (SELECT ${toksSql(normSql)} AS toks FROM documents),
@@ -4622,6 +4668,83 @@ object SparkEntry {
     * the 4dp log_odds in both engines).
     */
   private val T41Thresholds = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
+
+  /** The t44/c4 paragraph PLANT — the corpus text carries no line
+    * structure, so the declared queries construct it (the m5
+    * principle): each doc's tokens chunk into 10-token paragraphs and
+    * the FIRST + MIDDLE chunks are re-appended as within-doc
+    * duplicates. ONE builder feeds both declared queries (and
+    * [[paraPlantCtes]] is its oracle-side twin), so t44's strip and
+    * c4's pipeline can never plant different corpora. Engine-exact
+    * arithmetic: chunk count = floor((n+9)/10), middle = floor((k+1)/2)
+    * — explicit `floor`, because a bare int cast truncates in Spark
+    * but ROUNDS in DuckDB.
+    */
+  private def plantedParagraphDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1L),
+              floor((size(col("toks")) + lit(9)) / lit(10.0)).cast("long")),
+            j => array_join(
+              slice(col("toks"), ((j - 1) * 10 + 1).cast("int"), lit(10)),
+              " ")))
+          .as("chunks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(size(col("chunks")) === 0, lit(""))
+          .otherwise(array_join(concat(col("chunks"),
+            array(element_at(col("chunks"), 1),
+              element_at(col("chunks"),
+                floor((size(col("chunks")) + lit(1)) / lit(2.0)).cast("int")))),
+            "\n"))
+          .as("text"))
+
+  /** Oracle-side twin of [[plantedParagraphDocs]] + the t44 strip:
+    * `ppl` = the planted corpus, `pcl` = the per-doc cleaned text with
+    * its dup accounting. Shared verbatim by the t44 and c4 oracles.
+    */
+  private lazy val paraPlantCtes: String =
+    s"""pd0 AS (SELECT doc_id, lang, source, ${toksSql("text")} AS toks
+            FROM documents),
+          pch AS (
+            SELECT doc_id, lang, source,
+              CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(
+                  range(1, CAST(floor((len(toks) + 9) / 10.0) AS BIGINT) + 1),
+                  j -> array_to_string(
+                    list_slice(toks, (j - 1) * 10 + 1, (j - 1) * 10 + 10), ' '))
+              END AS chunks
+            FROM pd0),
+          ppl AS (
+            SELECT doc_id, lang, source,
+              CASE WHEN len(chunks) = 0 THEN ''
+                ELSE array_to_string(list_concat(chunks,
+                  [chunks[1],
+                   chunks[CAST(floor((len(chunks) + 1) / 2.0) AS INTEGER)]]),
+                  chr(10))
+              END AS text
+            FROM pch),
+          pp AS (
+            SELECT doc_id, lang, source,
+              list_filter(list_transform(string_split(text, chr(10)),
+                s -> trim(s)), s -> s <> '') AS paras
+            FROM ppl),
+          pk AS (
+            SELECT doc_id, lang, source, paras,
+              list_filter(paras,
+                (s, i) -> list_position(paras, s) = i) AS kept
+            FROM pp),
+          pcl AS (
+            SELECT doc_id, lang, source,
+              CAST(len(paras) AS BIGINT) AS n_paras,
+              CAST(len(paras) - len(kept) AS BIGINT) AS n_dup_paras,
+              CAST(length(array_to_string(paras, ''))
+                - length(array_to_string(kept, '')) AS BIGINT) AS removed_chars,
+              array_to_string(kept, chr(10)) AS text
+            FROM pk)"""
 
   private lazy val t37VocabCtes: String = t37VocabCtesWith(0, 0.75)
 

@@ -1036,7 +1036,8 @@ object Curation {
     * document-bounded, never corpus-bounded.
     */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
-                     sep: String = "\n"): DataFrame = {
+                     sep: String = "\n",
+                     passthrough: Seq[String] = Nil): DataFrame = {
     require(sep.nonEmpty, "paragraphDedup: sep must be non-empty")
     // split() takes a regex — quote the separator so "." or "|"
     // separators mean themselves (Spark-side only; the oracle splits
@@ -1045,17 +1046,94 @@ object Curation {
       transform(split(col(textCol), java.util.regex.Pattern.quote(sep)),
         p => trim(p)),
       p => p =!= "")
-    df.select(col(idCol).as("doc_id"), paras.as("paras"))
-      .select(col("doc_id"), col("paras"),
+    val pass = passthrough.map(col)
+    df.select(col(idCol).as("doc_id") +: paras.as("paras") +: pass: _*)
+      .select(col("doc_id") +: col("paras") +:
         filter(col("paras"),
-          (p, i) => array_position(col("paras"), p) === i + 1).as("kept"))
-      .select(col("doc_id"),
+          (p, i) => array_position(col("paras"), p) === i + 1).as("kept") +:
+        pass: _*)
+      .select(Seq(col("doc_id"),
         size(col("paras")).cast("long").as("n_paras"),
         (size(col("paras")) - size(col("kept"))).cast("long").as("n_dup_paras"),
         (length(array_join(col("paras"), ""))
           - length(array_join(col("kept"), ""))).cast("long")
           .as("removed_chars"),
-        array_join(col("kept"), sep).as("text_clean"))
+        array_join(col("kept"), sep).as("text_clean")) ++ pass: _*)
+  }
+
+  /** The FULL composed curation pipeline — [[curationPipeline]] (c3)
+    * with round-11's two new rungs slotted where a production crawl
+    * pipeline runs them: WITHIN-DOC paragraph dedup FIRST (boilerplate
+    * stripped before anything fingerprints, so a doc differing only in
+    * repeated chrome dedups against its clean twin) and the PER-SOURCE
+    * QUOTA LAST before the split (the C4/Gopher cap applied to what
+    * SURVIVED cleaning, scored on the text that actually ships).
+    * Stage order: paragraph-dedup → exact dedup on the CLEANED text →
+    * t16 quality filter → t7 PII scrub → t2 quality score on the
+    * SCRUBBED text → best-`quotaN`-per-source cap → t8 deterministic
+    * split. One row per shipped doc: source, quota rank, lang, split,
+    * quality, and the cleaning/redaction accounting.
+    *
+    * Declared as ONE job graph so Catalyst plans the chain whole: the
+    * filter, scrub, score and split are all map-only on the survivor
+    * stream; the corpus exchanges are exactly the d1 fingerprint
+    * partial-agg + its canonical semi-join, the bounded `graft_topk`
+    * quota agg (window fallback extension-less), and the slim rank
+    * join-back — nothing else shuffles at any corpus size.
+    *
+    * The CLEANED corpus is MATERIALIZED once (persist, lazily filled
+    * on first pass) as the deliberate stage boundary — NOT an
+    * optimization knob: higher-order array functions never enter
+    * whole-stage codegen, so leaving the strip lazy lets Catalyst
+    * collapse every downstream stage's references into one interpreted
+    * mega-expression that re-derives the strip per reference and per
+    * lambda element (measured: the fused form ran >20 min on a 50 000-
+    * doc shard where the materialized form takes seconds; the same
+    * cliff §3 documents for lambda-embedded subtrees, one level up).
+    * Every downstream consumer then reads text_clean as DATA. This is
+    * the same one-materialization a multi-job pipeline has between its
+    * cleaning and selection jobs.
+    */
+  def curationPipelineFull(docs: DataFrame, textCol: String, idCol: String,
+                           langCol: String, sourceCol: String,
+                           quotaN: Int = 10, splitSalt: String = "graft",
+                           fractions: Seq[(String, Double)] =
+                             Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                           persistIntermediate: Boolean = true)
+      : DataFrame = {
+    val cleanedPlan = paragraphDedup(docs, textCol, idCol,
+        passthrough = Seq(langCol, sourceCol))
+      .select(col("doc_id").as(idCol), col("text_clean").as(textCol),
+        col(langCol), col(sourceCol), col("n_dup_paras"))
+    val cleaned =
+      if (persistIntermediate)
+        cleanedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cleanedPlan
+    // exact dedup keyed on the CLEANED text's normalized fingerprint —
+    // c3's canonical-min-id form (two slim corpus scans, one semi-join)
+    val fpd = cleaned.select(col(idCol), col(langCol), col(sourceCol),
+      col("n_dup_paras"), col(textCol),
+      md5(Native.normOf(docs)(col(textCol))).as("graft_fp"))
+    val canon = fpd.groupBy("graft_fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val unique = fpd.join(canon, Seq(idCol)).drop("graft_fp")
+    val kept = qualityFilter(unique, textCol, idCol,
+        passthrough = Seq(textCol, langCol, sourceCol, "n_dup_paras"))
+      .filter(col("keep") === 1)
+      .select(col("doc_id").as(idCol), col(textCol), col(langCol),
+        col(sourceCol), col("n_dup_paras"))
+    val scrubbed = scrubPii(kept, textCol, idCol,
+      passthrough = Seq(langCol, sourceCol, "n_dup_paras"))
+    // score what ships: quality over the scrubbed text
+    val scored = scrubbed.withColumn("quality",
+      text.qualityScore(col("clean_text")))
+    val capped = sourceCap(scored, idCol, sourceCol, "quality", quotaN)
+      .select(col("id").as(idCol), col("rank"))
+    deterministicSplit(scored.join(capped, Seq(idCol)), idCol,
+        splitSalt, fractions)
+      .select(col(idCol), col(sourceCol), col("rank"), col(langCol),
+        col("split"), col("quality"), col("n_dup_paras"),
+        col("n_emails"), col("n_phones"))
   }
 
   /** FIT [[nbQualityScore]]'s model alone, as ONE persistable table —

@@ -325,6 +325,52 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"paragraphDedup must be map-only:\n$plan")
   }
 
+  test("curationPipelineFull: paragraph-clean twins collapse, quota caps per source, filter drops shorts") {
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      // docs 1 and 2 differ ONLY by a repeated paragraph — after the
+      // paragraph-dedup stage their cleaned texts are identical, so
+      // the exact dedup must collapse them to the min id (the reason
+      // the strip runs FIRST: chrome-differing twins dedup)
+      (1L, s"$base alpha\n$base beta", "en", "s1"),
+      (2L, s"$base alpha\n$base beta\n$base alpha", "en", "s1"),
+      (3L, s"$base gamma", "en", "s1"),
+      (4L, s"$base delta", "en", "s1"),
+      (5L, s"$base epsilon", "en", "s2"),
+      // fails the t16 length rule -> never reaches the quota
+      (6L, "short", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.curationPipelineFull(docs, "text", "doc_id",
+        "lang", "source", quotaN = 2)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getInt(2), r.getString(4), r.getDouble(5),
+        r.getLong(6))).toMap
+    // survivors: 1 (the cleaned twin's canonical, beats 3/4 on length
+    // quality -> rank 1), 3 (ties 4 on quality, lower id wins rank 2),
+    // 5 (alone in s2). 2 = dedup'd, 4 = quota'd, 6 = filtered.
+    assert(byId.keySet == Set(1L, 3L, 5L), got.mkString("|"))
+    assert(byId(1L)._1 == "s1" && byId(1L)._2 == 1)
+    assert(byId(3L)._1 == "s1" && byId(3L)._2 == 2)
+    assert(byId(5L)._1 == "s2" && byId(5L)._2 == 1)
+    // doc 1's own text had no within-doc repeats — the dup accounting
+    // is per-surviving-doc, not inherited from its collapsed twin
+    assert(byId(1L)._5 == 0L)
+    // quality was scored on shipped (cleaned+scrubbed) text: doc 1
+    // kept two paragraphs (22 tokens) and outranks doc 3 (11)
+    assert(byId(1L)._4 > byId(3L)._4)
+    // split labels come from the t8 hash rule — total and valid
+    assert(got.map(_.getString(4)).forall(Set("train", "val", "test")))
+    // native bounded-aggregate quota ≡ window fallback through the
+    // WHOLE composed pipeline
+    val native = got.toSeq
+    spark.conf.set("graft.native.disabled", "true")
+    val fallback =
+      try Curation.curationPipelineFull(docs, "text", "doc_id",
+          "lang", "source", quotaN = 2).orderBy("doc_id").collect().toSeq
+      finally spark.conf.unset("graft.native.disabled")
+    assert(native == fallback)
+  }
+
   test("deterministicSplit is stable, total, and close to requested fractions") {
     val docs = Tables(spark, "/root/testdata/sf0.01").documents.select("doc_id")
     val fr = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
