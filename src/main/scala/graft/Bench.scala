@@ -4,7 +4,10 @@ object Bench {
   /** Fixed single-thread CPU spin (xorshift64*, 3e8 steps): a box/VM
     * under CPU contention reads this HIGH regardless of what Spark is
     * doing — the machine-health half of the calibration probe. The
-    * fold is returned so the JIT cannot dead-code the loop.
+    * fold is returned AND observably consumed (the probe JSON carries
+    * its low bits) — a call site that discarded it would let the JIT
+    * elide the spin loop after inlining, skewing the probe and any
+    * baseline recorded from it.
     */
   private def cpuProbe(): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -39,17 +42,35 @@ object Bench {
     * >1.5× the stored median is stamped `degraded` in the record
     * itself, so a bad session is machine-flagged, not adjudicated by
     * narrative after the fact.
+    *
+    * Returns (parsed baseline, error flag): a present-but-unparseable
+    * file yields (None, true) so the record distinguishes "compare
+    * deliberately disabled / file absent" (degraded:null alone) from
+    * "baseline file is corrupt" (degraded:null + baseline_error:true)
+    * — otherwise a malformed baseline silently reads as a disabled
+    * compare.
     */
-  private def readBaseline(path: String): Option[(Int, Double, Double)] = {
+  private def readBaseline(path: String): (Option[(Int, Double, Double)], Boolean) = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      return (None, false)
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       def num(key: String): Option[Double] =
         (s"""\"$key\"\\s*:\\s*([0-9.eE+-]+)""").r
           .findFirstMatchIn(s).map(_.group(1).toDouble)
-      for (c <- num("cpus"); a <- num("cpu_sec"); b <- num("spark_sec"))
+      val parsed = for (c <- num("cpus"); a <- num("cpu_sec"); b <- num("spark_sec"))
         yield (c.toInt, a, b)
-    } catch { case _: Throwable => None }
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] probe baseline at $path exists but has no " +
+          "parseable cpus/cpu_sec/spark_sec — degraded compare disabled")
+      (parsed, parsed.isEmpty)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] probe baseline at $path unreadable " +
+          s"(${e.getClass.getSimpleName}) — degraded compare disabled")
+        (None, true)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,12 +82,14 @@ object Bench {
     // One tiny untimed job first so the pre-probe measures the session,
     // not first-job init; then the fixed CPU spin + fixed Spark job.
     spark.range(100000L).selectExpr("count(*)").collect()
-    val preCpu = cpuProbe()._1
+    val (preCpu, preAcc) = cpuProbe()
     val preSpark = sparkProbe(spark)
     // probe-only mode: print the probe line and exit — used to record
-    // the per-box baseline medians without a full sweep
+    // the per-box baseline medians without a full sweep. cpu_acc makes
+    // the spin's fold observable (see cpuProbe scaladoc).
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("1")) {
-      println(s"""{"probe_only":true,"cpus":$cpus,"cpu_sec":$preCpu,"spark_sec":$preSpark}""")
+      println(s"""{"probe_only":true,"cpus":$cpus,"cpu_sec":$preCpu,""" +
+        s""""spark_sec":$preSpark,"cpu_acc":${preAcc & 0xffffL}}""")
       spark.stop()
       return
     }
@@ -198,14 +221,17 @@ object Bench {
       (name, if (times.nonEmpty) times.min else -1.0, err)
     }
     // ---- Calibration probe (post) + degraded stamp -----------------
-    val postCpu = cpuProbe()._1
+    val (postCpu, postAcc) = cpuProbe()
     val postSpark = sparkProbe(spark)
     val basePath = sys.env.get("SPARK_GRAFT_PROBE_BASELINE") match {
       case Some("") => None
       case Some(p) => Some(p)
       case None => Some("tools/bench_probe_baseline.json")
     }
-    val baseline = basePath.flatMap(readBaseline)
+    val (baseline, baselineError) = basePath match {
+      case Some(p) => readBaseline(p)
+      case None => (None, false)
+    }
     // degraded iff a probe reads >1.5x its stored per-box median at
     // BOTH ends of the sweep (min of pre/post): a session-wide
     // slowdown — the r10 failure mode — is high throughout, while a
@@ -222,8 +248,11 @@ object Bench {
           s""","baseline_cpus":$bc,"baseline_cpu":$ba,"baseline_spark":$bb"""
         case None => ""
       }
+      val baseErr = if (baselineError) ""","baseline_error":true""" else ""
+      // cpu_acc: the spin's fold, observably consumed (see cpuProbe)
       s""""probe":{"pre_cpu":$preCpu,"pre_spark":$preSpark,""" +
-        s""""post_cpu":$postCpu,"post_spark":$postSpark$base,""" +
+        s""""post_cpu":$postCpu,"post_spark":$postSpark,""" +
+        s""""cpu_acc":${(preAcc ^ postAcc) & 0xffffL}$base$baseErr,""" +
         s""""degraded":${degraded.map(_.toString).getOrElse("null")}}"""
     }
     def esc(s: String): String = s.flatMap {

@@ -922,9 +922,15 @@ object Curation {
     *
     * Scale shape: scoring is t36's (map-only features, one corpus
     * shuffle, fixed-size model broadcasts); the held-out scores then
-    * collapse to the DISTINCT 4dp score grid (bounded by the 4dp
-    * resolution — the t22 value-grid principle), so the cumulative
-    * window runs over a tiny value table, never the corpus. Per-group
+    * collapse to the DISTINCT 4dp score grid before the window (the
+    * t22 value-grid principle). The grid is bounded by the number of
+    * DISTINCT held-out scores — far below the corpus in practice, but
+    * NOT a fixed constant: log-odds magnitude grows with document
+    * length, so the 4dp resolution bounds density, not range. The
+    * single-partition cumulative window therefore runs over the
+    * distinct-score table, never the corpus; a caller expecting very
+    * large grids (huge held-out splits of long documents) should bucket
+    * scores first (t22) before this gate. Per-group
     * products stay in BIGINT — exact to ~2×10⁹ held-out docs per
     * class (a held-out EVAL split, not the corpus; generous) — and
     * the group sum accumulates in DECIMAL(38,0) so the total cannot
@@ -993,8 +999,14 @@ object Curation {
   def sourceCap(df: DataFrame, idCol: String, groupCol: String,
                 scoreCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // id stays UNTOUCHED (the weightedSample contract): a blind
+    // cast-to-long would turn a non-numeric id column into NULL for
+    // every row and silently drop all documents at any join-back —
+    // left raw, a non-long id fails loudly at analysis time on the
+    // native path (graft_topk's bigint id check) and still works on
+    // the window fallback
     val scored = df.select(col(groupCol).as("grp"),
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       col(scoreCol).cast("double").as("score"))
     if (Native.enabled(df, "graft_topk")) {
       scored.groupBy("grp")
@@ -1028,12 +1040,18 @@ object Curation {
     * removed_chars (the summed length of stripped paragraphs), and
     * the cleaned text re-joined with `sep`.
     *
-    * Scale shape: MAP-ONLY — one split + two array higher-order
-    * passes per row, no explode, no shuffle, no window; the whole
-    * operator stays in the scan stage at any corpus size
+    * Scale shape: MAP-ONLY — one split + a handful of array
+    * higher-order passes per row, no explode, no shuffle, no window;
+    * the whole operator stays in the scan stage at any corpus size
     * (plan-asserted Exchange-free in CurationSpec). The first-
-    * occurrence probe is O(paras²) string compares WITHIN one row —
-    * document-bounded, never corpus-bounded.
+    * occurrence probe is SORT-BASED — (paragraph, position) structs
+    * array_sort'ed so equal paragraphs become adjacent and the group
+    * head carries the smallest position; survivors' positions re-sort
+    * to document order. O(paras · log paras) string compares WITHIN
+    * one row (document-bounded, never corpus-bounded) — the naive
+    * per-element first-index probe is O(paras²), which stalls a task
+    * on a pathological million-line boilerplate doc (CurationSpec
+    * prices a 100k-paragraph doc through this form).
     */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
                      sep: String = "\n",
@@ -1048,10 +1066,31 @@ object Curation {
       p => p =!= "")
     val pass = passthrough.map(col)
     df.select(col(idCol).as("doc_id") +: paras.as("paras") +: pass: _*)
+      // (paragraph, 1-based position) structs sorted by (p, i):
+      // duplicates become ADJACENT and each group's head carries the
+      // group's smallest position — first occurrence without the
+      // quadratic per-element index probe
       .select(col("doc_id") +: col("paras") +:
-        filter(col("paras"),
-          (p, i) => array_position(col("paras"), p) === i + 1).as("kept") +:
+        array_sort(transform(col("paras"),
+          (p, i) => struct(p.as("p"), (i + 1).as("i")))).as("srt") +:
         pass: _*)
+      // group heads (j = 0 or paragraph differs from the previous
+      // element), then their positions re-sorted to document order.
+      // element_at is 1-based, j is the 0-based lambda index, so
+      // element_at(srt, j) IS the previous element for j >= 1; the
+      // greatest(j, 1) clamp keeps the j = 0 branch in-range (it
+      // compares the head with itself — false — and the j === 0
+      // disjunct keeps the row), the viterbiPieces ANSI-safety idiom
+      .select(col("doc_id") +: col("paras") +:
+        array_sort(transform(
+          filter(col("srt"), (s, j) => (j === 0) ||
+            (s.getField("p") =!=
+              element_at(col("srt"), greatest(j, lit(1))).getField("p"))),
+          s => s.getField("i"))).as("keptidx") +:
+        pass: _*)
+      .select(col("doc_id") +: col("paras") +:
+        transform(col("keptidx"),
+          i => element_at(col("paras"), i)).as("kept") +: pass: _*)
       .select(Seq(col("doc_id"),
         size(col("paras")).cast("long").as("n_paras"),
         (size(col("paras")) - size(col("kept"))).cast("long").as("n_dup_paras"),
@@ -1093,22 +1132,43 @@ object Curation {
     * Every downstream consumer then reads text_clean as DATA. This is
     * the same one-materialization a multi-job pipeline has between its
     * cleaning and selection jobs.
+    *
+    * HOW the boundary materializes is a knob with a scale story:
+    * `checkpointPath = Some(path)` WRITES the cleaned corpus as
+    * parquet at `path` and reads it back — the 100 TB-honest form (a
+    * real pipeline's inter-job boundary is durable storage: no
+    * executor cache sized to the corpus, downstream stages scan a
+    * pruned columnar file, the cleaned corpus survives the session
+    * for reuse/restart). Default None keeps the single-session
+    * executor-cache persist (`persistIntermediate`) — right at test
+    * scale and for one-shot interactive runs. Row-parity of the two
+    * legs and the path-scan of the reread plan are CurationSpec-
+    * asserted.
     */
   def curationPipelineFull(docs: DataFrame, textCol: String, idCol: String,
                            langCol: String, sourceCol: String,
                            quotaN: Int = 10, splitSalt: String = "graft",
                            fractions: Seq[(String, Double)] =
                              Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
-                           persistIntermediate: Boolean = true)
+                           persistIntermediate: Boolean = true,
+                           checkpointPath: Option[String] = None)
       : DataFrame = {
     val cleanedPlan = paragraphDedup(docs, textCol, idCol,
         passthrough = Seq(langCol, sourceCol))
       .select(col("doc_id").as(idCol), col("text_clean").as(textCol),
         col(langCol), col(sourceCol), col("n_dup_paras"))
-    val cleaned =
-      if (persistIntermediate)
-        cleanedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else cleanedPlan
+    val cleaned = checkpointPath match {
+      case Some(path) =>
+        // durable stage boundary: write once, then every downstream
+        // consumer scans the parquet (column-pruned) instead of
+        // holding the cleaned corpus in executor cache
+        cleanedPlan.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None =>
+        if (persistIntermediate)
+          cleanedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else cleanedPlan
+    }
     // exact dedup keyed on the CLEANED text's normalized fingerprint —
     // c3's canonical-min-id form (two slim corpus scans, one semi-join)
     val fpd = cleaned.select(col(idCol), col(langCol), col(sourceCol),

@@ -902,4 +902,93 @@ class CurationSpec extends AnyFunSuite {
       ("B", "A", 2L, 1L, 0.5), ("B", "C", 2L, 0L, 0.0),
       ("C", "A", 1L, 0L, 0.0), ("C", "B", 1L, 0L, 0.0)))
   }
+
+  test("paragraphDedup: 100k-paragraph doc completes in bounded time (sort-based, not quadratic)") {
+    // the pathological boilerplate doc the r11 watch flagged: a
+    // million-line chrome page stalls a task under the O(paras²)
+    // per-element first-index probe; the sort-based form is
+    // O(paras·log paras). 2000 distinct paragraphs × 50 interleaved
+    // repeats = 100k paragraphs in one row.
+    val paras = (0 until 100000).map(i => s"para line number ${i % 2000}")
+    val doc = Seq((1L, paras.mkString("\n"))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Curation.paragraphDedup(doc, "text", "doc_id").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 100000L, "n_paras")
+    assert(got(0).getLong(2) == 98000L, "n_dup_paras")
+    // first 2000 paragraphs are the distinct set in document order
+    assert(got(0).getString(4) == paras.take(2000).mkString("\n"))
+    // quadratic would be ~10^10 string compares; sorted is ~10^6.
+    // 60 s is orders of magnitude above the sorted form's cost and
+    // orders below the quadratic one's — CI-robust
+    assert(sec < 60.0, s"100k-paragraph doc took $sec s")
+  }
+
+  test("paragraphDedup: sort-based form row-parity with a reference first-occurrence on irregular input") {
+    // deterministic pseudo-random paragraph streams; reference =
+    // Scala's distinct (keeps first occurrence in encounter order)
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 50L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      val ps = (0 until n).map(_ => s"p${rnd.nextInt(8)} ${rnd.nextInt(3)}")
+      (id, ps.mkString("\n"), ps)
+    }
+    val docs = rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    rows.zip(got).foreach { case ((id, _, ps), r) =>
+      val expectKept = ps.map(_.trim).filter(_.nonEmpty).distinct
+      assert(r.getLong(0) == id)
+      assert(r.getString(4) == expectKept.mkString("\n"),
+        s"doc $id: ${r.getString(4)}")
+      assert(r.getLong(2) == ps.length - expectKept.length, s"doc $id dup count")
+    }
+  }
+
+  test("sourceCap: non-long id fails loudly on the native path, never an empty result") {
+    // the r11 advice case: a blind cast-to-long would NULL a string id
+    // for every row and silently drop all documents at the join-back.
+    // Untouched, the native graft_topk path rejects the type at
+    // analysis; the window fallback handles any id type correctly.
+    val df = Seq(("docA", "s1", 0.9), ("docB", "s1", 0.7), ("docC", "s2", 0.5))
+      .toDF("id", "src", "q")
+    val e = intercept[Exception] {
+      Curation.sourceCap(df, "id", "src", "q", 2).collect()
+    }
+    assert(e.getMessage.contains("graft_topk"), e.getMessage)
+    spark.conf.set("graft.native.disabled", "true")
+    val fallback =
+      try Curation.sourceCap(df, "id", "src", "q", 2)
+        .orderBy("grp", "rank").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      finally spark.conf.unset("graft.native.disabled")
+    assert(fallback == Seq(("s1", 1, "docA"), ("s1", 2, "docB"), ("s2", 1, "docC")))
+  }
+
+  test("curationPipelineFull: checkpointPath leg row-parity with persist leg; reread plan scans the path") {
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"$base alpha\n$base beta", "en", "s1"),
+      (2L, s"$base alpha\n$base beta\n$base alpha", "en", "s1"),
+      (3L, s"$base gamma", "en", "s1"),
+      (4L, s"$base delta", "en", "s1"),
+      (5L, s"$base epsilon", "en", "s2"),
+      (6L, "short", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val persisted = Curation.curationPipelineFull(docs, "text", "doc_id",
+        "lang", "source", quotaN = 2)
+      .orderBy("doc_id").collect().toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_c4ckpt").toString + "/cleaned"
+    val viaPath = Curation.curationPipelineFull(docs, "text", "doc_id",
+      "lang", "source", quotaN = 2, checkpointPath = Some(ckpt))
+    assert(viaPath.orderBy("doc_id").collect().toSeq == persisted)
+    // the 100 TB-honest boundary: downstream stages SCAN the written
+    // parquet (no executor-cache InMemoryRelation for the cleaned
+    // corpus)
+    val plan = viaPath.queryExecution.executedPlan.toString
+    assert(plan.contains("cleaned"), s"reread plan must scan the path:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"checkpointPath leg must not also cache the cleaned corpus:\n$plan")
+  }
 }
