@@ -942,6 +942,40 @@ object SparkEntry {
         .orderBy("piece")
     }),
 
+    "t45_bpe_apply" -> ((s, dir) => {
+      // the PERSISTED-MODEL tokenizer loop: fit the BPE merge table
+      // on the t8 train split ONCE (bpeFitModel — merge rows + a
+      // fit-config marker), then segment the FULL corpus (held-out
+      // docs included) with the model as an INPUT — the
+      // train-offline/apply-online split every production tokenizer
+      // runs (t35 can only retrain-and-apply on one corpus). The
+      // oracle replays fit-on-train + replay-merges-on-all, so
+      // model-as-input ≡ refit is proven bit-for-bit at every SF
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      val model = TextAnalysis.bpeFitModel(docs.filter(train), "text",
+        merges = 10)
+      TextAnalysis.bpeSegmentWithModel(docs, "text", model)
+        .orderBy("piece")
+    }),
+
+    "t46_unigram_apply" -> ((s, dir) => {
+      // the same split for the unigram tokenizer: fit the vocabulary
+      // on the t8 train split (unigramFitModel — trained rows + the
+      // maxPieceLen/maxWordLen fit-config markers), price EVERY doc
+      // against the persisted model (unigramSegmentWithModel). Same
+      // numbers as t38 through the model-as-input path — the oracle
+      // IS t38's refit-inline SQL, the strongest equivalence proof:
+      // both paths must land on the same bits or the gate fails
+      val docs = Tables(s, dir).documents
+      val train = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit("graft"))), 1, 4) < "e666"
+      val model = TextAnalysis.unigramFitModel(docs.filter(train), "text")
+      TextAnalysis.unigramSegmentWithModel(docs, "text", "doc_id", model)
+        .orderBy("doc_id")
+    }),
+
     "t28_js_drift" -> ((s, dir) => {
       // distribution drift of source src0 vs the rest of the corpus —
       // the between-batches shift alarm
@@ -1580,15 +1614,22 @@ object SparkEntry {
     * pieces); the left join keeps seq unchanged instead (NULL merge →
     * replace yields NULL → coalesce back to seq).
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** The shared BPE merge-LEARNING CTE chain (word table w0 over
+    * `documents` restricted by `where`, then k rounds of pair-count →
+    * argmax merge m$step → sequence rewrite w$step) — one definition
+    * feeding the t34 (merge table), t35 (segment rollup) and t45
+    * (train-split fit + full-corpus apply) oracles, so the three
+    * gates can never assert different training trajectories.
+    */
+  private def bpeChainCtes(k: Int, where: String = ""): String = {
     val S1 = "chr(1)"
     val S2 = "chr(1)||chr(1)"
     val sb = new StringBuilder(
-      s"""WITH w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
             SELECT count(*) AS freq,
               $S2 || array_to_string(list_transform(range(1, length(w) + 1),
                 i -> substr(w, i, 1)), $S2) || $S2 AS seq
-            FROM (SELECT unnest(${toksSql(normSql)}) AS w FROM documents)
+            FROM (SELECT unnest(${toksSql(normSql)}) AS w FROM documents$where)
             WHERE length(w) > 0
             GROUP BY w)""")
     for (step <- 1 to k) {
@@ -1609,12 +1650,14 @@ object SparkEntry {
                                   seq) AS seq
             FROM $prev LEFT JOIN m$step ON TRUE)""")
     }
-    sb.append("\n          " + (1 to k).map(s =>
-      s"""SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$s""")
-      .mkString(" UNION ALL "))
-    sb.append(" ORDER BY step")
     sb.toString
   }
+
+  private def bpeOracleSql(k: Int): String =
+    s"""WITH ${bpeChainCtes(k)}
+          """ + (1 to k).map(s =>
+      s"""SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right", cnt AS pair_count FROM m$s""")
+      .mkString(" UNION ALL ") + " ORDER BY step"
 
   /** t35's oracle: t34's k-round chain, then the pieces of the final
     * sequences rolled up corpus-weighted (same split + filter the
@@ -1622,15 +1665,51 @@ object SparkEntry {
     */
   private def bpeSegmentOracleSql(k: Int): String = {
     val S2 = "chr(1)||chr(1)"
-    val chain = bpeOracleSql(k)
-    val withPart = chain.substring(0, chain.lastIndexOf("\n          SELECT"))
-    s"""$withPart
+    s"""WITH ${bpeChainCtes(k)}
           SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
           FROM (SELECT freq, unnest(list_filter(string_split(seq, $S2),
                   x -> length(x) > 0)) AS piece
                 FROM w$k)
           GROUP BY piece ORDER BY piece"""
   }
+
+  /** t45's oracle: learn the merge chain on the TRAIN-split word
+    * table (`where`), then REPLAY the learned merges m1..mk in step
+    * order over the FULL corpus's word table (a0..a$k) and roll up
+    * the piece vocabulary — the oracle-side replication of
+    * fit-on-A/apply-with-model, proving the engine's persisted-model
+    * path lands on the refit trajectory's exact bits.
+    */
+  private def bpeApplyOracleSql(k: Int, where: String): String = {
+    val S1 = "chr(1)"
+    val S2 = "chr(1)||chr(1)"
+    val apply = (1 to k).map { step =>
+      s"""a$step AS MATERIALIZED (
+            SELECT freq, coalesce(replace(seq, $S1||l||$S2||r||$S1, $S1||l||r||$S1),
+                                  seq) AS seq
+            FROM a${step - 1} LEFT JOIN m$step ON TRUE)"""
+    }.mkString(",\n          ")
+    s"""WITH ${bpeChainCtes(k, where)},
+          a0 AS MATERIALIZED (
+            SELECT count(*) AS freq,
+              $S2 || array_to_string(list_transform(range(1, length(w) + 1),
+                i -> substr(w, i, 1)), $S2) || $S2 AS seq
+            FROM (SELECT unnest(${toksSql(normSql)}) AS w FROM documents)
+            WHERE length(w) > 0
+            GROUP BY w),
+          $apply
+          SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+          FROM (SELECT freq, unnest(list_filter(string_split(seq, $S2),
+                  x -> length(x) > 0)) AS piece
+                FROM a$k)
+          GROUP BY piece ORDER BY piece"""
+  }
+
+  /** The t8 train-split predicate as SQL (shared by the t37/t38/t40
+    * vocab chain and the t45/t46 model-apply oracles).
+    */
+  private val trainWhereSql: String =
+    """ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'"""
 
   /** t17's fixed query set, shared by the Spark query and the oracle
     * (q4 has terms absent from the corpus: df=0 terms contribute 0).
@@ -3211,44 +3290,15 @@ object SparkEntry {
       s"""WITH $t40VocabCtes
           SELECT piece, cnt, logp FROM v2 ORDER BY piece""",
 
-    "t38_tokenizer_cost" ->
-      s"""WITH $t37VocabCtes,
-          dall AS (
-            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
-          aw AS (SELECT doc_id, unnest(toks) AS word FROM dall),
-          wdist AS (SELECT DISTINCT word FROM aw),
-          wsub AS (
-            SELECT DISTINCT word, substr(word, i, l) AS piece
-            FROM (SELECT word FROM wdist WHERE length(word) <= 16),
-              LATERAL (SELECT unnest(generate_series(1, length(word))) AS i),
-              LATERAL (SELECT unnest(generate_series(1,
-                least(4, length(word) - i + 1))) AS l)),
-          wpm AS (
-            SELECT word,
-              MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS m
-            FROM (SELECT s.word, s.piece, v.logp
-                  FROM wsub s JOIN v2 v USING (piece))
-            GROUP BY word),
-          wseg AS (
-            SELECT w.word,
-              CASE WHEN length(w.word) > 16 OR a.m IS NULL
-                THEN CAST([] AS VARCHAR[])
-                ELSE ${t37ViterbiSql("w.word", "a.m", 4)} END AS pieces
-            FROM wdist w LEFT JOIN wpm a ON w.word = a.word),
-          wstat AS (
-            SELECT word, CAST(len(pieces) AS BIGINT) AS np,
-              CASE WHEN len(pieces) = 0 THEN 1 ELSE 0 END AS unk
-            FROM wseg)
-          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-            CAST(sum(s.np) AS BIGINT) AS n_pieces,
-            CAST(sum(s.unk) AS BIGINT) AS n_unk_words,
-            CASE WHEN count(*) - sum(s.unk) > 0
-              THEN floor(CAST(sum(s.np) AS DOUBLE)
-                / CAST(count(*) - sum(s.unk) AS DOUBLE) * 10000.0 + 0.5)
-                / 10000.0
-              ELSE NULL END AS pieces_per_word
-          FROM aw a JOIN wstat s USING (word)
-          GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "t38_tokenizer_cost" -> tokenizerCostOracleSql,
+
+    // t45/t46: the persisted-model apply paths must land on the exact
+    // bits of the refit-inline trajectories — t45's oracle replays
+    // fit-on-train + merge-replay-on-all, t46's IS t38's refit SQL
+    // (same train split, same knobs), so model-as-input ≡ refit is
+    // itself what the gate asserts
+    "t45_bpe_apply" -> bpeApplyOracleSql(10, trainWhereSql),
+    "t46_unigram_apply" -> tokenizerCostOracleSql,
 
     "t35_bpe_segment" -> bpeSegmentOracleSql(10),
 
@@ -4747,6 +4797,52 @@ object SparkEntry {
             FROM pk)"""
 
   private lazy val t37VocabCtes: String = t37VocabCtesWith(0, 0.75)
+
+  /** The t38 refit-inline token-cost oracle — train the unigram
+    * vocabulary on the t8 split (t37's chain), Viterbi-price every
+    * doc. SHARED VERBATIM by t38 (whose engine side refits inline)
+    * and t46 (whose engine side applies a persisted unigramFitModel
+    * table): one SQL, two engine paths — the gate itself asserts
+    * model-as-input ≡ refit.
+    */
+  private lazy val tokenizerCostOracleSql: String =
+    s"""WITH $t37VocabCtes,
+          dall AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          aw AS (SELECT doc_id, unnest(toks) AS word FROM dall),
+          wdist AS (SELECT DISTINCT word FROM aw),
+          wsub AS (
+            SELECT DISTINCT word, substr(word, i, l) AS piece
+            FROM (SELECT word FROM wdist WHERE length(word) <= 16),
+              LATERAL (SELECT unnest(generate_series(1, length(word))) AS i),
+              LATERAL (SELECT unnest(generate_series(1,
+                least(4, length(word) - i + 1))) AS l)),
+          wpm AS (
+            SELECT word,
+              MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS m
+            FROM (SELECT s.word, s.piece, v.logp
+                  FROM wsub s JOIN v2 v USING (piece))
+            GROUP BY word),
+          wseg AS (
+            SELECT w.word,
+              CASE WHEN length(w.word) > 16 OR a.m IS NULL
+                THEN CAST([] AS VARCHAR[])
+                ELSE ${t37ViterbiSql("w.word", "a.m", 4)} END AS pieces
+            FROM wdist w LEFT JOIN wpm a ON w.word = a.word),
+          wstat AS (
+            SELECT word, CAST(len(pieces) AS BIGINT) AS np,
+              CASE WHEN len(pieces) = 0 THEN 1 ELSE 0 END AS unk
+            FROM wseg)
+          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(s.np) AS BIGINT) AS n_pieces,
+            CAST(sum(s.unk) AS BIGINT) AS n_unk_words,
+            CASE WHEN count(*) - sum(s.unk) > 0
+              THEN floor(CAST(sum(s.np) AS DOUBLE)
+                / CAST(count(*) - sum(s.unk) AS DOUBLE) * 10000.0 + 0.5)
+                / 10000.0
+              ELSE NULL END AS pieces_per_word
+          FROM aw a JOIN wstat s USING (word)
+          GROUP BY a.doc_id ORDER BY a.doc_id"""
 
   private lazy val t40VocabCtes: String = t37VocabCtesWith(16, 0.75)
 

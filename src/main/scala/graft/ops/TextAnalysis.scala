@@ -1127,6 +1127,92 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("n_occurrences"))
   }
 
+  /** The `step = 0` fit-config marker row's `left` value in a
+    * [[bpeFitModel]] table. Normalized pieces are `[a-z0-9]+`, so a
+    * NUL-prefixed marker can never collide with a learned symbol.
+    */
+  private val BpeCfgMarker = "\u0000cfg"
+
+  /** FIT the BPE merge table alone, as ONE persistable DataFrame —
+    * the train-offline half of the production tokenizer loop (the
+    * apply half is [[bpeSegmentWithModel]]): a real tokenizer is
+    * trained ONCE and then applied to every later corpus and batch;
+    * [[bpeSegment]] can only retrain-and-apply on one corpus. Same
+    * training trajectory as [[bpeTrain]] (identical merge table),
+    * plus a `step = 0` marker row recording how many merges were
+    * actually LEARNED (`pair_count` — possibly fewer than requested
+    * if the vocabulary ran dry): [[bpeSegmentWithModel]] `require()`s
+    * the row count matches the marker, so a truncated or filtered
+    * model table fails loud instead of silently under-merging. The
+    * table is bounded (≤ `merges` + 1 ≤ 65 rows) — a broadcast-sized
+    * artifact at any corpus scale.
+    */
+  def bpeFitModel(train: DataFrame, textCol: String, merges: Int,
+                  persistIntermediate: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val table =
+      bpeTrainOnWords(bpeWordTable(train, textCol, persistIntermediate), merges)
+    ((0, BpeCfgMarker, "", table.size.toLong) +: table)
+      .toDF("step", "left", "right", "pair_count")
+  }
+
+  /** Segment a corpus with a PERSISTED [[bpeFitModel]] table — the
+    * apply-online half: replay the learned merges in step order over
+    * THIS corpus's word table and roll up the resulting piece
+    * vocabulary corpus-weighted, exactly [[bpeSegment]]'s output
+    * shape. Bit-identical to [[bpeSegment]] when the model was fit on
+    * the same corpus (TokenizerModelSpec asserts it: the merge table
+    * is the only state, and the replay is the same chained-`replace`
+    * expression), but the model is an INPUT — train on corpus A,
+    * segment corpus B/C/every later batch without re-touching A.
+    *
+    * Cross-corpus semantics: character-level BPE has NO UNK — a
+    * corpus-B character never seen in training simply stays a
+    * single-character piece (byte-fallback semantics), and trained
+    * merges fire only where their pair occurs, so unseen words
+    * segment into the longest trained subwords they contain.
+    *
+    * Cost: the model is driver-bounded (≤ 65 rows — collected, with a
+    * loud require on oversized input); the corpus is touched ONCE
+    * (the word-table scan); segmentation is map-only over the
+    * DISTINCT-word table; the piece rollup is a partial agg on a
+    * bounded key space (≤ alphabet + merges symbols).
+    */
+  def bpeSegmentWithModel(docs: DataFrame, textCol: String, model: DataFrame,
+                          persistIntermediate: Boolean = true): DataFrame = {
+    val rows = model
+      .select(col("step").cast("int"), col("left"), col("right"),
+        col("pair_count").cast("long"))
+      .limit(4098).collect()
+    require(rows.length <= 4097,
+      "bpeSegmentWithModel: model table exceeds 4097 rows — BPE merge " +
+        "tables are bounded at 64 merges + 1 marker; was this table " +
+        "written by bpeFitModel?")
+    val markers = rows.filter(_.getInt(0) == 0)
+    require(markers.length == 1 && markers(0).getString(1) == BpeCfgMarker,
+      s"bpeSegmentWithModel: model table carries ${markers.length} fit-config " +
+        "marker rows (step = 0); expected exactly 1 — was this table " +
+        "written by bpeFitModel?")
+    val declared = markers(0).getLong(3)
+    val merges = rows.filter(_.getInt(0) > 0).sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    require(merges.map(_._1) == (1 to merges.length),
+      s"bpeSegmentWithModel: merge steps must be contiguous 1..n, got " +
+        merges.map(_._1).mkString("[", ",", "]"))
+    require(merges.length == declared,
+      s"bpeSegmentWithModel: model table carries ${merges.length} merges " +
+        s"but the fit marker records $declared — truncated or filtered table")
+    val segmented = merges.foldLeft(col("seq")) { case (s, (_, l, r)) =>
+      bpeMergeOf(l, r)(s)
+    }
+    bpeWordTable(docs, textCol, persistIntermediate)
+      .select(col("freq"), explode(filter(split(segmented, BpeSep2),
+        s => length(s) > 0)).as("piece"))
+      .groupBy("piece")
+      .agg(sum(col("freq")).as("n_occurrences"))
+  }
+
   /** Viterbi best-segmentation of `word` under the piece → logp map
     * `pmap`: standard subword-tokenizer inference (maximize the sum of
     * piece log-probs) as ONE fold over character positions — dp[j] =
@@ -1408,15 +1494,32 @@ object TextAnalysis {
                     iters: Int = 2,
                     persistIntermediate: Boolean = true,
                     broadcastModel: Boolean = true): DataFrame = {
-    def persist(df: DataFrame): DataFrame =
-      if (persistIntermediate)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
     // the trained model — localCheckpointed by the trainer, so this
     // subtree is a bounded table, not a replay of the EM rounds
     val vocab = unigramLmTrain(docs.filter(trainFilter), textCol, seedSize,
         maxPieceLen, maxWordLen, iters, persistIntermediate, broadcastModel)
       .select("piece", "logp")
+    segmentCostWithVocab(docs, textCol, idCol, vocab, maxPieceLen,
+      maxWordLen, persistIntermediate, broadcastModel)
+  }
+
+  /** The APPLY half [[tokenizerCost]] and [[unigramSegmentWithModel]]
+    * share — ONE definition so the refit-inline and persisted-model
+    * paths can never segment differently: distinct-word leg, bounded
+    * piece-candidate join against `vocab` (piece, logp), per-word
+    * Viterbi, per-doc rollup. See [[tokenizerCost]] for the scale
+    * shape (the corpus-scale (doc, word) explode is deliberately NOT
+    * persisted; only dictionary-sized intermediates are).
+    */
+  private def segmentCostWithVocab(docs: DataFrame, textCol: String,
+                                   idCol: String, vocab: DataFrame,
+                                   maxPieceLen: Int, maxWordLen: Int,
+                                   persistIntermediate: Boolean,
+                                   broadcastModel: Boolean): DataFrame = {
+    def persist(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     // deliberately NOT persisted: corpus-scale — see "Scale shape"
     val aw = docs.select(col(idCol).as("doc_id"),
       explode(text.tokens(
@@ -1452,5 +1555,98 @@ object TextAnalysis {
           fround(col("np").cast("double")
             / (col("n_words") - col("unk")).cast("double"), 4))
           .as("pieces_per_word"))
+  }
+
+  /** The `piece` prefix of [[unigramFitModel]]'s fit-config marker
+    * rows. Trained pieces are substrings of normalized words
+    * (`[a-z0-9]+`), so a NUL-prefixed marker can never collide.
+    */
+  private val UniCfgPrefix = "\u0000cfg:"
+
+  /** FIT [[unigramLmTrain]]'s vocabulary alone, as ONE persistable
+    * table — the train-offline half of the unigram tokenizer loop
+    * (the apply half is [[unigramSegmentWithModel]]), mirroring
+    * [[bpeFitModel]]'s role for BPE and copying the
+    * nbFitModel/nbScoreWithModel construction. Output = the trainer's
+    * (piece, cnt, logp) rows plus TWO marker rows (`piece` =
+    * NUL-prefixed, `cnt` carries the value) recording the fit-side
+    * `maxPieceLen` and `maxWordLen`: maxPieceLen bounds both the
+    * candidate substring lengths AND the Viterbi dp depth, maxWordLen
+    * decides which words are UNK by length — an apply side
+    * disagreeing on either would silently mis-segment, so
+    * [[unigramSegmentWithModel]] `require()`s the markers match
+    * before it segments anything. (seedSize/iters/vocabSize are NOT
+    * apply state — they shape which pieces exist, already fully
+    * encoded in the rows.) The table is bounded: ≤ alphabet +
+    * `seedSize` + 2 rows, a broadcast-sized artifact at any corpus
+    * scale.
+    */
+  def unigramFitModel(train: DataFrame, textCol: String,
+                      seedSize: Int = 512, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 16, iters: Int = 2,
+                      persistIntermediate: Boolean = true,
+                      broadcastModel: Boolean = true,
+                      vocabSize: Int = 0,
+                      shrinkFactor: Double = 0.75): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val v = unigramLmTrain(train, textCol, seedSize, maxPieceLen,
+      maxWordLen, iters, persistIntermediate, broadcastModel,
+      vocabSize, shrinkFactor)
+    val cfg = Seq(
+      (UniCfgPrefix + "max_piece_len", maxPieceLen.toLong, 0.0),
+      (UniCfgPrefix + "max_word_len", maxWordLen.toLong, 0.0))
+      .toDF("piece", "cnt", "logp")
+    v.unionByName(cfg)
+  }
+
+  /** Per-doc token-cost accounting against a PERSISTED
+    * [[unigramFitModel]] table — bit-identical to [[tokenizerCost]]
+    * run with the same train split (TokenizerModelSpec asserts it:
+    * both paths segment through the ONE shared
+    * [[segmentCostWithVocab]] and the trained rows ARE the model),
+    * but with the model as an INPUT instead of refit per call: train
+    * on corpus A once, price corpus B / every later batch under
+    * corpus A's vocabulary — the shape the streaming token-cost
+    * monitor needs (per batch: the batch's own map-only passes + one
+    * broadcast join against the bounded model; history never
+    * rescanned, the model never refit in the hot path).
+    *
+    * Corpus-B semantics: a word containing a character the model
+    * never trained (no single-char piece covers it) or exceeding the
+    * fit-side `maxWordLen` is UNK — counted, contributing 0 pieces —
+    * exactly [[tokenizerCost]]'s held-out rule, now across corpora.
+    */
+  def unigramSegmentWithModel(docs: DataFrame, textCol: String, idCol: String,
+                              model: DataFrame,
+                              maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                              persistIntermediate: Boolean = true,
+                              broadcastModel: Boolean = true): DataFrame = {
+    // fit-config guard: a model fit with different piece/word bounds
+    // would segment SILENTLY differently — fail loud. The probe is
+    // one bounded job (prefix-filtered limit-collect over the
+    // ≤ alphabet + seedSize + 2-row model table).
+    val markers = model.filter(col("piece").startsWith(UniCfgPrefix))
+      .select(col("piece"), col("cnt").cast("long"))
+      .limit(10).collect()
+      .map(r => (r.getString(0).stripPrefix(UniCfgPrefix), r.getLong(1)))
+      .toMap
+    require(markers.contains("max_piece_len") && markers.contains("max_word_len"),
+      "unigramSegmentWithModel: model table carries no fit-config marker " +
+        "rows — was this table written by unigramFitModel?")
+    require(markers("max_piece_len") == maxPieceLen.toLong,
+      s"unigramSegmentWithModel: model was fit with " +
+        s"maxPieceLen=${markers("max_piece_len")} but apply-side " +
+        s"maxPieceLen=$maxPieceLen — the candidate substrings and dp depth " +
+        "would disagree; pass the fit-side value")
+    require(markers("max_word_len") == maxWordLen.toLong,
+      s"unigramSegmentWithModel: model was fit with " +
+        s"maxWordLen=${markers("max_word_len")} but apply-side " +
+        s"maxWordLen=$maxWordLen — the UNK-by-length rule would disagree; " +
+        "pass the fit-side value")
+    val vocab = model.filter(!col("piece").startsWith(UniCfgPrefix))
+      .select("piece", "logp")
+    segmentCostWithVocab(docs, textCol, idCol, vocab, maxPieceLen,
+      maxWordLen, persistIntermediate, broadcastModel)
   }
 }
