@@ -450,6 +450,17 @@ object SparkEntry {
         salt = "graft", sampleHex = "2000")
     }),
 
+    "d22_banding_recall" -> ((s, dir) => {
+      // s5's eval-gate role for the DEDUP family: measured recall of
+      // LSH band-candidate generation vs brute-force exact-Jaccard
+      // truth, both on d15's cluster-coherent 1/4 sample — the
+      // number a production run reads before trusting a banding
+      // configuration on a new corpus. Portable md5-fold minhash
+      // (the d3 contract), so candidate GENERATION itself is under
+      // the oracle, not just the verify
+      Dedup.bandingRecall(Tables(s, dir).documents, "text", "doc_id")
+    }),
+
     "d16_neardup_incremental" -> ((s, dir) => {
       // d14's daily-crawl shape for NEAR-dups: delta docs verdicted
       // against the accumulated index by banded MinHash + exact
@@ -874,6 +885,28 @@ object SparkEntry {
       TextAnalysis.bm25Search(Tables(s, dir).documents, "text", "doc_id",
           Bm25Queries, k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    "r1_hybrid_fusion" -> ((s, dir) => {
+      // HYBRID retrieval serving: reciprocal-rank fusion of t17's
+      // lexical BM25 top-10 and an s1-shape exact-cosine vector
+      // top-10 over the shared (query_id, doc_id, rank) contract —
+      // the standard RAG-corpus serving combiner (each side misses
+      // what the other catches). Vector probes are the embeddings of
+      // vec_ids 0/100/200/300/400 remapped to the five BM25 query
+      // ids; both legs are already oracle-checked alone, so the r1
+      // oracle composes their SQL plus the fusion rollup
+      val t = Tables(s, dir)
+      val lex = TextAnalysis.bm25Search(t.documents, "text", "doc_id",
+        Bm25Queries, k = 10)
+      val probes = t.embeddings
+        .filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+      val vec = Similarity.bruteForceTopK(t.embeddings, probes,
+          "embedding", "vec_id", 10)
+        .select((col("query_id") / 100).cast("long").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex.select("query_id", "doc_id", "rank"), vec)
+        .orderBy("query_id", "fused_rank")
     }),
 
     "t19_vocab" -> ((s, dir) => {
@@ -1711,6 +1744,74 @@ object SparkEntry {
   private val trainWhereSql: String =
     """ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'"""
 
+  /** d22's oracle: the WHOLE banding-recall chain digit-for-digit —
+    * d15's fingerprint-keyed sample, portable 60-bit md5-fold shingle
+    * hashes, the ((2i+1)·(h mod P) + i+1) mod P minhash slots
+    * (P = 2³¹−1, P sentinel on empty sets), 0-seeded 65599-fold band
+    * keys over `numPerm/bands` consecutive slots, the candidate
+    * equi-join with d2's lossless size prefilter, brute-force
+    * exact-Jaccard truth on the same distinct-hash sets, and the
+    * recall rollup. Candidate generation — the banding mechanism
+    * itself — is what the gate checks.
+    */
+  private def bandingRecallOracleSql(numPerm: Int, bands: Int,
+                                     threshold: Double,
+                                     sampleHex: String): String = {
+    val r = numPerm / bands
+    s"""WITH prep AS (
+            SELECT doc_id, $normSql AS nrm FROM documents),
+          sampled AS (
+            SELECT doc_id,
+              list_sort(list_distinct(list_transform(
+                CASE WHEN length(nrm) >= 5
+                     THEN list_distinct(list_transform(range(1, length(nrm) - 3),
+                            i -> substr(nrm, i, 5)))
+                     ELSE CAST([] AS VARCHAR[]) END,
+                s -> list_reduce(list_transform(range(1, 16), i ->
+                       CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+                     (acc, d) -> acc * 16 + d)))) AS h
+            FROM prep
+            WHERE substr(md5(md5(nrm) || ':graft'), 1, 4) < '$sampleHex'),
+          sig AS (
+            SELECT doc_id, len(h) AS n,
+              list_transform(range(0, $numPerm), i ->
+                CASE WHEN len(h) = 0 THEN CAST(2147483647 AS BIGINT)
+                     ELSE list_min(list_transform(h, hv ->
+                       ((2*i + 1) * (hv % 2147483647) + (i + 1)) % 2147483647)) END) AS sg
+            FROM sampled),
+          bb AS (
+            SELECT doc_id, n, b,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(b * $r + 1, b * $r + $r + 1), j -> sg[j])),
+                (acc, s) -> (acc * 65599 + s) % 2147483647) AS bk
+            FROM sig, LATERAL (SELECT unnest(range(0, $bands)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+            FROM bb a JOIN bb c ON a.b = c.b AND a.bk = c.bk
+              AND a.doc_id < c.doc_id
+            WHERE CAST(least(a.n, c.n) AS DOUBLE)
+              >= CAST(greatest(a.n, c.n) AS DOUBLE) * $threshold),
+          tp AS (
+            SELECT a.doc_id AS id1, c.doc_id AS id2
+            FROM sampled a JOIN sampled c ON a.doc_id < c.doc_id
+            WHERE CAST(least(len(a.h), len(c.h)) AS DOUBLE)
+                >= CAST(greatest(len(a.h), len(c.h)) AS DOUBLE) * $threshold
+              AND floor((CASE
+                    WHEN len(a.h) + len(c.h) - len(list_intersect(a.h, c.h)) = 0 THEN 0
+                    ELSE CAST(len(list_intersect(a.h, c.h)) AS DOUBLE)
+                         / (len(a.h) + len(c.h) - len(list_intersect(a.h, c.h))) END)
+                  * 10000 + 0.5) / 10000 >= $threshold),
+          hit AS (SELECT count(*) AS nh FROM tp JOIN cand USING (id1, id2))
+          SELECT (SELECT count(*) FROM sampled) AS sample_docs,
+            (SELECT count(*) FROM tp) AS n_true_pairs,
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT nh FROM hit) AS n_banded_true,
+            CASE WHEN (SELECT count(*) FROM tp) = 0 THEN NULL
+                 ELSE floor(CAST((SELECT nh FROM hit) AS DOUBLE)
+                      / (SELECT count(*) FROM tp) * 10000 + 0.5) / 10000 END AS recall"""
+  }
+
   /** t17's fixed query set, shared by the Spark query and the oracle
     * (q4 has terms absent from the corpus: df=0 terms contribute 0).
     */
@@ -1723,6 +1824,47 @@ object SparkEntry {
 
   private def bm25QueriesValuesSql: String =
     Bm25Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+
+  /** t17's BM25 chain as CTEs ending in `lexr` (query_id, doc_id,
+    * score, rank) — ONE definition shared by the t17 oracle and the
+    * r1 hybrid-fusion oracle's lexical leg, so the two gates can
+    * never assert different lexical rankings.
+    */
+  private lazy val bm25Ctes: String =
+    s"""d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          lens AS (
+            SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+          q(query_id, qtext) AS (VALUES $bm25QueriesValuesSql),
+          qt AS (
+            SELECT DISTINCT query_id, term FROM (
+              SELECT query_id, unnest(${toksSql("qtext")}) AS term FROM q)),
+          matched AS (
+            SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, dl, unnest(toks) AS term FROM lens) p
+            WHERE term IN (SELECT DISTINCT term FROM qt)
+            GROUP BY term, doc_id, dl),
+          dfs AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM matched GROUP BY term),
+          contrib AS (
+            SELECT qt.query_id, m.doc_id,
+              (floor(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1000000.0 + 0.5)
+                 / 1000000.0)
+                * m.tf * 2.2
+                / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+            FROM matched m JOIN dfs f USING (term) JOIN qt USING (term)
+            CROSS JOIN stats s),
+          scores AS (
+            SELECT query_id, doc_id,
+              floor(sum(c) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM contrib GROUP BY query_id, doc_id),
+          lexr AS (
+            SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scores)"""
 
   /** Shared tail of the s10/s11 oracles: from a prepared `bb(vec_id,
     * b, bv)` band table — candidates on the band equi-join, exact
@@ -2712,6 +2854,12 @@ object SparkEntry {
           WHERE s.split = 'delta'
           ORDER BY s.doc_id""",
 
+    // d22: the full chain replicated — fingerprint-keyed sample,
+    // portable md5-fold shingle hashes, the (2i+1)·h+i+1 mod-P
+    // minhash mix, 65599 band-key folds, candidate equi-join with the
+    // lossless size prefilter, brute-force truth, and the recall join
+    "d22_banding_recall" -> bandingRecallOracleSql(128, 32, 0.5, "4000"),
+
     "d15_dup_rate_sample" ->
       s"""WITH f AS (SELECT md5($normSql) AS fingerprint FROM documents),
           s AS (SELECT fingerprint FROM f
@@ -3244,41 +3392,52 @@ object SparkEntry {
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "t17_bm25_search" ->
-      s"""WITH d AS (
-            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
-          lens AS (
-            SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-          stats AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
-          q(query_id, qtext) AS (VALUES $bm25QueriesValuesSql),
-          qt AS (
-            SELECT DISTINCT query_id, term FROM (
-              SELECT query_id, unnest(${toksSql("qtext")}) AS term FROM q)),
-          matched AS (
-            SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf FROM (
-              SELECT doc_id, dl, unnest(toks) AS term FROM lens) p
-            WHERE term IN (SELECT DISTINCT term FROM qt)
-            GROUP BY term, doc_id, dl),
-          dfs AS (
-            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM matched GROUP BY term),
-          contrib AS (
-            SELECT qt.query_id, m.doc_id,
-              (floor(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1000000.0 + 0.5)
-                 / 1000000.0)
-                * m.tf * 2.2
-                / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
-            FROM matched m JOIN dfs f USING (term) JOIN qt USING (term)
-            CROSS JOIN stats s),
-          scores AS (
-            SELECT query_id, doc_id,
-              floor(sum(c) * 10000.0 + 0.5) / 10000.0 AS score
-            FROM contrib GROUP BY query_id, doc_id)
-          SELECT query_id, doc_id, score, rank FROM (
-            SELECT query_id, doc_id, score,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
-            FROM scores)
+      s"""WITH $bm25Ctes
+          SELECT query_id, doc_id, score, rank FROM lexr
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // r1: both legs' chains verbatim (t17's BM25 CTEs, s1's
+    // exact-cosine idiom over the five fixed probes) + the RRF
+    // rollup — per-list 6dp 1/(60+rank) contributions, ONE addition,
+    // (score desc, doc_id) fused rank
+    "r1_hybrid_fusion" ->
+      s"""WITH $bm25Ctes,
+          lex AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 10),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          vp AS (SELECT vec_id, v AS qv FROM e
+                 WHERE vec_id IN (0, 100, 200, 300, 400)),
+          vscored AS (
+            SELECT vp.vec_id AS pid, e.vec_id AS neighbor_id,
+              list_dot_product(qv, v)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+            FROM e JOIN vp ON e.vec_id <> vp.vec_id),
+          vranked AS (
+            SELECT pid, neighbor_id,
+              row_number() OVER (PARTITION BY pid ORDER BY cos DESC, neighbor_id) AS rank
+            FROM vscored),
+          vec AS (
+            SELECT CAST(pid // 100 AS BIGINT) AS query_id,
+              neighbor_id AS doc_id, rank
+            FROM vranked WHERE rank <= 10),
+          fused AS (
+            SELECT coalesce(l.query_id, v.query_id) AS query_id,
+              coalesce(l.doc_id, v.doc_id) AS doc_id,
+              CAST(l.rank AS INTEGER) AS rank_lex,
+              CAST(v.rank AS INTEGER) AS rank_vec,
+              floor((
+                (CASE WHEN l.rank IS NULL THEN 0.0
+                      ELSE floor(1.0 / (60 + l.rank) * 1000000.0 + 0.5) / 1000000.0 END)
+                + (CASE WHEN v.rank IS NULL THEN 0.0
+                        ELSE floor(1.0 / (60 + v.rank) * 1000000.0 + 0.5) / 1000000.0 END)
+              ) * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+            FROM lex l FULL JOIN vec v
+              ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+          SELECT query_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+              AS fused_rank,
+            doc_id, rrf_score, rank_lex, rank_vec
+          FROM fused ORDER BY query_id, fused_rank""",
 
     "t34_bpe_train" -> bpeOracleSql(10),
 

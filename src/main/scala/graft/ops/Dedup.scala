@@ -1044,4 +1044,144 @@ object Dedup {
     links.select(col("a").as("src"), col("b").as("dst"))
       .union(links.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** Mersenne prime 2³¹ − 1: the modulus of [[bandingRecall]]'s
+    * portable minhash mix — products stay < 2⁶³ under ANSI mode and
+    * the identical integer math runs in any engine.
+    */
+  private val BrP = 2147483647L
+
+  /** SAMPLED BANDING-RECALL gate — s5's role for the DEDUP family
+    * (VERDICT r11 #4): measured recall of LSH band-candidate
+    * generation against brute-force ground truth, affordable because
+    * both run on d15's cluster-coherent SAMPLE. d2/d9/d16's banding
+    * recall is spec-asserted at test scale; this is the first-class
+    * query a production run watches before trusting a banding
+    * configuration on a new corpus (d15 estimates dup RATE; this
+    * measures whether the bander would FIND the dups).
+    *
+    * Mechanism:
+    *  1. SAMPLE by content fingerprint (d15's key: keep iff the 4-hex
+    *     prefix of md5(fingerprint:salt) < `sampleHex`) — exact-dup
+    *     groups sample whole-or-not; a near-dup pair survives iff
+    *     both sides do, and both recall's numerator and denominator
+    *     are restricted to the sample, so in-sample recall estimates
+    *     per-pair banding recall.
+    *  2. TRUTH = brute-force exact shingle-Jaccard ≥ `threshold`
+    *     pairs on the sample (the d2 verify semantics: distinct
+    *     5-shingle sets, lossless size prefilter, 4dp floor-round).
+    *  3. CANDIDATES = minhash band collisions on the sample. Banding
+    *     assigns keys per doc independently of the corpus, so the
+    *     sample's candidate pairs ARE the full corpus's candidates
+    *     restricted to the sample — the measured recall is the
+    *     production bander's, not a small-corpus artifact.
+    *  4. recall = |candidates ∩ truth| / |truth| (NULL when the
+    *     sample holds no true pair), plus the candidate volume.
+    *
+    * PORTABLE hashing throughout (the d3 contract — here the banding
+    * decisions ARE the output): 60-bit md5-fold shingle hashes, and
+    * minhash slot i = min over shingles of ((2i+1)·(h mod P) + i+1)
+    * mod P (P = 2³¹−1; empty set → P sentinel), band key = the
+    * 0-seeded (acc·65599 + slot) mod P fold of its `rowsPerBand`
+    * slots — every step exact BIGINT math the DuckDB oracle replays
+    * digit-for-digit, so candidate GENERATION (not just the verify)
+    * is under the gate. d2 keeps xxhash64 banding on the production
+    * path (this gate pays the md5 premium only on the sample).
+    *
+    * Scale: everything downstream of the sample filter is
+    * sample-sized; the truth join is a DELIBERATE broadcast
+    * nested-loop over the sample (the point of sampling — `sampleHex`
+    * bounds it; the default 1/4 at web scale would be lowered to the
+    * d15 1/8 or below, trading recall-estimate variance for cost).
+    * The candidate join is the usual band equi-join.
+    *
+    * Output (1 row): (sample_docs, n_true_pairs, n_candidates,
+    * n_banded_true, recall 4dp).
+    */
+  def bandingRecall(docs: DataFrame, textCol: String, idCol: String,
+                    numPerm: Int = 128, bands: Int = 0, shingleK: Int = 5,
+                    jaccardThreshold: Double = 0.5,
+                    salt: String = "graft", sampleHex: String = "4000",
+                    persistIntermediate: Boolean = true): DataFrame = {
+    require(sampleHex.matches("[0-9a-g]{4}"),
+      s"sampleHex must be 4 lowercase hex chars (or g--- for keep-all), got '$sampleHex'")
+    val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
+    require(numPerm % nBands == 0,
+      s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
+    val rowsPerBand = numPerm / nBands
+    require(numPerm >= 1 && numPerm <= 2048,
+      s"numPerm must be in [1, 2048], got $numPerm")
+    // staged selects so every HOF lambda sees attributes
+    val normed = docs.select(col(idCol).as("id"),
+      Native.normOf(docs)(col(textCol)).as("nrm"))
+    val sampledPlan = normed
+      .where(substring(md5(concat(md5(col("nrm")), lit(":"), lit(salt))), 1, 4)
+        < lit(sampleHex))
+      .select(col("id"),
+        when(length(col("nrm")) >= shingleK,
+          transform(sequence(lit(1), length(col("nrm")) - (shingleK - 1)),
+            i => col("nrm").substr(i, lit(shingleK))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      // distinct STRINGS then fold: both engines hash the same set, so
+      // even a fold collision reproduces identically
+      .select(col("id"),
+        array_sort(array_distinct(transform(array_distinct(col("sh")),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("h"))
+    val sampled =
+      if (persistIntermediate)
+        sampledPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sampledPlan
+    // portable minhash signature (see scaladoc); P sentinel for empty
+    val slots = (0 until numPerm).map { i =>
+      when(size(col("h")) === 0, lit(BrP)).otherwise(
+        array_min(transform(col("h"),
+          hv => (lit(2L * i + 1) * (hv % lit(BrP)) + lit(i + 1L)) % lit(BrP))))
+    }
+    val sig = sampled.select(col("id"), size(col("h")).as("n"),
+      array(slots: _*).as("sg"))
+    val bandCols = (0 until nBands).map { b =>
+      val bk = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .foldLeft(lit(0L): Column)((acc, idx) =>
+          (acc * lit(65599L) + element_at(col("sg"), idx + 1)) % lit(BrP))
+      struct(lit(b).as("b"), bk.as("v"))
+    }
+    val banded = sig.select(col("id"), col("n"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("n"), col("band.b").as("b"), col("band.v").as("bk"))
+    val candidates = banded.as("a").join(banded.as("c"),
+        col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
+          col("a.id") < col("c.id") &&
+          least(col("a.n"), col("c.n")).cast("double") >=
+          greatest(col("a.n"), col("c.n")).cast("double") * jaccardThreshold)
+      .select(col("a.id").as("id1"), col("c.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    // brute-force truth on the sample: the d2 verify semantics over
+    // the same distinct-hash sets (broadcast nested-loop by design)
+    val truth = sampled.as("h1").join(broadcast(sampled.as("h2")),
+        col("h1.id") < col("h2.id") &&
+          least(size(col("h1.h")), size(col("h2.h"))).cast("double") >=
+          greatest(size(col("h1.h")), size(col("h2.h"))).cast("double")
+            * jaccardThreshold)
+      .select(col("h1.id").as("id1"), col("h2.id").as("id2"),
+        col("h1.h").as("sh1"), col("h2.h").as("sh2"))
+      .withColumn("inter", intersectSize(docs, col("sh1"), col("sh2")).cast("double"))
+      .withColumn("jaccard", graft.functions.num.fround(
+        when(size(col("sh1")) + size(col("sh2")) - col("inter") === 0.0, 0.0)
+          .otherwise(col("inter") /
+            (size(col("sh1")).cast("double") + size(col("sh2")).cast("double")
+              - col("inter"))), 4))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id1", "id2")
+    val stats = sampled.agg(count(lit(1)).as("sample_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+      .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.join(candidates, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_banded_true"))))
+    stats.select(col("sample_docs"), col("n_true_pairs"),
+      col("n_candidates"), col("n_banded_true"),
+      when(col("n_true_pairs") === 0, lit(null).cast("double"))
+        .otherwise(graft.functions.num.fround(
+          col("n_banded_true").cast("double")
+            / col("n_true_pairs").cast("double"), 4)).as("recall"))
+  }
 }

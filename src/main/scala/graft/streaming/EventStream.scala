@@ -668,6 +668,68 @@ object EventStream {
     }
   }
 
+  /** Streaming TOKEN-COST monitor (st14) — st13's drift-monitor twin
+    * for the TOKENIZER, and the consumer of the persisted-tokenizer
+    * split: the vocabulary is FIT OFFLINE ([[graft.ops.TextAnalysis
+    * .unigramFitModel]], persisted as parquet at `modelPath`) and each
+    * micro-batch of arriving documents is priced under it
+    * ([[graft.ops.TextAnalysis.unigramSegmentWithModel]] —
+    * bit-identical to the batch operator on the same model, with the
+    * fit-config markers guarding mismatched apply knobs). Per batch:
+    * per-doc cost rows to `costDir/batch_id=N` (zero-token docs
+    * produce no row — the t24 contract) plus ONE monitor row to
+    * `monitorDir/batch_id=N` — n_docs, n_words, n_pieces,
+    * n_unk_words, unk_rate, pieces_per_word under the PERSISTED
+    * vocabulary. UNK rate is the tokenizer's drift alarm: a
+    * vocabulary-shifted batch (new language/domain, crawler breakage,
+    * encoding rot) surfaces as a rising share of words the trained
+    * model cannot cover — BEFORE a downstream training job chokes on
+    * it — exactly the role st13's JS divergence plays for the quality
+    * gate. The monitor records evidence; alarming is the consumer's
+    * thresholding decision.
+    *
+    * STATELESS across batches (the gate-sink contract): batch N
+    * overwrites only its own `batch_id=N` dirs (retry idempotence),
+    * restart-from-checkpoint needs no state recovery, and a RETRAINED
+    * vocabulary is a hot-swap — the model is re-read per batch, so a
+    * new table at `modelPath` takes effect without a stream restart.
+    * Per-batch cost is the batch's own map-only passes + one
+    * broadcast join against the bounded (≤ alphabet + seedSize + 2
+    * rows) model — history is never rescanned, the model never refit
+    * in the ingest path.
+    */
+  def tokenCostMonitorSink(docs: DataFrame, textCol: String, idCol: String,
+                           modelPath: String, costDir: String,
+                           monitorDir: String,
+                           maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val model = spark.read.parquet(modelPath)
+        val costs = graft.ops.TextAnalysis.unigramSegmentWithModel(
+            batch.toDF(), textCol, idCol, model, maxPieceLen, maxWordLen)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          costs.write.mode("overwrite").parquet(s"$costDir/batch_id=$batchId")
+          costs.agg(
+              count(lit(1)).as("n_docs"),
+              coalesce(sum("n_words"), lit(0L)).as("n_words"),
+              coalesce(sum("n_pieces"), lit(0L)).as("n_pieces"),
+              coalesce(sum("n_unk_words"), lit(0L)).as("n_unk_words"))
+            .select(col("n_docs"), col("n_words"), col("n_pieces"),
+              col("n_unk_words"),
+              when(col("n_words") > 0, graft.functions.num.fround(
+                col("n_unk_words").cast("double")
+                  / col("n_words").cast("double"), 4)).as("unk_rate"),
+              when(col("n_words") - col("n_unk_words") > 0,
+                graft.functions.num.fround(col("n_pieces").cast("double")
+                  / (col("n_words") - col("n_unk_words")).cast("double"), 4))
+                .as("pieces_per_word"))
+            .write.mode("overwrite").parquet(s"$monitorDir/batch_id=$batchId")
+        } finally costs.unpersist()
+    }
+
   def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
                       valCol: String, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

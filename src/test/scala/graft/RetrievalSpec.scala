@@ -287,4 +287,30 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 4L, 4L, 0L, Some(1.0)),
       (2L, 4L, 4L, 2L, Some(2.0))), s"cost rows: $got")
   }
+
+  test("rrfFuse: a doc mid-ranked on BOTH lists wins fusion over each list's exclusive top hit") {
+    import graft.ops.Retrieval
+    // query 7: doc 100 tops the lexical list only, doc 200 tops the
+    // vector list only, doc 50 is rank 2 on BOTH — the consensus
+    // property: 2/(60+2) > 1/(60+1), so 50 must out-fuse both tops
+    // while ranking first on neither input
+    val lex = Seq((7L, 100L, 1), (7L, 50L, 2), (7L, 101L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((7L, 200L, 1), (7L, 50L, 2), (7L, 201L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec).orderBy("fused_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq(
+      (1, 50L), (2, 100L), (3, 200L), (4, 101L), (5, 201L)),
+      got.toString)
+    // doc 50 carries BOTH input ranks; exclusives carry one + NULL
+    assert(got(0)._4 == Some(2) && got(0)._5 == Some(2))
+    assert(got(1)._4 == Some(1) && got(1)._5 == None)
+    assert(got(2)._4 == None && got(2)._5 == Some(1))
+    // scores: 2 × 6dp(1/62) for the consensus doc; 6dp(1/61) for tops.
+    // ties (100 vs 200, both 1/61) break on doc_id ascending
+    assert(got(0)._3 == 0.032258 && got(1)._3 == got(2)._3)
+    assert(got(1)._3 == 0.016393)
+  }
 }

@@ -519,4 +519,44 @@ class RobustSpec extends AnyFunSuite {
       docs)
     assert(t33.distinct.size == 1, "pmiPairs diverges across partitionings")
   }
+
+  test("bandingRecall: planted known-recall configurations — one 128-row band misses the mid-J pair, many narrow bands find it") {
+    import spark.implicits._
+    // A/B are byte-identical (J = 1.0: identical signatures collide in
+    // EVERY band layout); C/D share a long prefix (exact shingle
+    // J ≈ 0.55 — above the 0.5 threshold but far from 1, so a single
+    // 128-row band requires all 128 minhash slots to agree, which a
+    // J≈0.55 pair essentially never does). E is unrelated filler.
+    // keep-all sample ('g000') so sampling cannot confound the plant.
+    // non-repetitive shared prefix (every shingle distinct) so the
+    // C/D overlap is ~|prefix| / (|prefix| + both suffixes) ≈ 0.55
+    val prefixCD = (0 until 40).map(i => f"tok$i%02dabc").mkString(" ")
+    val sfx3 = (0 until 15).map(i => s"omg${i}qq").mkString(" ")
+    val sfx4 = (0 until 15).map(i => s"zed${i}vv").mkString(" ")
+    val docs = Seq(
+      (1L, "identical twin text with several words repeated nowhere else body"),
+      (2L, "identical twin text with several words repeated nowhere else body"),
+      (3L, s"$prefixCD $sfx3"),
+      (4L, s"$prefixCD $sfx4"),
+      (5L, "completely unrelated filler content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    def recallAt(bands: Int) =
+      Dedup.bandingRecall(docs, "text", "doc_id", numPerm = 128,
+          bands = bands, sampleHex = "g000", persistIntermediate = false)
+        .head()
+    // ground truth is banding-independent: pairs (1,2) J=1.0 and
+    // (3,4) J≈0.55 — two true pairs under every configuration
+    val one = recallAt(1)
+    assert(one.getLong(1) == 2L, s"truth pairs: $one")
+    // ONE 128-row band: the identical pair still collides, the
+    // mid-J pair cannot -> recall exactly 0.5, deterministically
+    assert(one.getLong(3) == 1L && one.getDouble(4) == 0.5, one.toString)
+    // 128 one-row bands: per-band collision probability = J, 128
+    // trials -> the mid-J pair collides somewhere -> recall 1.0
+    val wide = recallAt(128)
+    assert(wide.getLong(1) == 2L && wide.getDouble(4) == 1.0, wide.toString)
+    // the production default (32 x 4 at t = 0.5) also recovers both
+    val dflt = recallAt(0)
+    assert(dflt.getDouble(4) == 1.0, dflt.toString)
+  }
 }

@@ -740,6 +740,70 @@ class StreamParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 6L)
   }
 
+  test("tokenCostMonitorSink: a planted vocabulary-shifted batch reads a higher UNK rate; restart-safe; equals the batch operator") {
+    import graft.ops.TextAnalysis
+    // vocabulary fit OFFLINE on latin-ish training text
+    val trainDocs = Seq(
+      (101L, "alpha beta alpha beta gamma alpha"),
+      (102L, "beta gamma delta alpha beta"),
+      (103L, "gamma delta alpha beta gamma")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tokmon")
+    val modelPath = s"$base/model"; val ckpt = s"$base/ckpt"
+    val costDir = s"$base/costs"; val monDir = s"$base/monitor"
+    TextAnalysis.unigramFitModel(trainDocs, "text", seedSize = 32)
+      .write.parquet(modelPath)
+    // batches 0/1 speak the training vocabulary; batch 2 is
+    // vocabulary-SHIFTED — words full of characters ('x','z','w','q'
+    // never trained) the persisted model cannot cover
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma"), (2L, "beta delta alpha")),
+      Seq((3L, "gamma alpha beta delta"), (4L, "")),
+      Seq((5L, "xxz wqx zzw alpha"), (6L, "qzx wxq zqw xwz")))
+    def startMon(ms: MemoryStream[(Long, String)]) =
+      EventStream.tokenCostMonitorSink(ms.toDS().toDF("doc_id", "text"),
+          "text", "doc_id", modelPath, costDir, monDir)
+        .option("checkpointLocation", ckpt).start()
+    val ms = MemoryStream[(Long, String)]
+    val q = startMon(ms)
+    try {
+      ms.addData(batches(0): _*); q.processAllAvailable()
+      ms.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // checkpointed RESTART before the shifted batch: the monitor is
+    // stateless, so resumption needs nothing beyond the checkpoint
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData(batches(0): _*); ms2.addData(batches(1): _*)
+    val q2 = startMon(ms2)
+    try {
+      ms2.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val mon = spark.read.parquet(monDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_unk_words"), Option(r.getAs[Any]("unk_rate"))))
+      .toMap
+    assert(mon.keySet == Set(0L, 1L, 2L), s"one monitor row per batch: $mon")
+    // in-vocabulary batches: every word covered (the trained alphabet
+    // reaches any position), zero UNK
+    assert(mon(0L) == ((2L, 6L, 0L, Some(0.0))), mon.toString)
+    // batch 1: the empty doc produces NO cost row (t24 contract)
+    assert(mon(1L)._1 == 1L && mon(1L)._3 == 0L, mon.toString)
+    // the vocabulary-shifted batch reads a HIGH unk rate: 7 of 8
+    // words carry untrained characters
+    assert(mon(2L)._2 == 8L && mon(2L)._3 == 7L &&
+      mon(2L)._4 == Some(0.875), mon.toString)
+    // streamed per-doc rows == the batch operator on the same slice
+    // under the same persisted model (the parity contract)
+    val direct = TextAnalysis.unigramSegmentWithModel(
+        batches(2).toDF("doc_id", "text"), "text", "doc_id",
+        spark.read.parquet(modelPath))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val streamed = spark.read.parquet(costDir)
+      .filter(col("batch_id") === 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_unk_words")).toMap
+    assert(streamed == direct, s"streamed $streamed != batch $direct")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
