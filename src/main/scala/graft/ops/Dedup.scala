@@ -1111,8 +1111,11 @@ object Dedup {
     val rowsPerBand = numPerm / nBands
     require(numPerm >= 1 && numPerm <= 2048,
       s"numPerm must be in [1, 2048], got $numPerm")
-    // staged selects so every HOF lambda sees attributes
-    val normed = docs.select(col(idCol).as("id"),
+    // staged selects so every HOF lambda sees attributes; Par.widen —
+    // the per-doc md5-fold of every shingle plus the interpreted
+    // minhash mix is the map-heavy stage, and a few-row-group input
+    // must not run it (or stream the truth join) on a few cores
+    val normed = Par.widen(docs).select(col(idCol).as("id"),
       Native.normOf(docs)(col(textCol)).as("nrm"))
     val sampledPlan = normed
       .where(substring(md5(concat(md5(col("nrm")), lit(":"), lit(salt))), 1, 4)
@@ -1145,19 +1148,37 @@ object Dedup {
           (acc * lit(65599L) + element_at(col("sg"), idx + 1)) % lit(BrP))
       struct(lit(b).as("b"), bk.as("v"))
     }
-    val banded = sig.select(col("id"), col("n"),
+    // persist the SLIM banded table (id, n, b, bk — `bands` rows per
+    // sampled doc): the 128-slot minhash mix is a higher-order-function
+    // subtree Catalyst evaluates INTERPRETED, and the candidate
+    // self-join would otherwise recompute it once per side — measured
+    // the dominant cost at the sf1 sample size
+    val bandedPlan = sig.select(col("id"), col("n"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("id"), col("n"), col("band.b").as("b"), col("band.v").as("bk"))
-    val candidates = banded.as("a").join(banded.as("c"),
+    val banded =
+      if (persistIntermediate)
+        bandedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bandedPlan
+    // candidates and truth are both consumed TWICE (their own count +
+    // the recall semi-join) — persist the slim id-pair tables so the
+    // band self-join and the brute-force verify each run ONCE, not
+    // once per consumer (measured 2× the whole query at the sf1
+    // sample size)
+    def persistPairs(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val candidates = persistPairs(banded.as("a").join(banded.as("c"),
         col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
           col("a.id") < col("c.id") &&
           least(col("a.n"), col("c.n")).cast("double") >=
           greatest(col("a.n"), col("c.n")).cast("double") * jaccardThreshold)
       .select(col("a.id").as("id1"), col("c.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+      .dropDuplicates("id1", "id2"))
     // brute-force truth on the sample: the d2 verify semantics over
     // the same distinct-hash sets (broadcast nested-loop by design)
-    val truth = sampled.as("h1").join(broadcast(sampled.as("h2")),
+    val truth = persistPairs(sampled.as("h1").join(broadcast(sampled.as("h2")),
         col("h1.id") < col("h2.id") &&
           least(size(col("h1.h")), size(col("h2.h"))).cast("double") >=
           greatest(size(col("h1.h")), size(col("h2.h"))).cast("double")
@@ -1171,7 +1192,7 @@ object Dedup {
             (size(col("sh1")).cast("double") + size(col("sh2")).cast("double")
               - col("inter"))), 4))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select("id1", "id2")
+      .select("id1", "id2"))
     val stats = sampled.agg(count(lit(1)).as("sample_docs"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
       .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
