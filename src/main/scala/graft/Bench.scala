@@ -249,10 +249,12 @@ object Bench {
         case None => ""
       }
       val baseErr = if (baselineError) ""","baseline_error":true""" else ""
-      // cpu_acc: the spin's fold, observably consumed (see cpuProbe)
+      // cpu_acc: the spins' folds, observably consumed (see cpuProbe).
+      // SUM, not XOR — the two runs compute the same deterministic
+      // fold, so an XOR would read a constant 0 and look unconsumed
       s""""probe":{"pre_cpu":$preCpu,"pre_spark":$preSpark,""" +
         s""""post_cpu":$postCpu,"post_spark":$postSpark,""" +
-        s""""cpu_acc":${(preAcc ^ postAcc) & 0xffffL}$base$baseErr,""" +
+        s""""cpu_acc":${(preAcc + postAcc) & 0xffffL}$base$baseErr,""" +
         s""""degraded":${degraded.map(_.toString).getOrElse("null")}}"""
     }
     def esc(s: String): String = s.flatMap {
