@@ -1771,7 +1771,8 @@ object SparkEntry {
                        CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
                      (acc, d) -> acc * 16 + d)))) AS h
             FROM prep
-            WHERE substr(md5(md5(nrm) || ':graft'), 1, 4) < '$sampleHex'),
+            WHERE substr(md5(md5(nrm) || ':graft'), 1, 4) < '$sampleHex'
+              AND length(nrm) >= 5),
           sig AS (
             SELECT doc_id, len(h) AS n,
               list_transform(range(0, $numPerm), i ->

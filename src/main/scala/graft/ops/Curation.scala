@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.{hashing, text}
 
 /** Corpus-curation operators for LLM-training-data pipelines: PII
@@ -999,14 +1000,20 @@ object Curation {
   def sourceCap(df: DataFrame, idCol: String, groupCol: String,
                 scoreCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // id stays UNTOUCHED (the weightedSample contract): a blind
-    // cast-to-long would turn a non-numeric id column into NULL for
-    // every row and silently drop all documents at any join-back —
-    // left raw, a non-long id fails loudly at analysis time on the
-    // native path (graft_topk's bigint id check) and still works on
-    // the window fallback
+    // integral numeric ids widen LOSSLESSLY to long (graft_topk needs
+    // bigint, and int ids are common); everything else — strings,
+    // decimals, doubles — stays UNTOUCHED (the weightedSample
+    // contract): a blind cast-to-long would turn a non-numeric id
+    // into NULL for every row and silently drop all documents at any
+    // join-back. An uncast non-long id fails loudly at analysis time
+    // on the native path and still works on the window fallback
+    val idExpr = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case _ => col(idCol)
+    }
     val scored = df.select(col(groupCol).as("grp"),
-      col(idCol).as("id"),
+      idExpr.as("id"),
       col(scoreCol).cast("double").as("score"))
     if (Native.enabled(df, "graft_topk")) {
       scored.groupBy("grp")

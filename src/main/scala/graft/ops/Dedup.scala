@@ -113,9 +113,11 @@ object Dedup {
                     salt: String = "graft",
                     sampleHex: String = "2000"): DataFrame = {
     // "g000" (g > any hex digit) keeps every fingerprint — the same
-    // keep-all convention as stratifiedSample's hex4
-    require(sampleHex.matches("[0-9a-g]{4}"),
-      s"sampleHex must be 4 lowercase hex chars (or g--- for keep-all), got '$sampleHex'")
+    // keep-all convention as stratifiedSample's hex4; the pattern
+    // admits only pure hex or the g-prefixed keep-all form, never
+    // mixed strings like "0g0g"
+    require(sampleHex.matches("(?:[0-9a-f]{4}|g[0-9a-f]{3})"),
+      s"sampleHex must be 4 lowercase hex chars (or gNNN for keep-all), got '$sampleHex'")
     val sampled = docs
       .select(md5(Native.normOf(docs)(col(textCol))).as("fingerprint"))
       .where(substring(md5(concat(col("fingerprint"), lit(":"), lit(salt))), 1, 4)
@@ -1103,14 +1105,16 @@ object Dedup {
                     jaccardThreshold: Double = 0.5,
                     salt: String = "graft", sampleHex: String = "4000",
                     persistIntermediate: Boolean = true): DataFrame = {
-    require(sampleHex.matches("[0-9a-g]{4}"),
-      s"sampleHex must be 4 lowercase hex chars (or g--- for keep-all), got '$sampleHex'")
+    require(sampleHex.matches("(?:[0-9a-f]{4}|g[0-9a-f]{3})"),
+      s"sampleHex must be 4 lowercase hex chars (or gNNN for keep-all), got '$sampleHex'")
+    // range check FIRST: numPerm = 0 would reach defaultBands and die
+    // with an ArithmeticException instead of this message
+    require(numPerm >= 1 && numPerm <= 2048,
+      s"numPerm must be in [1, 2048], got $numPerm")
     val nBands = if (bands > 0) bands else defaultBands(numPerm, jaccardThreshold)
     require(numPerm % nBands == 0,
       s"numPerm ($numPerm) must be a multiple of bands ($nBands)")
     val rowsPerBand = numPerm / nBands
-    require(numPerm >= 1 && numPerm <= 2048,
-      s"numPerm must be in [1, 2048], got $numPerm")
     // staged selects so every HOF lambda sees attributes; Par.widen —
     // the per-doc md5-fold of every shingle plus the interpreted
     // minhash mix is the map-heavy stage, and a few-row-group input
@@ -1130,6 +1134,13 @@ object Dedup {
       .select(col("id"),
         array_sort(array_distinct(transform(array_distinct(col("sh")),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("h"))
+      // drop empty-shingle docs (norm < shingleK) EXACTLY as d2's
+      // production bander does: the all-sentinel signature would
+      // otherwise collide every short doc into every band bucket —
+      // a quadratic candidate blowup on short-doc-heavy samples and
+      // an n_candidates the production bander would never produce.
+      // Recall is unaffected: an empty set can only pair at jaccard 0
+      .where(size(col("h")) > 0)
     val sampled =
       if (persistIntermediate)
         sampledPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

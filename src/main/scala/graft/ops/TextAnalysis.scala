@@ -1149,6 +1149,11 @@ object TextAnalysis {
     */
   def bpeFitModel(train: DataFrame, textCol: String, merges: Int,
                   persistIntermediate: Boolean = true): DataFrame = {
+    // the same bound bpeTrain enforces — without it merges > 64 breaks
+    // the documented <= 65-row bounded-model contract and merges = 0
+    // silently yields a no-op model the apply side accepts
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64], got $merges")
     val spark = train.sparkSession
     import spark.implicits._
     val table =
@@ -1483,10 +1488,16 @@ object TextAnalysis {
     * intermediates (`wdist`, the trainer's tables) persist.
     * Segmentation runs per DISTINCT word at dictionary size; the
     * join-back of the per-word stats is broadcast only behind
-    * `broadcastModel` — the distinct-word table GROWS with the corpus
-    * (Heaps' law), so the 100 TB path is `broadcastModel = false`: a
-    * plain doc-word equi-join AQE plans (both legs row-identical,
-    * RobustSpec). The per-doc rollup is one partial agg.
+    * `broadcastModel` — NAME CAVEAT: on this path the knob broadcasts
+    * the DISTINCT-WORD stat table (`wstat`), not the bounded piece
+    * vocabulary (which is always broadcast-safe); the word table
+    * GROWS with the corpus (Heaps' law — 10^8–10^9 distinct "words"
+    * at web scale), so the 100 TB path is `broadcastModel = false`: a
+    * plain doc-word equi-join, which Spark's own size-gated
+    * auto-broadcast (AQE + autoBroadcastJoinThreshold) still converts
+    * to a broadcast at runtime whenever the word table actually fits
+    * (both legs row-identical, RobustSpec). The per-doc rollup is one
+    * partial agg.
     */
   def tokenizerCost(docs: DataFrame, textCol: String, idCol: String,
                     trainFilter: Column, seedSize: Int = 512,

@@ -966,6 +966,17 @@ class CurationSpec extends AnyFunSuite {
     assert(fallback == Seq(("s1", 1, "docA"), ("s1", 2, "docB"), ("s2", 1, "docC")))
   }
 
+  test("sourceCap: INTEGER id widens losslessly to long and runs the native path") {
+    // the r12 advice case: graft_topk requires bigint, so an int id
+    // must widen (losslessly) rather than fail at analysis time
+    val df = Seq((1, "s1", 0.9), (2, "s1", 0.7), (3, "s2", 0.5))
+      .toDF("id", "src", "q")
+    val got = Curation.sourceCap(df, "id", "src", "q", 1)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("s1", 1, 1L), ("s2", 1, 3L)))
+  }
+
   test("curationPipelineFull: checkpointPath leg row-parity with persist leg; reread plan scans the path") {
     val base = "the quick brown fox jumps over the lazy dog again"
     val docs = Seq(

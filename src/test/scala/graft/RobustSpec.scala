@@ -559,4 +559,47 @@ class RobustSpec extends AnyFunSuite {
     val dflt = recallAt(0)
     assert(dflt.getDouble(4) == 1.0, dflt.toString)
   }
+
+  test("bandingRecall: empty-shingle docs drop from the sample (the d2 rule) — no sentinel-signature candidate blowup") {
+    import spark.implicits._
+    // five docs too short to shingle (norm < 5 chars) plus one real
+    // near-dup pair: before the r12-advice fix every short doc shared
+    // the all-sentinel signature, so all C(5,2)=10 short pairs passed
+    // the 0>=0 size prefilter into candidates — a quadratic blowup
+    // d2's production bander (which drops empty-shingle docs) never
+    // produces. After the fix the short docs leave the sample
+    // entirely: sample_docs = 2, candidates = the one real pair.
+    val docs = Seq(
+      (1L, "ab"), (2L, "cd"), (3L, "ef"), (4L, "gh"), (5L, "ij"),
+      (6L, "identical twin text with several words nobody else has"),
+      (7L, "identical twin text with several words nobody else has"))
+      .toDF("doc_id", "text")
+    val r = Dedup.bandingRecall(docs, "text", "doc_id", numPerm = 128,
+      bands = 32, sampleHex = "g000", persistIntermediate = false).head()
+    assert(r.getLong(0) == 2L, s"sample_docs should drop short docs: $r")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+      s"only the real pair should be a candidate: $r")
+    assert(r.getDouble(4) == 1.0, r.toString)
+  }
+
+  test("bandingRecall: argument validation fires the intended require, not arithmetic errors") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text long enough")).toDF("doc_id", "text")
+    // numPerm = 0 must hit the range require, never a / by zero in
+    // defaultBands (the r12-advice ordering case)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.bandingRecall(docs, "text", "doc_id", numPerm = 0)
+    }
+    assert(e1.getMessage.contains("numPerm must be in [1, 2048]"), e1.getMessage)
+    // mixed hex/sentinel strings are rejected — only pure hex or the
+    // g-prefixed keep-all form parse
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.bandingRecall(docs, "text", "doc_id", sampleHex = "0g0g")
+    }
+    assert(e2.getMessage.contains("sampleHex"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.dupRateSample(docs, "text", sampleHex = "0g0g")
+    }
+    assert(e3.getMessage.contains("sampleHex"), e3.getMessage)
+  }
 }

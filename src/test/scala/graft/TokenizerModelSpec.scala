@@ -91,6 +91,15 @@ class TokenizerModelSpec extends AnyFunSuite {
         model.filter(col("step") > 0))
     }
     assert(noMarker.getMessage.contains("bpeFitModel"), noMarker.getMessage)
+    // the fit side enforces bpeTrain's merges bound too (r12 advice):
+    // merges > 64 would break the <= 65-row bounded-model contract,
+    // merges = 0 would silently fit a no-op model the apply accepts
+    for (bad <- Seq(0, 65)) {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.bpeFitModel(corpusA, "text", merges = bad)
+      }
+      assert(e.getMessage.contains("merges must be in [1, 64]"), e.getMessage)
+    }
   }
 
   test("unigramFitModel + unigramSegmentWithModel reproduce tokenizerCost bit-for-bit through a parquet round-trip") {
