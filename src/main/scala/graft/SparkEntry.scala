@@ -606,6 +606,48 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    "s16_ivf_incremental" -> ((s, dir) => {
+      // INCREMENTAL IVF maintenance (the d16 shape for the similarity
+      // family): fit ONCE on the index slice -> persisted centroid +
+      // assignment tables; the delta slice assigns to the FROZEN
+      // centroids (one map-only pass, history untouched); queries
+      // read the merged index. Output: the per-centroid merged-index
+      // census + the staleness monitor (fraction of delta points
+      // whose nearest-centroid distance exceeds the train p95). The
+      // oracle replays the fit AND assigns every point from scratch
+      // at the same centroids — incremental == from-scratch is the
+      // equality under check.
+      val emb = Tables(s, dir).embeddings
+      // t8's deterministic split rule: ~75% index / 25% delta
+      val isIdx = substring(md5(concat(col("vec_id").cast("string"),
+        lit(":graft"))), 1, 4) < "c000"
+      val (cents, idxAsg) = Similarity.ivfIndexTables(
+        emb.filter(isIdx), "embedding", "vec_id", numCentroids = 4)
+      val deltaAsg = Similarity.ivfAppendDelta(
+        cents, emb.filter(!isIdx), "embedding", "vec_id")
+      val merged = idxAsg
+        .select(col("cluster_id"), lit(0L).as("is_delta"), lit(0L).as("is_stale"))
+        .unionByName(deltaAsg.select(col("cluster_id"),
+          lit(1L).as("is_delta"), col("stale").cast("long").as("is_stale")))
+        .groupBy("cluster_id")
+        .agg(sum(lit(1L) - col("is_delta")).as("n_index"),
+          sum(col("is_delta")).as("n_delta"),
+          sum(col("is_stale")).as("n_stale"))
+      // the grid comes from the centroid table so an empty centroid
+      // still surfaces (with zero counts)
+      cents.select(col("cluster_id"), col("train_cos_q05"))
+        .join(merged, Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          coalesce(col("n_index"), lit(0L)).as("n_index"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(col("n_stale"), lit(0L)).as("n_stale"),
+          when(coalesce(col("n_delta"), lit(0L)) > 0,
+            graft.functions.num.fround(col("n_stale").cast("double")
+              / col("n_delta").cast("double"), 4)).as("stale_frac"),
+          col("train_cos_q05"))
+        .orderBy("cluster_id")
+    }),
+
     // ----- text analysis -----
     "t1_lang_profile" -> ((s, dir) => {
       TextAnalysis.langProfile(Tables(s, dir).documents, "text", "lang", "n_chars")
@@ -2592,6 +2634,86 @@ object SparkEntry {
            floor((CAST(sum(CAST(floor(cosc * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
                   / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_cos_centroid
          FROM j GROUP BY grp ORDER BY grp""",
+
+    // s16: the WHOLE incremental-IVF lifecycle replayed from scratch —
+    // k-means fit on the index split (c1's portable trajectory:
+    // k-lowest-id init, 6dp decimal-exact recompute), EVERY point
+    // (index and delta alike) assigned to the replayed frozen
+    // centroids, the train-p05 staleness calibration (quantile_cont ↔
+    // percentile, the t10 parity), and the per-centroid census. The
+    // engine computes the delta side INCREMENTALLY from the persisted
+    // tables; equality against this from-scratch replication IS the
+    // incremental == from-scratch check.
+    "s16_ivf_incremental" -> {
+      def asgSql(src: String): String =
+        s"""SELECT vec_id, cid, cos FROM (
+              SELECT x.vec_id, i.cid,
+                CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                     ELSE list_dot_product(x.v, i.c)
+                          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c))) END AS cos,
+                row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(x.v, i.c)
+                            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM $src x CROSS JOIN cent2 i) WHERE rn = 1"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          tr AS (SELECT * FROM e
+            WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < 'c000'),
+          de AS (SELECT * FROM e
+            WHERE NOT (substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < 'c000')),
+          init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM tr ORDER BY vec_id LIMIT 4),
+          a1 AS (
+            SELECT vec_id, v, cid FROM (
+              SELECT tr.vec_id, tr.v, i.cid,
+                row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(tr.v, i.c)
+                            / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM tr CROSS JOIN init i) WHERE rn = 1),
+          comp AS (
+            SELECT cid, u.d AS d,
+              CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+            FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                    j -> struct_pack(d := j, x := v[j]))) AS u FROM a1)),
+          cent AS (
+            SELECT cid, d,
+              floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+            FROM comp GROUP BY cid, d),
+          cent2 AS (SELECT cid, list(cx ORDER BY d) AS c FROM cent GROUP BY cid),
+          atr AS (${asgSql("tr")}),
+          adl AS (${asgSql("de")}),
+          q AS (
+            SELECT floor(quantile_cont(floor(cos * 10000 + 0.5) / 10000, 0.05)
+                         * 10000 + 0.5) / 10000 AS q05 FROM atr),
+          lab AS (
+            SELECT cid, 0 AS is_delta, 0 AS is_stale FROM atr
+            UNION ALL
+            SELECT adl.cid, 1,
+              CASE WHEN floor(adl.cos * 10000 + 0.5) / 10000 < q.q05
+                   THEN 1 ELSE 0 END
+            FROM adl, q),
+          g AS (
+            SELECT cid, CAST(sum(1 - is_delta) AS BIGINT) AS n_index,
+              CAST(sum(is_delta) AS BIGINT) AS n_delta,
+              CAST(sum(is_stale) AS BIGINT) AS n_stale
+            FROM lab GROUP BY cid)
+          SELECT c2.cid AS cluster_id,
+            COALESCE(g.n_index, 0) AS n_index,
+            COALESCE(g.n_delta, 0) AS n_delta,
+            COALESCE(g.n_stale, 0) AS n_stale,
+            CASE WHEN COALESCE(g.n_delta, 0) > 0
+                 THEN floor(CAST(g.n_stale AS DOUBLE) / g.n_delta * 10000 + 0.5) / 10000
+                 END AS stale_frac,
+            q.q05 AS train_cos_q05
+          FROM cent2 c2 LEFT JOIN g ON g.cid = c2.cid, q
+          ORDER BY cluster_id"""
+    },
 
     // IVF replicated literally: centroids = first numCentroids rows in
     // the portable affine-hash order (Similarity.sampleOrder), corpus

@@ -102,8 +102,8 @@ object Cluster {
     * (cos, -cid) struct max is lexicographic; the native kernel keeps
     * the lower index, and centroids arrive cid-ascending).
     */
-  private def assign(points: DataFrame, vecCol: String,
-                     centroids: Seq[(Long, Array[Double])]): DataFrame = {
+  private[ops] def assign(points: DataFrame, vecCol: String,
+                          centroids: Seq[(Long, Array[Double])]): DataFrame = {
     if (floatVec(points, vecCol) && Native.enabled(points, "graft_cos_topc")) {
       points
         .withColumn("graft_best", element_at(cosTopC(vecCol, centroids, 1), 1))
@@ -158,7 +158,7 @@ object Cluster {
   /** Init (k lowest ids) + `iters` Lloyd refinements over a
     * (id, v) projection; returns the final centroids.
     */
-  private def fit(points: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+  private[ops] def fit(points: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // k rows, ordered by id — bounded driver state, the IVF contract.

@@ -852,4 +852,108 @@ object Similarity {
       .withColumn("adist", parts.adist)
     rankByAdist(scored, k)
   }
+
+  /** INCREMENTAL IVF INDEX MAINTENANCE, fit side (s16) — the
+    * similarity family's analog of d16's `minhashPrepare`: what a
+    * corpus PERSISTS once so later batches extend the index without
+    * ever re-running the k-means fit. A daily crawl at 100 TB cannot
+    * re-fit centroids per batch (the fit rescans the whole history);
+    * this splits the IVF lifecycle into
+    *
+    *   fit ONCE  → (centroid table, assignment table)   [this method]
+    *   per batch → assign delta to the FROZEN centroids  [[ivfAppendDelta]]
+    *
+    * and queries read the merged assignment table (history ∪ deltas).
+    *
+    * The fit is [[Cluster]]'s engine-portable k-means (k-lowest-id
+    * init, decimal-exact 6dp recompute — the c1 contract, so a DuckDB
+    * oracle replays the whole trajectory), NOT [[ivfTopK]]'s
+    * sample-order float init: a persisted index is a cross-engine
+    * artifact, and bit-reproducible centroids are what make the
+    * incremental == from-scratch equality checkable at all.
+    *
+    * Centroid table: (cluster_id, centroid, train_cos_q05) — k rows,
+    * a broadcast-sized artifact at any corpus scale. `train_cos_q05`
+    * is the STALENESS calibration: the exact 5th percentile of the
+    * train points' (4dp-rounded) cosine to their own nearest centroid
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, the t10 parity),
+    * repeated per row so any slice of the table carries it.
+    * Assignment table: (id, cluster_id, cos) — one row per corpus
+    * vector, the `c` side every IVF query probes.
+    *
+    * DRIFT CAVEAT (the price of freezing): centroids reflect the fit
+    * corpus. As the ingested distribution drifts, delta points land
+    * ever farther from every centroid — recall of centroid-probed
+    * queries decays silently. [[ivfAppendDelta]]'s `stale` flag is
+    * the monitor: the fraction of delta points whose nearest-centroid
+    * distance exceeds the train 95th percentile (equivalently cos
+    * below `train_cos_q05`). Under no drift that fraction hovers near
+    * 0.05 by construction; a sustained rise is the re-fit signal.
+    *
+    * Scale shape: the fit is c1's (map-only assigns + one bounded
+    * partial-agg shuffle per Lloyd round, k·dim driver state); the
+    * quantile is one agg over the assignment table with a bounded
+    * buffer per the t10 trade (swap approx_percentile past that).
+    */
+  def ivfIndexTables(corpus: DataFrame, vecCol: String, idCol: String,
+                     numCentroids: Int, kmeansIters: Int = 1): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val points = widen(corpus).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = Cluster.fit(points, numCentroids, kmeansIters)
+    require(cents.nonEmpty, "ivfIndexTables: corpus is empty — nothing to fit")
+    val assigned = Cluster.assign(points, "v", cents)
+      .select(col("id"), col("cluster_id"), col("cos"))
+    // exact p05 of the train cosines, 4dp in and out (engine-exact:
+    // identical rounded inputs → identical interpolation → identical
+    // rounded output — the t10 percentile↔quantile_cont parity)
+    val q = assigned.agg(
+      graft.functions.num.fround(
+        percentile(graft.functions.num.fround(col("cos"), 4), lit(0.05)), 4)
+        .as("train_cos_q05"))
+    val centTable = cents.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .crossJoin(broadcast(q))
+    (centTable, assigned)
+  }
+
+  /** INCREMENTAL IVF INDEX MAINTENANCE, append side (s16) — assign a
+    * delta batch to the FROZEN persisted centroid table. The centroid
+    * table (k rows — the documented bounded-driver-state class) is
+    * collected and folded into the projection as literals, so the
+    * per-batch cost is ONE map-only scan of the delta: no join, no
+    * shuffle, no touch of history — the d16/g4/q36 incremental
+    * contract, O(delta) per batch.
+    *
+    * Frozen-centroid assignment is a pure per-row function of the
+    * centroid table, so incremental == from-scratch BY CONSTRUCTION:
+    * a vector assigns identically whether it arrived in the fit
+    * corpus or in any later batch (the s16 oracle checks exactly this
+    * — the DuckDB replication assigns every point from scratch at the
+    * replayed centroids). Batching is likewise invisible: appending a
+    * delta in one batch or ten yields the same rows.
+    *
+    * Output: (id, cluster_id, cos, stale) — `stale` is the index
+    * drift monitor (see [[ivfIndexTables]]): true iff the point's 4dp
+    * cosine to its nearest centroid falls below the persisted
+    * `train_cos_q05`, i.e. its distance exceeds the train 95th
+    * percentile. Callers append these rows to the persisted
+    * assignment table; `avg(stale)` per batch is the re-fit alarm.
+    */
+  def ivfAppendDelta(centroids: DataFrame, delta: DataFrame,
+                     vecCol: String, idCol: String): DataFrame = {
+    val rows = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"),
+        col("train_cos_q05").cast("double"))
+      .collect()
+    require(rows.nonEmpty, "ivfAppendDelta: centroid table is empty")
+    val cents: Seq[(Long, Array[Double])] = rows
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1).toSeq
+    val q05 = rows.head.getDouble(2)
+    val points = widen(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
+    Cluster.assign(points, "v", cents)
+      .select(col("id"), col("cluster_id"), col("cos"),
+        (graft.functions.num.fround(col("cos"), 4) < lit(q05)).as("stale"))
+  }
 }

@@ -401,4 +401,62 @@ class ClusterSpec extends AnyFunSuite {
     }
     assert(native == fb)
   }
+
+  test("s16 ivfIndexTables/ivfAppendDelta: incremental == from-scratch, parquet round-trip, batch-split invariance") {
+    import graft.ops.Similarity
+    val isIdx = substring(md5(concat(col("vec_id").cast("string"),
+      lit(":graft"))), 1, 4) < "c000"
+    val idxPart = embs.filter(isIdx)
+    val delPart = embs.filter(!isIdx)
+    val (cents, idxAsg) = Similarity.ivfIndexTables(
+      idxPart, "embedding", "vec_id", numCentroids = 4)
+    // incremental == from-scratch: re-assigning the INDEX slice to the
+    // frozen centroids must reproduce the fit-time assignment table
+    // exactly (frozen-centroid assignment is a pure per-row function)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cluster_id"),
+          graft.functions.num.fround(col("cos"), 6).as("c6"))
+        .orderBy("id").collect().toSeq
+    assert(key(Similarity.ivfAppendDelta(cents, idxPart, "embedding", "vec_id"))
+      == key(idxAsg))
+    // parquet round-trip: the persisted artifact drives later batches
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    val reread = spark.read.parquet(s"$dir/cents")
+    val mem = Similarity.ivfAppendDelta(cents, delPart, "embedding", "vec_id")
+      .orderBy("id").collect().toSeq
+    val disk = Similarity.ivfAppendDelta(reread, delPart, "embedding", "vec_id")
+      .orderBy("id").collect().toSeq
+    assert(mem == disk, "persisted centroid table diverges from in-memory")
+    // batch-split invariance: two half-deltas == one delta
+    val half = substring(md5(concat(col("vec_id").cast("string"),
+      lit(":b"))), 1, 4) < "8000"
+    val two = Similarity.ivfAppendDelta(cents, delPart.filter(half), "embedding", "vec_id")
+      .unionByName(Similarity.ivfAppendDelta(cents, delPart.filter(!half), "embedding", "vec_id"))
+      .orderBy("id").collect().toSeq
+    assert(two == mem, "per-batch appends diverge from the one-shot append")
+  }
+
+  test("s16 staleness: in-distribution delta reads fresh, out-of-distribution reads stale") {
+    import graft.ops.Similarity
+    // index = two tight clusters on axes 0 and 1; the train q05 is the
+    // 5th-percentile cosine of points to their own centroid (high —
+    // the clusters are tight). Delta: one in-distribution point (cos
+    // to its centroid ~1 > q05) and one equidistant-from-everything
+    // point (cos ~0.7 < q05).
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // clusters ALTERNATE by id so the k-lowest-id init (ids 0, 1)
+    // seeds one centroid in each mode
+    val idx = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0, 0.01 * i)) else (i.toLong, v(0.01 * i, 1.0))
+    }
+    val (cents, _) = Similarity.ivfIndexTables(
+      idx.toDF("vec_id", "embedding"), "embedding", "vec_id", numCentroids = 2)
+    val delta = Seq((100L, v(1.0, 0.09)), (101L, v(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAppendDelta(cents, delta, "embedding", "vec_id")
+      .orderBy("id").collect()
+    assert(!got(0).getBoolean(3), s"in-distribution point flagged stale: ${got(0)}")
+    assert(got(1).getBoolean(3), s"45-degree point not flagged stale: ${got(1)}")
+  }
 }
