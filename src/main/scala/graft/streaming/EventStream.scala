@@ -730,6 +730,63 @@ object EventStream {
         } finally costs.unpersist()
     }
 
+  /** Streaming ANN-INDEX INGEST (st15) — s16's foreachBatch twin, the
+    * d16-sink shape for the similarity family: the IVF centroids are
+    * FIT OFFLINE ([[graft.ops.Similarity.ivfIndexTables]], persisted
+    * as parquet at `centroidPath`) and each micro-batch of arriving
+    * vectors assigns to the FROZEN centroids
+    * ([[graft.ops.Similarity.ivfAppendDelta]] — bit-identical to the
+    * batch operator on the same table by construction: frozen-centroid
+    * assignment is a pure per-row function). Per batch: assignment
+    * rows (id, cluster_id, cos, stale) to `assignDir/batch_id=N` —
+    * the accumulated union of all batch dirs IS the merged index an
+    * IVF query probes — plus ONE monitor row to
+    * `monitorDir/batch_id=N` (n_vecs, n_stale, stale_frac). The stale
+    * fraction is the index's DRIFT alarm: under no drift it hovers
+    * near 0.05 by construction (the train-p05 calibration,
+    * [[graft.ops.Similarity.ivfIndexTables]]); a sustained rise means
+    * arriving vectors no longer resemble the fit corpus and the
+    * centroids need a re-fit. The monitor records evidence; alarming
+    * (and scheduling the re-fit) is the consumer's decision.
+    *
+    * STATELESS across batches (the st14 contract): batch N overwrites
+    * only its own `batch_id=N` dirs (retry idempotence — a replayed
+    * batch can neither double-extend the index nor feed itself),
+    * restart-from-checkpoint needs no state recovery, and a RE-FIT
+    * centroid table is a hot-swap — the table is re-read per batch,
+    * so a new fit at `centroidPath` takes effect without a stream
+    * restart (assignments before the swap stay valid reads of the old
+    * epoch; a full re-index is the consumer's migration, not the
+    * sink's). Append-only like d14/d16 — never pruned: the index IS
+    * the union of all batch extensions. Per-batch cost is ONE
+    * map-only pass over the batch against the k-row centroid table —
+    * history untouched, centroids never re-fit in the ingest path.
+    */
+  def ivfIngestSink(vecs: DataFrame, vecCol: String, idCol: String,
+                    centroidPath: String, assignDir: String,
+                    monitorDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cents = spark.read.parquet(centroidPath)
+        val assigned = graft.ops.Similarity.ivfAppendDelta(
+            cents, batch.toDF(), vecCol, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          assigned.write.mode("overwrite")
+            .parquet(s"$assignDir/batch_id=$batchId")
+          assigned.agg(
+              count(lit(1)).as("n_vecs"),
+              coalesce(sum(col("stale").cast("long")), lit(0L)).as("n_stale"))
+            .select(col("n_vecs"), col("n_stale"),
+              when(col("n_vecs") > 0, graft.functions.num.fround(
+                col("n_stale").cast("double") / col("n_vecs").cast("double"), 4))
+                .as("stale_frac"))
+            .write.mode("overwrite").parquet(s"$monitorDir/batch_id=$batchId")
+        } finally assigned.unpersist()
+    }
+
   def rollupMergeSink(events: DataFrame, tsCol: String, typeCol: String,
                       valCol: String, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -804,6 +804,83 @@ class StreamParitySpec extends AnyFunSuite {
     assert(streamed == direct, s"streamed $streamed != batch $direct")
   }
 
+  test("ivfIngestSink: streamed assignments equal the batch s16 fold; restart-safe; a drifted batch raises stale_frac; re-fit hot-swaps") {
+    import graft.ops.Similarity
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // index corpus: two tight clusters ALTERNATING by id so the
+    // k-lowest-id init seeds one centroid in each mode (the
+    // ClusterSpec plant)
+    val idx = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0, 0.01 * i)) else (i.toLong, v(0.01 * i, 1.0))
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfsink")
+    val centPath = s"$base/cents"; val ckpt = s"$base/ckpt"
+    val assignDir = s"$base/assign"; val monDir = s"$base/monitor"
+    val (cents, _) = Similarity.ivfIndexTables(idx, "embedding", "vec_id",
+      numCentroids = 2)
+    cents.write.parquet(centPath)
+    // batches 0/1 are in-distribution; batch 2 is DRIFTED (two
+    // 45-degree vectors no fit-corpus mode explains + one fresh)
+    val batches = Seq(
+      Seq((100L, v(1.0, 0.05)), (101L, v(0.05, 1.0))),
+      Seq((102L, v(1.0, 0.02))),
+      Seq((103L, v(1.0, 1.0)), (104L, v(0.95, 1.0)), (105L, v(1.0, 0.03))))
+    def start(ms: MemoryStream[(Long, Array[Float])]) =
+      EventStream.ivfIngestSink(ms.toDS().toDF("vec_id", "embedding"),
+          "embedding", "vec_id", centPath, assignDir, monDir)
+        .option("checkpointLocation", ckpt).start()
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = start(ms)
+    try {
+      ms.addData(batches(0): _*); q.processAllAvailable()
+      ms.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // checkpointed RESTART before the drifted batch: the sink is
+    // stateless, so resumption needs nothing beyond the checkpoint
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    ms2.addData(batches(0): _*); ms2.addData(batches(1): _*)
+    val q2 = start(ms2)
+    try {
+      ms2.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val mon = spark.read.parquet(monDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_stale"),
+          r.getAs[Double]("stale_frac")))
+      .toMap
+    assert(mon.keySet == Set(0L, 1L, 2L), s"one monitor row per batch: $mon")
+    // in-distribution batches assign comfortably above the train p05
+    assert(mon(0L) == ((2L, 0L, 0.0)) && mon(1L) == ((1L, 0L, 0.0)),
+      mon.toString)
+    // the drifted batch trips the alarm on exactly its two 45-degree
+    // vectors
+    assert(mon(2L)._1 == 3L && mon(2L)._2 == 2L && mon(2L)._3 == 0.6667,
+      mon.toString)
+    // streamed assignment rows == the batch operator on the same
+    // slice under the same persisted table (the parity contract —
+    // st15's "incremental == batch s16 fold")
+    val direct = Similarity.ivfAppendDelta(spark.read.parquet(centPath),
+        batches(2).toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    val streamed = spark.read.parquet(assignDir)
+      .filter(col("batch_id") === 2L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("stale"))).toSet
+    assert(streamed == direct, s"streamed $streamed != batch $direct")
+    // RE-FIT HOT-SWAP: overwrite the centroid table (k = 1) — the
+    // next batch re-reads it, so every vector lands in the single
+    // surviving cell without a stream restart
+    Similarity.ivfIndexTables(idx, "embedding", "vec_id", numCentroids = 1)
+      ._1.write.mode("overwrite").parquet(centPath)
+    val q3 = start(ms2)
+    try { ms2.addData(Seq((200L, v(1.0, 0.04)), (201L, v(0.02, 1.0))): _*)
+      q3.processAllAvailable() } finally q3.stop()
+    val swapped = spark.read.parquet(assignDir)
+      .filter(col("batch_id") === 3L)
+      .select("cluster_id").collect().map(_.getLong(0)).toSet
+    assert(swapped == Set(0L), s"post-swap batch must use the new table: $swapped")
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
