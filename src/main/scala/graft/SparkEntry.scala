@@ -461,6 +461,18 @@ object SparkEntry {
       Dedup.bandingRecall(Tables(s, dir).documents, "text", "doc_id")
     }),
 
+    "d23_embed_banding_recall" -> ((s, dir) => {
+      // d22's gate for the EMBEDDING LSH family (d8/d9): measured
+      // recall of hyperplane band-candidate generation vs brute-force
+      // exact-cosine truth, both on a deterministic 1/8 id-keyed
+      // sample. The d8-pinned 24-plane/6-band layout and the shared
+      // seeded planes are what the gate prices; the oracle replays
+      // the signatures from literal plane vectors, so candidate
+      // GENERATION itself is under the check.
+      Dedup.embeddingBandingRecall(Tables(s, dir).embeddings,
+        "embedding", "vec_id", threshold = 0.4, dim = 64)
+    }),
+
     "d16_neardup_incremental" -> ((s, dir) => {
       // d14's daily-crawl shape for NEAR-dups: delta docs verdicted
       // against the accumulated index by banded MinHash + exact
@@ -720,6 +732,29 @@ object SparkEntry {
       Curation.chunkPassages(Tables(s, dir).documents, "doc_id", "text",
           windowTokens = 64, stride = 48)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "t48_mixture_weights" -> ((s, dir) => {
+      // DoReMi-lite: 5 multiplicative-weights rounds shifting mixture
+      // mass toward sources with above-mixture held-out NLL (t18's
+      // unigram-LM loss as the proxy, the current mixture's expected
+      // loss as the moving reference). The whole TRAJECTORY — not
+      // just the endpoint — is oracle-replayed round for round (the
+      // t37 EM-trajectory technique).
+      Curation.mixtureWeights(Tables(s, dir).documents, "text", "doc_id",
+        "source", salt = "graft", rounds = 5, eta = 0.5)
+    }),
+
+    "t47_shard_manifest" -> ((s, dir) => {
+      // the training-export receipt: per shard (the t8 hash rule, 8
+      // shards), doc count, packed-sequence count (t9's 2048-token
+      // rule in t13's deterministic order), token mass, and the
+      // order-sensitive XOR-of-md5-folds content hash — the number a
+      // trainer compares before trusting a shard directory. The
+      // oracle replicates the assignment, order, packing, and hash
+      // arithmetic digit-for-digit.
+      Curation.shardManifest(Tables(s, dir).documents, "doc_id", "text",
+        salt = "graft", nShards = 8, budgetTokens = 2048L)
     }),
 
     "d6_decontaminate" -> ((s, dir) => {
@@ -2983,6 +3018,41 @@ object SparkEntry {
     // lossless size prefilter, brute-force truth, and the recall join
     "d22_banding_recall" -> bandingRecallOracleSql(128, 32, 0.5, "4000"),
 
+    // d23: the d22 stats chain over HYPERPLANE banding — id-keyed 1/8
+    // sample, signatures replayed from literal plane vectors (the d8
+    // contract), 6 x 4-bit band slices, brute-force exact-cosine
+    // truth on the sample, recall rollup.
+    "d23_embed_banding_recall" -> {
+      val sigTerms = sigTermsSql(24)
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < '2000'),
+          sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
+          bb AS (
+            SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
+            FROM sigs, (SELECT unnest(range(6)) AS b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+            FROM bb a JOIN bb c USING (b, bv)
+            WHERE a.vec_id < c.vec_id),
+          tp AS (
+            SELECT a.vec_id AS id1, c.vec_id AS id2
+            FROM e a JOIN e c ON a.vec_id < c.vec_id
+            WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0
+                        ELSE list_dot_product(a.v, c.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(c.v, c.v))) END) >= 0.4),
+          hit AS (SELECT count(*) AS nh FROM tp JOIN cand USING (id1, id2))
+          SELECT (SELECT count(*) FROM e) AS sample_vecs,
+            (SELECT count(*) FROM tp) AS n_true_pairs,
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT nh FROM hit) AS n_banded_true,
+            CASE WHEN (SELECT count(*) FROM tp) = 0 THEN NULL
+                 ELSE floor(CAST((SELECT nh FROM hit) AS DOUBLE)
+                      / (SELECT count(*) FROM tp) * 10000 + 0.5) / 10000 END AS recall"""
+    },
+
     "d15_dup_rate_sample" ->
       s"""WITH f AS (SELECT md5($normSql) AS fingerprint FROM documents),
           s AS (SELECT fingerprint FROM f
@@ -3827,6 +3897,118 @@ object SparkEntry {
             array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
               AS chunk_text
           FROM e ORDER BY doc_id, chunk_idx""",
+
+    // t48: the t18 scoring chain restricted to the held-out split,
+    // per-source decimal-exact mean loss, then all 5 multiplicative-
+    // weights rounds unrolled — every round's baseline/excess/weight
+    // arithmetic (8dp/6dp floor-rounds before decimal sums, IEEE
+    // double scalar ops) replayed digit-for-digit.
+    "t48_mixture_weights" -> {
+      def wRound(t: Int): String =
+        s"""b$t AS MATERIALIZED (
+             SELECT floor(CAST(sum(CAST(floor(w * loss * 100000000 + 0.5)
+                    / 100000000 AS DECIMAL(20,8))) AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000 AS b FROM w${t - 1}),
+           r$t AS MATERIALIZED (
+             SELECT source, loss,
+               greatest(0.0, floor((loss - (SELECT b FROM b$t))
+                 * 1000000 + 0.5) / 1000000) AS excess,
+               floor(w * (1 + 0.5 * greatest(0.0,
+                 floor((loss - (SELECT b FROM b$t)) * 1000000 + 0.5)
+                   / 1000000)) * 1000000 + 0.5) / 1000000 AS raw
+             FROM w${t - 1}),
+           w$t AS MATERIALIZED (
+             SELECT source, loss, excess,
+               floor(raw / (SELECT CAST(sum(CAST(raw AS DECIMAL(18,6)))
+                 AS DOUBLE) FROM r$t) * 1000000 + 0.5) / 1000000 AS w
+             FROM r$t)"""
+      s"""WITH d AS (
+            SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+          p AS MATERIALIZED (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term),
+          train AS MATERIALIZED (
+            SELECT term, sum(tf) AS cnt FROM p
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) < 'e666'
+            GROUP BY term),
+          stats AS MATERIALIZED (
+            SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM train),
+          scored AS MATERIALIZED (
+            SELECT p.doc_id, p.tf,
+              floor(ln((coalesce(t.cnt, 0.0) + 0.5)
+                       / (s.total + 0.5 * (s.vocab + 1.0))) * 1000000.0 + 0.5)
+                / 1000000.0 AS logp
+            FROM p LEFT JOIN train t USING (term) CROSS JOIN stats s
+            WHERE NOT (substr(md5(CAST(p.doc_id AS VARCHAR) || ':graft'), 1, 4)
+                       < 'e666')),
+          nll AS MATERIALIZED (
+            SELECT doc_id,
+              floor((-CAST(sum(CAST(tf AS DECIMAL(9,0))
+                     * CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                     / sum(tf)) * 10000.0 + 0.5) / 10000.0 AS mean_nll
+            FROM scored GROUP BY doc_id),
+          ls AS MATERIALIZED (
+            SELECT dd.source,
+              floor(CAST(sum(CAST(mean_nll AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) * 1000000 + 0.5) / 1000000 AS loss
+            FROM nll JOIN documents dd USING (doc_id) GROUP BY dd.source),
+          w0 AS MATERIALIZED (
+            SELECT source, loss,
+              floor(1.0 / (SELECT count(*) FROM ls) * 1000000 + 0.5)
+                / 1000000 AS w
+            FROM ls),
+          ${(1 to 5).map(wRound).mkString(",\n          ")}
+          SELECT * FROM (
+            SELECT 0 AS round, source, loss,
+              CAST(NULL AS DOUBLE) AS excess, w AS weight FROM w0
+            ${(1 to 5).map(t =>
+              s"UNION ALL SELECT $t, source, loss, excess, w FROM w$t")
+              .mkString("\n            ")}
+          ) ORDER BY round, source"""
+    },
+
+    // t47: the shard/order/pack/hash chain digit-for-digit — t8's
+    // 4-hex fold mod 8 shard rule, t13's (md5, id) within-shard
+    // order, t9's 2048-token packing over that order, and the
+    // order-sensitive XOR of 60-bit md5-folds of pos:id:n_tokens:
+    // pack_id.
+    "t47_shard_manifest" ->
+      s"""WITH b AS (
+            SELECT doc_id AS id,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              md5(CAST(doc_id AS VARCHAR) || ':graft') AS h
+            FROM documents),
+          s AS (
+            SELECT *, list_reduce(list_transform(range(1, 5), i ->
+                CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)),
+                (acc, d) -> acc * 16 + d) % 8 AS shard_id
+            FROM b),
+          o AS (
+            SELECT *,
+              CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, id)
+                AS BIGINT) AS pos,
+              CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard_id
+                ORDER BY h, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prev
+            FROM s),
+          p AS (
+            SELECT *, CAST(floor(prev / 2048.0) AS BIGINT) AS pack_id FROM o),
+          f AS (
+            SELECT shard_id, n_tokens, pack_id,
+              list_reduce(list_transform(range(1, 16), i ->
+                CAST(strpos('0123456789abcdef', substr(md5(
+                  CAST(pos AS VARCHAR) || ':' || CAST(id AS VARCHAR) || ':'
+                  || CAST(n_tokens AS VARCHAR) || ':'
+                  || CAST(pack_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                (acc, d) -> acc * 16 + d) AS row_fold
+            FROM p)
+          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(max(pack_id) + 1 AS BIGINT) AS n_seqs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            bit_xor(row_fold) AS content_hash
+          FROM f GROUP BY shard_id ORDER BY shard_id""",
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

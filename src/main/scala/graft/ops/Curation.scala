@@ -528,6 +528,179 @@ object Curation {
         (col("prev_tokens") % budgetTokens).as("pack_offset"))
   }
 
+  /** SHARDED TRAINING-EXPORT assignment (t47's relational core) — the
+    * pipeline's LAST MILE: every curated document gets a deterministic
+    * (shard_id, pos, pack_id) so N trainer workers can each read one
+    * shard file of pre-shuffled, pre-packed sequences. Composes the
+    * three export invariants this library already establishes, into
+    * one pass:
+    *
+    *  - SHARD by the t8 hash rule: shard_id = (first-4-hex of
+    *    md5(id:salt) as an integer) mod nShards — deterministic,
+    *    accretion-safe (a re-run or a grown corpus never moves an
+    *    existing id), engine-portable.
+    *  - ORDER within shard by the t13 deterministic shuffle: (full
+    *    md5 hash, id) — training order decorrelated from ingest order
+    *    with no RNG; pos is the 1-based rank.
+    *  - PACK in that order by the t9 rule: pack_id =
+    *    floor(running-prior-tokens / budgetTokens) — which fixed-size
+    *    training sequence the doc starts in.
+    *
+    * Scale shape: ONE shuffle — the window partitions by shard_id and
+    * its single (hash, id) sort order serves both the rank and the
+    * running token sum; everything upstream is map-only column math.
+    * Shard count bounds the per-partition sort (corpus/nShards rows);
+    * size nShards so a shard fits an executor sort buffer, exactly
+    * the t13 hexPrefixLen rule.
+    *
+    * Output: (id, n_tokens, shard_id, pos, pack_id). Null ids drop
+    * (the t8/t13 contract).
+    */
+  def shardAssignments(df: DataFrame, idCol: String, textCol: String,
+                       salt: String, nShards: Int,
+                       budgetTokens: Long): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val h = md5(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    val base = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        text.tokenCount(col(textCol)).as("n_tokens"), h.as("h"))
+      .withColumn("shard_id",
+        conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards)
+    val order = Window.partitionBy("shard_id").orderBy(col("h"), col("id"))
+    base
+      .withColumn("pos", row_number().over(order).cast("long"))
+      .withColumn("prev_tokens", coalesce(sum(col("n_tokens"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), col("n_tokens"), col("shard_id"), col("pos"),
+        floor(col("prev_tokens") / budgetTokens).cast("long").as("pack_id"))
+  }
+
+  /** Per-shard EXPORT MANIFEST (t47) — the checkable receipt a
+    * training job reads before trusting a shard directory: doc count,
+    * sequence count, token mass, and an ORDER-SENSITIVE content hash
+    * per shard. A re-export that changed anything — a dropped doc, a
+    * shifted training order, a different packing — changes the hash;
+    * two exports with equal manifests carry byte-equal training
+    * streams.
+    *
+    * content_hash = XOR over the shard's rows of the 60-bit md5-fold
+    * of "pos:id:n_tokens:pack_id". XOR is commutative (so the
+    * aggregation is partial-agg friendly and partitioning-invariant)
+    * while the embedded pos makes the digest ORDER-sensitive: swapping
+    * two docs' training positions changes both terms. Engine-portable
+    * (the d22 md5-fold contract) — DuckDB replays it bit-for-bit.
+    *
+    * Scale shape: [[shardAssignments]]'s one shuffle + a partial agg
+    * on the bounded nShards grid. Empty shards yield no row (an
+    * export writes no file for them); n_seqs = max pack_id + 1.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    salt: String, nShards: Int,
+                    budgetTokens: Long): DataFrame =
+    shardAssignments(df, idCol, textCol, salt, nShards, budgetTokens)
+      .withColumn("row_fold",
+        conv(substring(md5(concat_ws(":", col("pos"), col("id"),
+          col("n_tokens"), col("pack_id"))), 1, 15), 16, 10).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("pack_id")) + 1).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        call_function("bit_xor", col("row_fold")).as("content_hash"))
+      .orderBy("shard_id")
+
+  /** MIXTURE-WEIGHT LEARNING (t48, DoReMi-lite; Xie et al., 2023) —
+    * the missing half of the mixture story: [[mixSample]] (t26)
+    * samples at GIVEN weights and [[sourceCap]] (t43) caps a source,
+    * but nothing LEARNED the weights. This runs a bounded-round
+    * multiplicative-weights update that shifts mixture mass toward
+    * sources with ABOVE-MIXTURE held-out loss (DoReMi's "excess
+    * loss" signal, with the current mixture's own expected loss as
+    * the moving reference in place of DoReMi's trained reference
+    * model — the -lite part; the loss proxy is t18's unigram-LM NLL
+    * in place of a trained proxy LM):
+    *
+    *   L_r        = per-source mean held-out NLL (fixed across rounds)
+    *   baseline_t = Σ_r w_{t-1,r} · L_r       (the mixture's loss)
+    *   excess_t,r = max(0, L_r − baseline_t)
+    *   w_t,r      ∝ w_{t-1,r} · (1 + eta · excess_t,r), renormalized
+    *
+    * As weight flows toward hard sources the baseline rises and the
+    * excess shrinks — a fixed-point iteration whose trajectory (not
+    * just the endpoint) is the checkable artifact, the t37
+    * EM-trajectory oracle technique: every step is engine-exact
+    * (6dp/8dp floor-rounds before every cross-row sum, sums in exact
+    * decimal, scalar ops pure IEEE doubles), so DuckDB replays all
+    * `rounds` rounds digit-for-digit.
+    *
+    * Held-out split = the t8 rule on md5(id:salt) (train < 'e666' —
+    * the t18/t37 split); the model trains on the train side, scores
+    * the held-out side only (scoring the training side would reward
+    * memorization, not difficulty). Sources with no scored held-out
+    * doc (empty/whitespace-only, or fully train-side) take no part.
+    *
+    * Scale shape: the corpus is touched by t18's scoring passes only;
+    * everything after the per-source rollup runs on the BOUNDED
+    * source table (domains — the centroid-table driver-state class),
+    * collected once and iterated driver-side. Output: one row per
+    * (round, source) — round 0 is the uniform init (excess NULL).
+    */
+  def mixtureWeights(docs: DataFrame, textCol: String, idCol: String,
+                     srcCol: String, salt: String = "graft",
+                     rounds: Int = 5, eta: Double = 0.5): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    require(eta > 0.0 && eta <= 16.0, s"eta must be in (0, 16], got $eta")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def fr(x: Double, d: Int): Double = {
+      val m = math.pow(10, d); math.floor(x * m + 0.5) / m
+    }
+    // exact cross-row sum of already-rounded doubles: BigDecimal
+    // recovers each double's shortest decimal (== its rounded value),
+    // adds exactly, and the final to-double conversion matches the
+    // oracle's CAST(sum(DECIMAL) AS DOUBLE) — order-free
+    def decSum(xs: Seq[Double]): Double =
+      xs.map(java.math.BigDecimal.valueOf)
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    val isTrain = substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), lit(salt))), 1, 4) < lit("e666")
+    val scores = TextAnalysis.lmScore(
+      docs.filter(isTrain), docs.filter(!isTrain), textCol, idCol)
+    val perSrc = scores
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(graft.functions.num.fround(
+        sum(col("mean_nll").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 6).as("loss"))
+    // bounded driver state: one (source, loss) row per domain
+    val base = perSrc.orderBy("source").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    require(base.nonEmpty,
+      "mixtureWeights: no held-out scored docs — nothing to weight")
+    val n = base.length
+    var w: Seq[Double] = Seq.fill(n)(fr(1.0 / n, 6))
+    val traj = scala.collection.mutable.ArrayBuffer[
+      (Int, String, Double, Option[Double], Double)]()
+    base.indices.foreach { i =>
+      traj += ((0, base(i)._1, base(i)._2, None, w(i)))
+    }
+    for (t <- 1 to rounds) {
+      val baseline = fr(decSum(base.indices.map(i => fr(w(i) * base(i)._2, 8))), 6)
+      val excess = base.indices.map(i =>
+        math.max(0.0, fr(base(i)._2 - baseline, 6)))
+      val raw = base.indices.map(i => fr(w(i) * (1.0 + eta * excess(i)), 6))
+      val denom = decSum(raw)
+      w = base.indices.map(i => fr(raw(i) / denom, 6))
+      base.indices.foreach { i =>
+        traj += ((t, base(i)._1, base(i)._2, Some(excess(i)), w(i)))
+      }
+    }
+    traj.toSeq.toDF("round", "source", "loss", "excess", "weight")
+      .orderBy("round", "source")
+  }
+
   /** Sliding-window passage chunking: overlapping fixed-size token
     * windows with a stride — the RAG / pretraining passage-extraction
     * step, and [[packSequences]]'s sibling (packing concatenates many

@@ -795,6 +795,117 @@ object Dedup {
       numPlanes = 0, bands = bands, seed = seed,
       persistIntermediate = persistIntermediate, verifyBroadcast = verifyBroadcast)
 
+  /** SAMPLED BANDING-RECALL gate for EMBEDDING LSH (d23) —
+    * [[bandingRecall]]'s role for the d8/d9 hyperplane family:
+    * measured recall of hyperplane band-candidate generation against
+    * brute-force exact-cosine truth, both on a deterministic sample —
+    * the number a production run reads before trusting a (planes,
+    * bands) layout on a new embedding corpus. d22 gates the MinHash
+    * bander; without this, d8/d9's recall was only spec-asserted at
+    * test scale.
+    *
+    * Mechanism (the d22 construction, vectors edition):
+    *  1. SAMPLE deterministically BY ID (keep iff the 4-hex prefix of
+    *     md5(id:salt) < `sampleHex`). d22 samples by content
+    *     fingerprint because d15's dup-RATE estimate needs exact-dup
+    *     groups to sample whole-or-not; a RECALL gate does not — it
+    *     only needs each PAIR to survive iff both endpoints do, which
+    *     any per-row deterministic rule gives — and id-keying stays
+    *     engine-portable where canonicalizing float vectors into a
+    *     cross-engine fingerprint string would not.
+    *  2. TRUTH = brute-force exact cosine ≥ `threshold` pairs on the
+    *     sample (the d8 verify semantics; zero-norm vectors score 0).
+    *  3. CANDIDATES = hyperplane band collisions on the sample, built
+    *     by the SAME signature/banding as the production bander
+    *     ([[embeddingNearDupPairsLsh]] — native kernel or HOF
+    *     fallback, identical bits): band keys are per-vector and
+    *     corpus-independent, so the sample's candidate pairs ARE the
+    *     full corpus's candidates restricted to the sample.
+    *  4. recall = |candidates ∩ truth| / |truth| (NULL when the
+    *     sample holds no true pair), plus the candidate volume.
+    *
+    * The signature is already oracle-portable (the d8 contract: sign
+    * bits of dot products against the shared seeded planes, which the
+    * DuckDB oracle replays as literal plane vectors), so candidate
+    * GENERATION — the banding mechanism itself — is under the gate.
+    *
+    * Scale: everything downstream of the sample filter is
+    * sample-sized; the truth join is a DELIBERATE broadcast
+    * nested-loop over the sample (`sampleHex` bounds it — the d22
+    * posture: lower it before raising the corpus). The candidate join
+    * is the usual band equi-join.
+    *
+    * Output (1 row): (sample_vecs, n_true_pairs, n_candidates,
+    * n_banded_true, recall 4dp).
+    */
+  def embeddingBandingRecall(embs0: DataFrame, vecCol: String, idCol: String,
+                             threshold: Double, dim: Int,
+                             numPlanes: Int = 24, bands: Int = 6,
+                             seed: Long = 42L, salt: String = "graft",
+                             sampleHex: String = "2000",
+                             persistIntermediate: Boolean = true): DataFrame = {
+    require(sampleHex.matches("(?:[0-9a-f]{4}|g[0-9a-f]{3})"),
+      s"sampleHex must be 4 lowercase hex chars (or gNNN for keep-all), got '$sampleHex'")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(numPlanes >= 1 && numPlanes % bands == 0 && numPlanes <= 63,
+      s"numPlanes ($numPlanes) must be in [1, 63] and a multiple of bands ($bands)")
+    import graft.functions.vectors
+    val embs = Par.widen(embs0)
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val bitsPerBand = numPlanes / bands
+    val dotOf = Native.dotOf(embs)
+    val sigOf: Column => Column =
+      if (Native.enabled(embs, "graft_hyperplane_sig"))
+        v => call_function("graft_hyperplane_sig", v,
+          lit(planes.flatten.toArray), lit(dim))
+      else v => vectors.hyperplaneSig(v, planes)
+    val sampledPlan = embs
+      .where(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        lit(salt))), 1, 4) < lit(sampleHex))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        sqrt(dotOf(col("v"), col("v"))).as("nrm"), sigOf(col("v")).as("sig"))
+    val sampled =
+      if (persistIntermediate)
+        sampledPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sampledPlan
+    val bandCols = (0 until bands).map { bn =>
+      struct(lit(bn).as("b"),
+        shiftrightunsigned(col("sig"), bn * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1).as("v"))
+    }
+    // only (id, band) travels through the candidate join (the d8
+    // shape); pairs persist because the count and the recall
+    // semi-join both consume them (the d22 lesson)
+    def persistPairs(df: DataFrame): DataFrame =
+      if (persistIntermediate)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val banded = sampled.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val candidates = persistPairs(banded.as("a").join(banded.as("c"),
+        col("a.band") === col("c.band") && col("a.id") < col("c.id"))
+      .select(col("a.id").as("id1"), col("c.id").as("id2"))
+      .dropDuplicates("id1", "id2"))
+    val nn = col("h1.nrm") * col("h2.nrm")
+    val truth = persistPairs(sampled.as("h1").join(broadcast(sampled.as("h2")),
+        col("h1.id") < col("h2.id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dotOf(col("h1.v"), col("h2.v")) / nn))
+      .filter(col("cosine") >= threshold)
+      .select(col("h1.id").as("id1"), col("h2.id").as("id2")))
+    sampled.agg(count(lit(1)).as("sample_vecs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+      .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.join(candidates, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_banded_true"))))
+      .select(col("sample_vecs"), col("n_true_pairs"),
+        col("n_candidates"), col("n_banded_true"),
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.num.fround(
+            col("n_banded_true").cast("double")
+              / col("n_true_pairs").cast("double"), 4)).as("recall"))
+  }
+
   /** Sub-document (chunk-level) exact dedup stats — the
     * boilerplate-removal pass of a training-data pipeline (CCNet-style
     * line dedup, over fixed `chunkTokens`-token windows since the

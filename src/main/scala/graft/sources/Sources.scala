@@ -133,6 +133,53 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** SHARDED TRAINING EXPORT (t47's writer) — the pipeline's last
+    * mile: write the corpus as `nShards` shard directories of
+    * pre-shuffled, pre-packed rows plus a per-shard manifest, so N
+    * trainer workers each stream one shard in a reproducible training
+    * order. Assignment, order, and packing are
+    * [[graft.ops.Curation.shardAssignments]] (the t8 hash shard rule,
+    * the t13 deterministic within-shard order, the t9 token packing)
+    * — a pure function of (id, text, salt, nShards, budgetTokens), so
+    * a re-export of the same corpus is byte-identical regardless of
+    * input partitioning, and the manifest's content_hash proves it.
+    *
+    * Layout: `path/shards/shard_id=N/` holds EXACTLY ONE parquet file
+    * per non-empty shard (rows: id, n_tokens, pos, pack_id, plus
+    * `carryCols` payload columns, sorted by pos) — one file per
+    * trainer worker is the point of sharding; `path/manifest/` holds
+    * the [[graft.ops.Curation.shardManifest]] rollup. The one-file
+    * invariant comes from `repartition(nShards, shard_id)`: every
+    * shard's rows land in one task (two shards sharing a task still
+    * write separate dirs via partitionBy). Shard count bounds the
+    * per-task sort exactly as the manifest's scaladoc describes.
+    *
+    * Returns the manifest read BACK from disk (what a consumer will
+    * actually see).
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, textCol: String,
+                          path: String, salt: String, nShards: Int,
+                          budgetTokens: Long,
+                          carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val asg = graft.ops.Curation.shardAssignments(df, idCol, textCol,
+      salt, nShards, budgetTokens)
+    val payload =
+      if (carryCols.isEmpty) asg
+      else asg.join(
+        df.select((col(idCol).as("id") +: carryCols.map(col)): _*), Seq("id"))
+    payload
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$path/shards")
+    graft.ops.Curation.shardManifest(df, idCol, textCol,
+        salt, nShards, budgetTokens)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+    df.sparkSession.read.parquet(s"$path/manifest").orderBy("shard_id")
+  }
+
   /** Header + tab-separated rows of a (small) result to a stream —
     * the reference's stdout dump of the final enriched table
     * (`src/pipeline/main.py:19-46` `_output_incidents`: a header line,

@@ -966,6 +966,86 @@ class CurationSpec extends AnyFunSuite {
     assert(fallback == Seq(("s1", 1, "docA"), ("s1", 2, "docB"), ("s2", 1, "docC")))
   }
 
+  test("mixtureWeights: uniform init, normalized rounds, mass flows monotonically toward the hardest source") {
+    val docs = graft.tables.Tables(spark, "/root/testdata/sf0.001").documents
+    val rounds = 5
+    val got = Curation.mixtureWeights(docs, "text", "doc_id", "source",
+        rounds = rounds, eta = 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+    val sources = got.map(_._2).distinct.sorted.toSeq
+    assert(got.length == sources.size * (rounds + 1))
+    // round 0: uniform init, no excess
+    val r0 = got.filter(_._1 == 0)
+    val w0 = math.floor(1.0 / sources.size * 1e6 + 0.5) / 1e6
+    assert(r0.forall(x => x._5 == w0 && x._4.isEmpty), r0.mkString(","))
+    // every later round: weights renormalize (to within the 6dp
+    // rounding slack) and excess is present
+    for (t <- 1 to rounds) {
+      val rt = got.filter(_._1 == t)
+      assert(math.abs(rt.map(_._5).sum - 1.0) <= 2e-6 * sources.size,
+        s"round $t weights do not renormalize")
+      assert(rt.forall(_._4.isDefined))
+    }
+    // the hardest source's weight never decreases; the easiest's
+    // never increases (its loss sits below every mixture baseline)
+    val hardest = got.maxBy(_._3)._2
+    val easiest = got.minBy(_._3)._2
+    def series(src: String) =
+      got.filter(_._2 == src).sortBy(_._1).map(_._5).toSeq
+    val hs = series(hardest); val es = series(easiest)
+    assert(hs.zip(hs.tail).forall { case (a, b) => b >= a },
+      s"hardest source weight not monotone: $hs")
+    assert(es.zip(es.tail).forall { case (a, b) => b <= a },
+      s"easiest source weight not monotone: $es")
+    assert(hs.last > w0 && es.last < w0,
+      s"no mass moved after $rounds rounds: hardest $hs easiest $es")
+    // validation
+    intercept[IllegalArgumentException] {
+      Curation.mixtureWeights(docs, "text", "doc_id", "source", rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureWeights(docs, "text", "doc_id", "source", eta = 0.0)
+    }
+  }
+
+  test("shardAssignments: t8 shard rule, t13 within-shard order, t9 packing — hand-checked") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // token counts 3 / 2 / 1 / 4; nShards = 1 puts everything in one
+    // shard so the t13 (hash, id) order and the t9 packing are the
+    // whole story; budget 4 forces pack boundaries mid-list
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"),
+      (4L, "g h i j")).toDF("doc_id", "text")
+    val got = Curation.shardAssignments(docs, "doc_id", "text",
+        "graft", nShards = 1, budgetTokens = 4L)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val toks = Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 4L)
+    val order = Seq(1L, 2L, 3L, 4L).sortBy(id => (md5hex(s"$id:graft"), id))
+    val prevs = order.map(toks).scanLeft(0L)(_ + _).init
+    val expect = order.zip(prevs).zipWithIndex.map { case ((id, prev), i) =>
+      (id, toks(id), 0L, (i + 1).toLong, prev / 4L)
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // nShards > 1: shard_id is the 4-hex md5 prefix folded mod n, and
+    // null ids drop (the t8/t13 contract)
+    val sharded = Curation.shardAssignments(
+        docs.unionByName(Seq((null.asInstanceOf[java.lang.Long], "x y"))
+          .toDF("doc_id", "text")),
+        "doc_id", "text", "graft", nShards = 3, budgetTokens = 4L)
+      .collect()
+    assert(sharded.length == 4, "null id must drop")
+    sharded.foreach { r =>
+      val expectShard =
+        java.lang.Long.parseLong(md5hex(s"${r.getLong(0)}:graft").take(4), 16) % 3
+      assert(r.getLong(2) == expectShard, s"shard rule mismatch: $r")
+    }
+  }
+
   test("sourceCap: INTEGER id widens losslessly to long and runs the native path") {
     // the r12 advice case: graft_topk requires bigint, so an int id
     // must widen (losslessly) rather than fail at analysis time

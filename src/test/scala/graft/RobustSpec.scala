@@ -582,6 +582,61 @@ class RobustSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0, r.toString)
   }
 
+  test("embeddingBandingRecall: planted known-recall configurations — one 24-bit band misses the mid-cosine pair, 24 one-bit bands find it") {
+    import spark.implicits._
+    // A/B are byte-identical (identical signature: collide in EVERY
+    // band layout). C/D sit 40 degrees apart (cos ~0.766 — above the
+    // 0.7 threshold but far from 1: a single 24-bit band needs all 24
+    // hyperplane signs to agree, probability ~0.78^24 ~ 0.003, which
+    // the fixed seed-42 planes realize as a miss). E is orthogonal
+    // filler. keep-all sample so sampling cannot confound the plant.
+    val rad = math.toRadians(40)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // A/B live in the (2,3) plane, C/D in the (0,1) plane, E on axis
+    // 7 — cross-pair cosines are all 0, so truth is exactly the plant
+    val embs = Seq(
+      (1L, v(0, 0, 1, 1, 0, 0, 0, 0)),
+      (2L, v(0, 0, 1, 1, 0, 0, 0, 0)),
+      (3L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (4L, v(math.cos(rad), math.sin(rad), 0, 0, 0, 0, 0, 0)),
+      (5L, v(0, 0, 0, 0, 0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    def recallAt(bands: Int) =
+      Dedup.embeddingBandingRecall(embs, "embedding", "vec_id",
+          threshold = 0.7, dim = 8, numPlanes = 24, bands = bands,
+          sampleHex = "g000", persistIntermediate = false)
+        .head()
+    // truth is banding-independent: pairs (1,2) cos=1 and (3,4)
+    // cos~0.766 — two true pairs under every configuration
+    val one = recallAt(1)
+    assert(one.getLong(0) == 5L && one.getLong(1) == 2L, one.toString)
+    // ONE 24-bit band: the identical pair still collides, the
+    // 40-degree pair cannot -> recall exactly 0.5
+    assert(one.getLong(3) == 1L && one.getDouble(4) == 0.5, one.toString)
+    // 24 one-bit bands: per-band collision probability ~0.78, 24
+    // trials -> the mid-cosine pair collides somewhere -> recall 1.0
+    val wide = recallAt(24)
+    assert(wide.getLong(1) == 2L && wide.getDouble(4) == 1.0, wide.toString)
+    // the d8-pinned production default (6 x 4-bit) also recovers both
+    val dflt = recallAt(6)
+    assert(dflt.getDouble(4) == 1.0, dflt.toString)
+  }
+
+  test("embeddingBandingRecall: argument validation — mixed sampleHex and non-multiple plane counts fail loud") {
+    import spark.implicits._
+    val embs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingBandingRecall(embs, "embedding", "vec_id",
+        threshold = 0.5, dim = 2, sampleHex = "0g0g")
+    }
+    assert(e1.getMessage.contains("sampleHex"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embeddingBandingRecall(embs, "embedding", "vec_id",
+        threshold = 0.5, dim = 2, numPlanes = 25, bands = 6)
+    }
+    assert(e2.getMessage.contains("multiple of bands"), e2.getMessage)
+  }
+
   test("bandingRecall: argument validation fires the intended require, not arithmetic errors") {
     import spark.implicits._
     val docs = Seq((1L, "some text long enough")).toDF("doc_id", "text")

@@ -169,4 +169,45 @@ class SourcesSpec extends AnyFunSuite {
     // the input survived every refusal
     assert(spark.read.parquet(inDir).count() == 1000)
   }
+
+  test("writeTrainingShards: one file per shard, pos-ordered rows, content deterministic under repartitioning, manifest matches") {
+    import graft.ops.Curation
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    def export(df: org.apache.spark.sql.DataFrame, dir: String) =
+      Sources.writeTrainingShards(df, "doc_id", "text", dir,
+        salt = "graft", nShards = 4, budgetTokens = 512L,
+        carryCols = Seq("text"))
+    val d1 = tmp("graft-shards1"); val d2 = tmp("graft-shards2")
+    val m1 = export(docs, d1).collect().toSeq
+    // a differently-partitioned input must produce byte-equal shards
+    // (the export is a pure function of the corpus, not its layout)
+    val m2 = export(docs.repartition(7), d2).collect().toSeq
+    assert(m1 == m2, "manifest differs under input repartitioning")
+    // one parquet file per shard directory
+    for (dir <- Seq(d1, d2); sh <- 0 until 4) {
+      val files = new java.io.File(s"$dir/shards/shard_id=$sh")
+        .listFiles((_, n) => n.endsWith(".parquet"))
+      assert(files != null && files.length == 1,
+        s"shard $sh of $dir: expected exactly one file")
+    }
+    // shard contents identical across the two exports, and ordered by
+    // pos within each shard file
+    for (sh <- 0 until 4) {
+      def rows(dir: String) = spark.read
+        .parquet(s"$dir/shards/shard_id=$sh")
+        .select("pos", "id", "n_tokens", "pack_id", "text")
+        .collect().toSeq
+      val (r1, r2) = (rows(d1), rows(d2))
+      assert(r1 == r2, s"shard $sh contents differ across exports")
+      assert(r1.map(_.getLong(0)) == (1L to r1.size).toSeq,
+        s"shard $sh rows are not pos-ordered in file order")
+    }
+    // the on-disk manifest equals the operator's own rollup
+    val direct = Curation.shardManifest(docs, "doc_id", "text",
+        salt = "graft", nShards = 4, budgetTokens = 512L)
+      .collect().toSeq
+    assert(m1 == direct, "written manifest diverges from shardManifest")
+    // every doc landed in exactly one shard
+    assert(m1.map(_.getLong(1)).sum == docs.count())
+  }
 }
