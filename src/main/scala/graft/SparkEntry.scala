@@ -461,6 +461,25 @@ object SparkEntry {
       Dedup.bandingRecall(Tables(s, dir).documents, "text", "doc_id")
     }),
 
+    "d24_semdedup_incremental" -> ((s, dir) => {
+      // INCREMENTAL SemDeDup — the d16 shape for semantic dedup, fed
+      // by s16's persisted index: the delta 2-probes the FROZEN
+      // centroids, the index keeps its one persisted home row per
+      // point (history never re-exploded), candidates meet on the
+      // cluster equi-join, exact cosine verifies. The oracle replays
+      // fit, frozen assignment, probe blocking, and verify.
+      val emb = Tables(s, dir).embeddings
+      val isIdx = substring(md5(concat(col("vec_id").cast("string"),
+        lit(":graft"))), 1, 4) < "c000"
+      val (cents, idxAsg) = Similarity.ivfIndexTables(
+        emb.filter(isIdx), "embedding", "vec_id", numCentroids = 4)
+      val index = idxAsg.select(col("id").as("vec_id"), col("cluster_id"))
+        .join(emb.filter(isIdx).select("vec_id", "embedding"), Seq("vec_id"))
+      Cluster.semDedupIncremental(cents, index, emb.filter(!isIdx),
+          "embedding", "vec_id", threshold = 0.4)
+        .orderBy("id1", "id2")
+    }),
+
     "d23_embed_banding_recall" -> ((s, dir) => {
       // d22's gate for the EMBEDDING LSH family (d8/d9): measured
       // recall of hyperplane band-candidate generation vs brute-force
@@ -3017,6 +3036,70 @@ object SparkEntry {
     // minhash mix, 65599 band-key folds, candidate equi-join with the
     // lossless size prefilter, brute-force truth, and the recall join
     "d22_banding_recall" -> bandingRecallOracleSql(128, 32, 0.5, "4000"),
+
+    // d24: s16's fit/frozen-assignment chain with vectors carried,
+    // delta 2-probe blocking vs index+delta home rows, canonical
+    // candidate pairs, exact-cosine verify — the whole incremental
+    // SemDeDup mechanism replayed.
+    "d24_semdedup_incremental" -> {
+      def asgV(src: String, probes: Int): String =
+        s"""SELECT vec_id, v, cid FROM (
+              SELECT x.vec_id, x.v, i.cid,
+                row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(x.v, i.c)
+                            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM $src x CROSS JOIN cent2 i) WHERE rn <= $probes"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          tr AS (SELECT * FROM e
+            WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < 'c000'),
+          de AS (SELECT * FROM e
+            WHERE NOT (substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < 'c000')),
+          init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM tr ORDER BY vec_id LIMIT 4),
+          a1 AS (
+            SELECT vec_id, v, cid FROM (
+              SELECT tr.vec_id, tr.v, i.cid,
+                row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(tr.v, i.c)
+                            / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM tr CROSS JOIN init i) WHERE rn = 1),
+          comp AS (
+            SELECT cid, u.d AS d,
+              CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+            FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                    j -> struct_pack(d := j, x := v[j]))) AS u FROM a1)),
+          cent AS (
+            SELECT cid, d,
+              floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+            FROM comp GROUP BY cid, d),
+          cent2 AS MATERIALIZED (
+            SELECT cid, list(cx ORDER BY d) AS c FROM cent GROUP BY cid),
+          ih AS (${asgV("tr", 1)}),
+          dp AS (${asgV("de", 2)}),
+          dh AS (${asgV("de", 1)}),
+          build AS (SELECT * FROM ih UNION ALL SELECT * FROM dh),
+          cand AS (
+            SELECT DISTINCT least(a.vec_id, b.vec_id) AS id1,
+              greatest(a.vec_id, b.vec_id) AS id2
+            FROM dp a JOIN build b
+              ON a.cid = b.cid AND a.vec_id != b.vec_id),
+          scored AS (
+            SELECT id1, id2,
+              CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+                   ELSE list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id1
+                      JOIN e eb ON eb.vec_id = cand.id2)
+          SELECT id1, id2, round(cos, 4) AS cosine FROM scored
+          WHERE cos >= 0.4 ORDER BY id1, id2"""
+    },
 
     // d23: the d22 stats chain over HYPERPLANE banding — id-keyed 1/8
     // sample, signatures replayed from literal plane vectors (the d8

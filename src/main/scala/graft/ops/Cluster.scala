@@ -215,11 +215,23 @@ object Cluster {
       s"blockProbes must be in [1, k], got $blockProbes (k = $k)")
     val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = fit(points, k, iters)
-    // nearest blockProbes centroids: desc cos with lower-cid-first
-    // ties (the IVF multi-probe idiom) — the kernel's native order,
-    // or sort asc by (cos, -cid) + reverse on the expression path
-    val blocked = if (floatVec(points, "v") &&
-        Native.enabled(points, "graft_cos_topc")) {
+    Dedup.embeddingNearDupPairs(probeBlocks(points, centroids, blockProbes),
+        "v", "id", "cluster_id", threshold)
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Each (id, v) point exploded into its `blockProbes` nearest
+    * centroids' blocks — the multi-probe blocking side shared by
+    * [[semDedupPairs]] (both sides probe) and
+    * [[semDedupIncremental]] (only the delta probes). Nearest = desc
+    * cos with lower-cid-first ties (the IVF multi-probe idiom) — the
+    * kernel's native order, or sort asc by (cos, -cid) + reverse on
+    * the expression path.
+    */
+  private[ops] def probeBlocks(points: DataFrame,
+                               centroids: Seq[(Long, Array[Double])],
+                               blockProbes: Int): DataFrame =
+    if (floatVec(points, "v") && Native.enabled(points, "graft_cos_topc")) {
       points.withColumn("cluster_id",
         explode(transform(cosTopC("v", centroids, blockProbes),
           s => cidAt(centroids, s.getField("idx")))))
@@ -235,7 +247,74 @@ object Cluster {
             slice(reverse(array_sort(array(scored: _*))), 1, blockProbes),
             s => -s.getField("ncid"))))
     }
-    Dedup.embeddingNearDupPairs(blocked, "v", "id", "cluster_id", threshold)
+
+  /** INCREMENTAL SemDeDup (d24) — the d16 shape for SEMANTIC dedup,
+    * and the consumer story for [[Similarity.ivfIndexTables]]'s
+    * persisted index: a delta batch is verdicted for near-dups
+    * against the ACCUMULATED corpus without re-running the k-means
+    * fit or re-touching history's geometry. This closed the last
+    * incremental gap: exact dup (d14), MinHash near-dup (d16), CC
+    * (g4), rollups (q36), and the ANN index (s16) all had O(delta)
+    * batch forms — SemDeDup (d11/d21) still refit per run.
+    *
+    * Inputs: the s16 centroid table (k rows, collected — the bounded
+    * driver-state class), the INDEXED corpus (id, vector, cluster_id
+    * — s16's persisted assignment joined to its vectors, exactly what
+    * a cluster-partitioned corpus table stores), and the delta.
+    *
+    * Blocking (the d11 trade, incremental edition): the DELTA side
+    * explodes into its `blockProbes` nearest FROZEN centroids; the
+    * index side keeps its ONE persisted home row per point — history
+    * is never re-exploded (re-blocking the accumulated corpus per
+    * batch would be O(history), exactly what incremental forms
+    * exist to avoid), so the delta pays the whole multi-probe. A
+    * delta-index pair is found iff the index point's home is among
+    * the delta point's probes; delta-delta pairs (an arriving batch
+    * can duplicate itself) are found via each side's home block.
+    * RECALL CAVEAT vs d11's both-sides-2-probe: a pair whose ONLY
+    * shared block is both points' SECOND probe is missed (d11 finds
+    * it); the planted spec measures the trade. Candidates form on the
+    * usual cluster equi-join; exact-cosine verify (zero-norm → 0)
+    * touches candidates only; pairs canonicalize (least, greatest)
+    * and dedup.
+    *
+    * Output: (id1, id2, cosine 4dp) with cosine ≥ `threshold` —
+    * d11's pair shape, restricted to pairs touching the delta.
+    */
+  def semDedupIncremental(centroids: DataFrame, index: DataFrame,
+                          delta: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double,
+                          blockProbes: Int = 2): DataFrame = {
+    val rows = centroids.select(col("cluster_id").cast("long"),
+      col("centroid")).collect()
+    require(rows.nonEmpty, "semDedupIncremental: centroid table is empty")
+    val cents: Seq[(Long, Array[Double])] = rows
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1).toSeq
+    require(blockProbes >= 1 && blockProbes <= cents.size,
+      s"blockProbes must be in [1, k], got $blockProbes (k = ${cents.size})")
+    val dot = Native.dotOf(delta)
+    val dpoints = Par.widen(delta)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probe = probeBlocks(dpoints, cents, blockProbes)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // index home rows ride AS PERSISTED (one row per point); delta
+    // home rows join them so within-batch dups also surface
+    val build = index
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster_id"))
+      .unionByName(assign(dpoints, "v", cents)
+        .select(col("id"), col("v"), col("cluster_id")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val nn = col("a.nrm") * col("b.nrm")
+    probe.as("a").join(build.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.id") =!= col("b.id"))
+      .withColumn("cosine",
+        when(nn === 0.0, 0.0).otherwise(dot(col("a.v"), col("b.v")) / nn))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        round(col("cosine"), 4).as("cosine"))
       .dropDuplicates("id1", "id2")
   }
 

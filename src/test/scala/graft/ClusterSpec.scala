@@ -437,6 +437,46 @@ class ClusterSpec extends AnyFunSuite {
     assert(two == mem, "per-batch appends diverge from the one-shot append")
   }
 
+  test("d24 semDedupIncremental: delta-index and delta-delta near-dups surface, index-index never; parquet-fed index works") {
+    import graft.ops.Similarity
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // index: two tight clusters alternating by id (one seed each)
+    val idxEmb = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0, 0.01 * i)) else (i.toLong, v(0.01 * i, 1.0))
+    }.toDF("vec_id", "embedding")
+    val (cents, asg) = Similarity.ivfIndexTables(idxEmb, "embedding", "vec_id",
+      numCentroids = 2)
+    val index = asg.select(col("id").as("vec_id"), col("cluster_id"))
+      .join(idxEmb, Seq("vec_id"))
+    // delta: 100 ~= index point 0 (cross pair), 101 ~= 102 (within-
+    // batch pair, no index neighbor), 103 unrelated (45 degrees)
+    val delta = Seq(
+      (100L, v(1.0, 0.001)),
+      (101L, v(-1.0, 0.004)), (102L, v(-1.0, 0.005)),
+      (103L, v(1.0, 1.0))).toDF("vec_id", "embedding")
+    val pairs = Cluster.semDedupIncremental(cents, index, delta,
+        "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cross pair and the within-batch pair are present
+    assert(pairs.contains((0L, 100L)), s"cross delta-index pair missing: $pairs")
+    assert(pairs.contains((101L, 102L)), s"delta-delta pair missing: $pairs")
+    // every pair touches the delta (history is never re-paired), and
+    // the unrelated point pairs nothing
+    assert(pairs.forall { case (a, b) => a >= 100L || b >= 100L },
+      s"index-index pair leaked: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 103L || b == 103L },
+      s"unrelated point paired: $pairs")
+    // the persisted-artifact path: centroid + index tables read back
+    // from parquet verdict identically
+    val dir = java.nio.file.Files.createTempDirectory("d24idx").toString
+    cents.write.parquet(s"$dir/cents"); index.write.parquet(s"$dir/index")
+    val fromDisk = Cluster.semDedupIncremental(
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/index"),
+        delta, "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == pairs, "parquet-fed index diverges")
+  }
+
   test("s16 staleness: in-distribution delta reads fresh, out-of-distribution reads stale") {
     import graft.ops.Similarity
     // index = two tight clusters on axes 0 and 1; the train q05 is the

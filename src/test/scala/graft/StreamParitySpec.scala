@@ -881,6 +881,57 @@ class StreamParitySpec extends AnyFunSuite {
     assert(swapped == Set(0L), s"post-swap batch must use the new table: $swapped")
   }
 
+  test("semDedupIngestSink: streamed verdicts equal the sequential batch operator; restart resumes the index") {
+    import graft.ops.{Cluster, Similarity}
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // offline fit on two tight clusters alternating by id
+    val idxEmb = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0, 0.01 * i)) else (i.toLong, v(0.01 * i, 1.0))
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_sdsink")
+    val centPath = s"$base/cents"; val ckpt = s"$base/ckpt"
+    val indexDir = s"$base/index"; val verdictDir = s"$base/verdicts"
+    Similarity.ivfIndexTables(idxEmb, "embedding", "vec_id", numCentroids = 2)
+      ._1.write.parquet(centPath)
+    // batch 0: a within-batch near-dup pair (101, 102) and a loner;
+    // batch 1: 200 near-dups 101/102 ACROSS the restart — found only
+    // if the index resumed with batch 0's extension
+    val batches = Seq(
+      Seq((100L, v(1.0, 0.001)), (101L, v(-1.0, 0.004)), (102L, v(-1.0, 0.005))),
+      Seq((200L, v(-1.0, 0.006))))
+    def start(ms: MemoryStream[(Long, Array[Float])]) =
+      EventStream.semDedupIngestSink(ms.toDS().toDF("vec_id", "embedding"),
+          "embedding", "vec_id", centPath, indexDir, verdictDir,
+          threshold = 0.95)
+        .option("checkpointLocation", ckpt).start()
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = start(ms)
+    try { ms.addData(batches(0): _*); q.processAllAvailable() } finally q.stop()
+    // checkpointed RESTART between batches
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    ms2.addData(batches(0): _*)
+    val q2 = start(ms2)
+    try { ms2.addData(batches(1): _*); q2.processAllAvailable() } finally q2.stop()
+    def verdicts(b: Long) = spark.read.parquet(verdictDir)
+      .filter(col("batch_id") === b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0 against the EMPTY index: only the within-batch pair
+    assert(verdicts(0L) == Set((101L, 102L)), s"batch 0: ${verdicts(0L)}")
+    // batch 1 pairs with batch 0's indexed rows across the restart
+    assert(verdicts(1L) == Set((101L, 200L), (102L, 200L)),
+      s"batch 1: ${verdicts(1L)}")
+    // streamed == the sequential batch operator on the same state
+    val cents = spark.read.parquet(centPath)
+    val idx0 = spark.read.parquet(s"$indexDir/batch_id=0")
+    val direct = Cluster.semDedupIncremental(cents, idx0,
+        batches(1).toDF("vec_id", "embedding"), "embedding", "vec_id",
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verdicts(1L) == direct, s"streamed ${verdicts(1L)} != batch $direct")
+    // the index accumulated every batch vector (the d16 all-docs rule)
+    assert(spark.read.parquet(indexDir).count() == 4L)
+  }
+
   test("parity: funnel — streamed completions equal the batch stage rows") {
     import graft.streaming.EventStream.{FunnelOut, TypedEvent}
     import graft.ops.Funnel
