@@ -403,14 +403,20 @@ object SparkEntry {
     "d8_embed_lsh" -> ((s, dir) => {
       // the LABEL-LESS embedding near-dup form: blocking comes from the
       // corpus itself (s2's hyperplane band keys), not a caller column —
-      // the shape a real unlabeled corpus needs. The oracle replicates
-      // the 24-plane/6-band bucketing literally, so candidate
-      // generation AND the exact-cosine verify are both checked.
-      // banding PINNED to the oracle-replicated 24-plane layout (the
-      // library default derives from corpus size — d9 covers that)
-      Dedup.embeddingNearDupPairsLsh(Tables(s, dir).embeddings,
-          "embedding", "vec_id", threshold = 0.4, dim = 64,
-          numPlanes = 24, bands = 6)
+      // the shape a real unlabeled corpus needs. Declared at the
+      // 4-BAND corpus-size-derived layout — the ECONOMY end of the
+      // band-count recall/cost trade (fewer bands = fewer candidate
+      // chances = cheaper and lower recall; d9's 6-band auto is the
+      // recall headline). Re-scoped in r14: the former pinned 24-plane
+      // layout measured ×17 wall at 10× rows (bucket population grows
+      // with the corpus — the sf1 board's finding) and is demoted to
+      // the RobustSpec A/B + the d23 recall gate; BOTH declared forms
+      // now carry the count-derived bits, so block sizes hold as the
+      // corpus grows. The oracle derives bits from count(*) with the
+      // same integer rule over shared-prefix planes (d9's machinery at
+      // bands = 4, bit cap 15).
+      Dedup.embeddingNearDupPairsLshAuto(Tables(s, dir).embeddings,
+          "embedding", "vec_id", threshold = 0.4, dim = 64, bands = 4)
         .orderBy("id1", "id2")
     }),
 
@@ -677,6 +683,31 @@ object SparkEntry {
               / col("n_delta").cast("double"), 4)).as("stale_frac"),
           col("train_cos_q05"))
         .orderBy("cluster_id")
+    }),
+
+    "s17_ivf_refit" -> ((s, dir) => {
+      // RE-FIT MIGRATION (the step s16's stale alarm triggers): old
+      // index = fit on the t8 75% slice + frozen-append of the 25%
+      // delta; the re-fit runs ivfIndexTables over the FULL corpus at
+      // a (deliberately different) k, reassigns everything in one
+      // map-only pass, and the declared output is the migration
+      // RECEIPT — the (old, new) cluster confusion rollup with
+      // staleness before (old q05 rule) and after (new q05 rule).
+      // Reassignment == from-scratch at the new centroids holds by
+      // construction; the oracle replays BOTH fits, BOTH q05
+      // calibrations, and the rollup digit-for-digit.
+      val emb = Tables(s, dir).embeddings
+      val isIdx = substring(md5(concat(col("vec_id").cast("string"),
+        lit(":graft"))), 1, 4) < "c000"
+      val (oldCents, oldIdxAsg) = Similarity.ivfIndexTables(
+        emb.filter(isIdx), "embedding", "vec_id", numCentroids = 4)
+      val deltaAsg = Similarity.ivfAppendDelta(
+        oldCents, emb.filter(!isIdx), "embedding", "vec_id")
+      val oldAsg = oldIdxAsg.unionByName(
+        deltaAsg.select(col("id"), col("cluster_id"), col("cos")))
+      val (_, _, receipt) = Similarity.ivfRefitMigration(
+        oldCents, oldAsg, emb, "embedding", "vec_id", numCentroids = 5)
+      receipt.orderBy("old_cluster_id", "new_cluster_id")
     }),
 
     // ----- text analysis -----
@@ -1293,9 +1324,20 @@ object SparkEntry {
       // SemDeDup: k-means clusters as the label-less blocking for the
       // exact-cosine pair join — near-dups land together because they
       // are geometrically close (contrast d8/d9's random-projection
-      // blocking)
-      Cluster.semDedupPairs(Tables(s, dir).embeddings, "embedding", "vec_id",
-          k = 4, threshold = 0.4, iters = 1)
+      // blocking). Declared at SINGLE-ASSIGNMENT blocking over the
+      // count-derived k — the probe-trade FLOOR (each point blocks
+      // only into its home cluster: half the join volume of d21's
+      // 2-probe headline, at the measured boundary-miss recall the
+      // semDedupPairs scaladoc prices). Re-scoped in r14: the former
+      // pinned k=4 blocked the corpus into 4 giant clusters whose
+      // pair join measured ×103 at 10× rows (the sf1 board's worst
+      // ratio) — it is demoted to the ClusterSpec A/B; both declared
+      // SemDeDup forms now derive k from corpus size, so block sizes
+      // hold as the corpus grows. The k-derivation, the fit, and the
+      // home-block pair join are all oracle-replicated.
+      Cluster.semDedupPairsAuto(Tables(s, dir).embeddings, "embedding",
+          "vec_id", threshold = 0.4, targetBlock = 512, iters = 1,
+          blockProbes = 1)
         .orderBy("id1", "id2")
     }),
 
@@ -1332,13 +1374,17 @@ object SparkEntry {
 
     "d12_semdedup_prune" -> ((s, dir) => {
       // the full SemDeDup pipeline as ONE job graph: semantic pair
-      // generation (d11) → transitive clusters → a keep/drop verdict
+      // generation → transitive clusters → a keep/drop verdict
       // for EVERY corpus row (untouched docs are their own singleton
       // component, keep = 1) — the composed chain that actually prunes
-      // a corpus, not just lists its near-dup pairs
+      // a corpus, not just lists its near-dup pairs. Re-pointed in r14
+      // at d21's count-derived-k 2-probe blocking (VERDICT r13 #1):
+      // the former pinned k=4 made this the sf1 board's single most
+      // expensive query (94.5 s, ×24 at 10× rows) with the scale-safe
+      // blocking already in-repo — the prune chain now rides it.
       val embs = Tables(s, dir).embeddings
-      val pairs = Cluster.semDedupPairs(embs, "embedding", "vec_id",
-        k = 4, threshold = 0.4, iters = 1)
+      val pairs = Cluster.semDedupPairsAuto(embs, "embedding", "vec_id",
+        threshold = 0.4, targetBlock = 512, iters = 1)
       val verdict = Graph.clusterDedup(pairs, "id1", "id2")
       embs.select(col("vec_id"))
         .join(verdict, col("vec_id") === col("id"), "left_outer")
@@ -1597,11 +1643,16 @@ object SparkEntry {
     }),
 
     "s10_knn_graph" -> ((s, dir) => {
-      // corpus-wide top-5 neighbor graph over d8's pinned 24-plane /
-      // 6-band LSH blocking — candidate generation AND the symmetric
-      // per-vertex ranking are both oracle-replicated
+      // corpus-wide top-5 neighbor graph over 4-BAND corpus-size-
+      // derived LSH blocking — the economy end of the band-count
+      // trade (s11's 6-band auto is the recall headline; same knob
+      // pairing as d8/d9). Re-scoped in r14: the former pinned
+      // 24-plane layout measured ×22 at 10× rows and is demoted to a
+      // spec A/B; the derived bits hold bucket sizes as the corpus
+      // grows. Candidate generation AND the symmetric per-vertex
+      // ranking are both oracle-replicated.
       Similarity.knnGraph(Tables(s, dir).embeddings, "embedding", "vec_id",
-          k = 5, dim = 64, numPlanes = 24, bands = 6)
+          k = 5, dim = 64, bands = 4)
         .orderBy("id", "rank")
     }),
 
@@ -2329,16 +2380,24 @@ object SparkEntry {
          cc AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
          SELECT CAST(id AS BIGINT) AS id, component FROM cc ORDER BY id""",
 
-    // d8's 24-plane/6x4-bit-band bucketing replicated literally: the
-    // candidate set (agree on >= 1 band) AND the exact-cosine verify
-    // are both reproduced, so banding itself is oracle-checked.
+    // d8's 4-band COUNT-DERIVED banding replicated literally (d9's
+    // machinery at bands = 4, bit cap 63/4 = 15): the bit derivation,
+    // the candidate set (agree on >= 1 band over shared-prefix
+    // signatures), AND the exact-cosine verify are all reproduced, so
+    // the scale knob itself is oracle-checked.
     "d8_embed_lsh" -> {
-      val sigTerms = sigTermsSql(24)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      val sigTerms = sigTermsSql(60)
+      s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 15) AS bits
+            FROM (SELECT unnest(range(2, 16)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
           bb AS (
-            SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
-            FROM sigs, (SELECT unnest(range(6)) AS b)),
+            SELECT vec_id, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(4)) AS b), params),
           cand AS (
             SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
             FROM bb a JOIN bb c USING (b, bv)
@@ -2767,6 +2826,80 @@ object SparkEntry {
             q.q05 AS train_cos_q05
           FROM cent2 c2 LEFT JOIN g ON g.cid = c2.cid, q
           ORDER BY cluster_id"""
+    },
+
+    // s17: the WHOLE re-fit migration replayed from scratch — the OLD
+    // chain is s16's (fit on the t8 75% slice, every point assigned at
+    // those frozen centroids, train-slice q05), the NEW chain re-fits
+    // on the FULL corpus at k=5 (full-corpus q05), and the receipt is
+    // the (old, new) confusion rollup with both staleness rules. The
+    // engine reassigns via ivfIndexTables over the corpus; equality
+    // against this replay IS the "reassignment == from-scratch at the
+    // new centroids" check.
+    "s17_ivf_refit" -> {
+      // one c1-portable kmeans chain (k-lowest-id init, ONE decimal-
+      // exact Lloyd round) over CTE `src`, emitting `${p}cent2`
+      def fitChain(p: String, src: String, k: Int): String =
+        s"""${p}init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM $src ORDER BY vec_id LIMIT $k),
+          ${p}a1 AS (
+            SELECT vec_id, v, cid FROM (
+              SELECT s.vec_id, s.v, i.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(s.v, i.c)
+                            / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM $src s CROSS JOIN ${p}init i) WHERE rn = 1),
+          ${p}comp AS (
+            SELECT cid, u.d AS d,
+              CAST(floor(u.x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS xq
+            FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                    j -> struct_pack(d := j, x := v[j]))) AS u FROM ${p}a1)),
+          ${p}cent AS (
+            SELECT cid, d,
+              floor(CAST(sum(xq) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS cx
+            FROM ${p}comp GROUP BY cid, d),
+          ${p}cent2 AS (SELECT cid, list(cx ORDER BY d) AS c FROM ${p}cent GROUP BY cid)"""
+      // frozen assignment of `src` at `${p}cent2` (argmax cos, lower
+      // cid ties, zero-norm -> 0)
+      def asgSql(p: String, src: String): String =
+        s"""SELECT vec_id, cid, cos FROM (
+              SELECT x.vec_id, i.cid,
+                CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                     ELSE list_dot_product(x.v, i.c)
+                          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c))) END AS cos,
+                row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                  CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c)) = 0 THEN 0
+                       ELSE list_dot_product(x.v, i.c)
+                            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(i.c, i.c))) END DESC,
+                  i.cid ASC) AS rn
+              FROM $src x CROSS JOIN ${p}cent2 i) WHERE rn = 1"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          tr AS (SELECT * FROM e
+            WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':graft'), 1, 4) < 'c000'),
+          ${fitChain("o_", "tr", 4)},
+          ${fitChain("n_", "e", 5)},
+          ao AS (${asgSql("o_", "e")}),
+          an AS (${asgSql("n_", "e")}),
+          aotr AS (${asgSql("o_", "tr")}),
+          qo AS (
+            SELECT floor(quantile_cont(floor(cos * 10000 + 0.5) / 10000, 0.05)
+                         * 10000 + 0.5) / 10000 AS q05 FROM aotr),
+          qn AS (
+            SELECT floor(quantile_cont(floor(cos * 10000 + 0.5) / 10000, 0.05)
+                         * 10000 + 0.5) / 10000 AS q05 FROM an)
+          SELECT ao.cid AS old_cluster_id, an.cid AS new_cluster_id,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN floor(ao.cos * 10000 + 0.5) / 10000 < qo.q05
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_before,
+            CAST(sum(CASE WHEN floor(an.cos * 10000 + 0.5) / 10000 < qn.q05
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_after
+          FROM ao JOIN an USING (vec_id), qo, qn
+          GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     // IVF replicated literally: centroids = first numCentroids rows in
@@ -4357,8 +4490,12 @@ object SparkEntry {
          SELECT cluster_id, rank, id FROM sel
          WHERE rank <= 25 ORDER BY cluster_id, rank""",
 
+    // d21's derived-k chain at SINGLE-ASSIGNMENT blocking (rn <= 1):
+    // the k-derivation (ceil(count/512), lowest-id init), the fit,
+    // and the home-block pair join are all replicated — the r14
+    // re-scope of d11 (pinned k=4 demoted to the ClusterSpec A/B).
     "d11_semdedup" ->
-      s"""${kmeansA2Sql(2)},
+      s"""${kmeansA2Sql(1, autoKInitSql(512))},
          pr AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
          p AS (
            SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
@@ -4394,10 +4531,15 @@ object SparkEntry {
          CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
          FROM events GROUP BY 1 ORDER BY hb_ms""",
 
-    // d11's pair chain + d7's recursive-CC idiom + a left join back to
-    // the corpus: the composed SemDeDup prune verdict, fully replicated
+    // d21's derived-k 2-probe pair chain + d7's recursive-CC idiom +
+    // a left join back to the corpus: the composed SemDeDup prune
+    // verdict, fully replicated — the blocking is the r14 re-point
+    // (VERDICT r13 #1), so the k-derivation is under this oracle too
     "d12_semdedup_prune" ->
-      s"""${kmeansA2Sql(2).replaceFirst("WITH", "WITH RECURSIVE")},
+      s"""${kmeansA2Sql(2, autoKInitSql(512))
+             .replace("WHERE rn <= 2",
+               "WHERE rn <= LEAST(2, (SELECT count(*) FROM init))")
+             .replaceFirst("WITH", "WITH RECURSIVE")},
          pr AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
          p AS (
            SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -4802,15 +4944,22 @@ object SparkEntry {
          sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM l3 GROUP BY label)
          SELECT l3.id, l3.label, sz.n_members FROM l3 JOIN sz USING (label) ORDER BY id""",
 
-    // d8's band-replication chain, then each undirected candidate
-    // feeds BOTH endpoints and ranks (cosine DESC, neighbor) per id
+    // d8's 4-band count-derived band-replication chain, then each
+    // undirected candidate feeds BOTH endpoints and ranks
+    // (cosine DESC, neighbor) per id
     "s10_knn_graph" -> {
-      val sigTerms = sigTermsSql(24)
-      knnRankSql(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      val sigTerms = sigTermsSql(60)
+      knnRankSql(s"""WITH params AS (
+            SELECT COALESCE(MIN(b), 15) AS bits
+            FROM (SELECT unnest(range(2, 16)) AS b),
+                 (SELECT count(*) AS c FROM embeddings) n
+            WHERE CAST(2 ** b AS BIGINT) * 64 >= n.c),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig FROM e),
           bb AS (
-            SELECT vec_id, b, (sig // CAST(16 ** b AS BIGINT)) % 16 AS bv
-            FROM sigs, (SELECT unnest(range(6)) AS b))""")
+            SELECT vec_id, b,
+              (sig // CAST(2 ** (b * bits) AS BIGINT)) % CAST(2 ** bits AS BIGINT) AS bv
+            FROM sigs, (SELECT unnest(range(4)) AS b), params)""")
     },
 
     // s10's symmetric ranking over d9's count-derived banding params

@@ -79,6 +79,145 @@ object Cluster {
   private def cidAt(centroids: Seq[(Long, Array[Double])], idx: Column): Column =
     element_at(typedLit(centroids.map(_._1).toArray), (idx + 1).cast("int"))
 
+  /** k at or above which the two-level routed kernel replaces the flat
+    * scan. Routing is EXACT (identical output), so this is a pure perf
+    * knob: below it the g·dim coarse overhead isn't worth saving on a
+    * k·dim scan that's already tiny.
+    */
+  private val RouteMinK = 64
+
+  /** Driver-side build of [[graft.functions.NativeKernels
+    * .cosTopCRouted]]'s routing metadata: group the k centroids into
+    * g = ⌈√k⌉ cells by a few rounds of spherical k-means ON THE
+    * CENTROIDS (k ≤ kCap rows, pure driver arithmetic — the bounded
+    * state class), then record each cell's representative, its padded
+    * angular radius over members, the members permuted cell-contiguous,
+    * and each member's ORIGINAL index. Grouping quality moves the skip
+    * rate, never the result (the kernel's exactness contract), so this
+    * fit carries no determinism or oracle-replication obligation — it
+    * is still deterministic in fact (pure function of the centroid
+    * list), which keeps plans and codegen cache keys stable across
+    * re-runs.
+    */
+  private[graft] def routePlan(centroids: Seq[(Long, Array[Double])]): (Array[Int], Array[Double]) = {
+    val k = centroids.size
+    val dim = centroids.head._2.length
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val vecs = centroids.map(_._2).toArray
+    val norms = vecs.map(v => math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+    def cosAt(i: Int, seed: Array[Double], seedNorm: Double): Double = {
+      if (norms(i) == 0.0 || seedNorm == 0.0) return -2.0 // grouped arbitrarily; radius π below
+      var dp = 0.0
+      var d = 0
+      while (d < dim) { dp += vecs(i)(d) * seed(d); d += 1 }
+      dp / (norms(i) * seedNorm)
+    }
+    var seeds = Array.tabulate(g)(j => vecs(j).clone())
+    var seedNorms = Array.tabulate(g)(j => norms(j))
+    val asg = new Array[Int](k)
+    for (_ <- 0 until 4) {
+      var i = 0
+      while (i < k) {
+        var best = Double.NegativeInfinity
+        var bj = 0
+        var j = 0
+        while (j < g) {
+          val c = cosAt(i, seeds(j), seedNorms(j))
+          if (c > best) { best = c; bj = j }
+          j += 1
+        }
+        asg(i) = bj
+        i += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnt = new Array[Int](g)
+      i = 0
+      while (i < k) {
+        if (norms(i) > 0.0) { // zero-norm members carry no direction
+          val j = asg(i)
+          cnt(j) += 1
+          var d = 0
+          while (d < dim) { sums(j)(d) += vecs(i)(d) / norms(i); d += 1 }
+        }
+        i += 1
+      }
+      seeds = Array.tabulate(g) { j =>
+        if (cnt(j) == 0) seeds(j) else sums(j)
+      }
+      seedNorms = seeds.map(v => math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    // padded angular radius per cell; zero-norm member → π (its forced
+    // 0.0 score has no angular witness — cell must never skip)
+    val radius = new Array[Double](g)
+    var i = 0
+    while (i < k) {
+      val j = asg(i)
+      val r =
+        if (norms(i) == 0.0 || seedNorms(j) == 0.0) math.Pi
+        else math.acos(math.max(-1.0,
+          math.min(1.0, cosAt(i, seeds(j), seedNorms(j))))) + 1e-7
+      if (r > radius(j)) radius(j) = r
+      i += 1
+    }
+    // cell-contiguous permutation, original-index ascending within cell
+    val perm = (0 until k).sortBy(i => (asg(i), i)).toArray
+    val off = new Array[Int](g + 1)
+    perm.foreach(i => off(asg(i) + 1) += 1)
+    for (j <- 1 to g) off(j) += off(j - 1)
+    val metaI = new Array[Int](2 + g + 1 + k)
+    metaI(0) = g
+    metaI(1) = k
+    System.arraycopy(off, 0, metaI, 2, g + 1)
+    System.arraycopy(perm, 0, metaI, 2 + g + 1, k)
+    val metaD = new Array[Double](g * dim + g + k * dim)
+    for (j <- 0 until g; d <- 0 until dim) metaD(j * dim + d) = seeds(j)(d)
+    System.arraycopy(radius, 0, metaD, g * dim, g)
+    for (p <- 0 until k; d <- 0 until dim)
+      metaD(g * dim + g + p * dim + d) = vecs(perm(p))(d)
+    (metaI, metaD)
+  }
+
+  /** Median cell radius above which routing is hopeless and the plan
+    * builder falls back to flat: pruning needs cos(θ − r) to dip below
+    * the running best, and with cells ~69°+ wide that happens for
+    * almost no query — the ISOTROPIC regime (random high-dim vectors,
+    * pairwise cosines concentrated at 0), where no exact method beats
+    * the flat scan and routing is pure overhead (measured: flat 0.6 s
+    * vs routed 0.9 s at n=160k/k=1024 on the isotropic test
+    * embeddings). Real embedding corpora cluster hard, radii come in
+    * far tighter, and routing pays — the guard makes the substitution
+    * never-worse instead of geometry-dependent.
+    */
+  private val RouteMaxMedianRadius = 1.2
+
+  /** [[cosTopC]] with the routed kernel swapped in above [[RouteMinK]]
+    * centroids — same output either way (the routed kernel's exactness
+    * contract), so callers and oracles are indifferent to which fires.
+    * The swap needs BOTH enough centroids to amortize the coarse pass
+    * AND tight enough cells to actually prune ([[RouteMaxMedianRadius]]).
+    */
+  private def cosTopCAuto(df: DataFrame, vecCol: String,
+                          centroids: Seq[(Long, Array[Double])],
+                          n: Int): Column = {
+    val routed =
+      if (centroids.size >= RouteMinK &&
+          Native.enabled(df, "graft_cos_topc_routed") &&
+          // A/B + escape hatch (results identical either way): flat
+          // native scan despite k >= RouteMinK
+          !df.sparkSession.conf.get("graft.routed.disabled", "false").toBoolean) {
+        val (metaI, metaD) = routePlan(centroids)
+        val g = metaI(0)
+        val dim = centroids.head._2.length
+        val radii = java.util.Arrays.copyOfRange(metaD, g * dim, g * dim + g)
+        java.util.Arrays.sort(radii)
+        if (radii(g / 2) <= RouteMaxMedianRadius)
+          Some(call_function("graft_cos_topc_routed", col(vecCol),
+            typedLit(metaI), typedLit(metaD), lit(dim), lit(n)))
+        else None
+      } else None
+    routed.getOrElse(cosTopC(vecCol, centroids, n))
+  }
+
   /** The expression-fallback twin of `graft_cos_topc`'s ragged-input
     * guard: a vector whose length ≠ the centroid dim is data
     * corruption with no consistent answer (the HOF dot would null-pad
@@ -102,11 +241,12 @@ object Cluster {
     * (cos, -cid) struct max is lexicographic; the native kernel keeps
     * the lower index, and centroids arrive cid-ascending).
     */
-  private[ops] def assign(points: DataFrame, vecCol: String,
+  private[graft] def assign(points: DataFrame, vecCol: String,
                           centroids: Seq[(Long, Array[Double])]): DataFrame = {
     if (floatVec(points, vecCol) && Native.enabled(points, "graft_cos_topc")) {
       points
-        .withColumn("graft_best", element_at(cosTopC(vecCol, centroids, 1), 1))
+        .withColumn("graft_best",
+          element_at(cosTopCAuto(points, vecCol, centroids, 1), 1))
         .withColumn("cluster_id", cidAt(centroids, col("graft_best.idx")))
         .withColumn("cos", col("graft_best.cos"))
         .drop("graft_best")
@@ -210,13 +350,24 @@ object Cluster {
     */
   def semDedupPairs(embs: DataFrame, vecCol: String, idCol: String,
                     k: Int, threshold: Double, iters: Int = 1,
-                    blockProbes: Int = 2): DataFrame = {
+                    blockProbes: Int = 2,
+                    persistIntermediate: Boolean = true): DataFrame = {
     require(blockProbes >= 1 && blockProbes <= k,
       s"blockProbes must be in [1, k], got $blockProbes (k = $k)")
     val points = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = fit(points, k, iters)
-    Dedup.embeddingNearDupPairs(probeBlocks(points, centroids, blockProbes),
-        "v", "id", "cluster_id", threshold)
+    // The pair join is a SELF-join of the probe-exploded table: left
+    // un-persisted, Spark recomputes the scan + k-centroid top-c +
+    // explode lineage on BOTH join sides — measured 8.3 s vs 2.1 s
+    // (persist + join) at sf1/k=40, the bulk of d21's former ×15.6
+    // scale ratio. Session-lifetime pin, the ngramJaccardPairs
+    // contract: Verify/Bench sweep caches per query.
+    val blockedPlan = probeBlocks(points, centroids, blockProbes)
+    val blocked =
+      if (persistIntermediate)
+        blockedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else blockedPlan
+    Dedup.embeddingNearDupPairs(blocked, "v", "id", "cluster_id", threshold)
       .dropDuplicates("id1", "id2")
   }
 
@@ -228,12 +379,12 @@ object Cluster {
     * kernel's native order, or sort asc by (cos, -cid) + reverse on
     * the expression path.
     */
-  private[ops] def probeBlocks(points: DataFrame,
+  private[graft] def probeBlocks(points: DataFrame,
                                centroids: Seq[(Long, Array[Double])],
                                blockProbes: Int): DataFrame =
     if (floatVec(points, "v") && Native.enabled(points, "graft_cos_topc")) {
       points.withColumn("cluster_id",
-        explode(transform(cosTopC("v", centroids, blockProbes),
+        explode(transform(cosTopCAuto(points, "v", centroids, blockProbes),
           s => cidAt(centroids, s.getField("idx")))))
     } else {
       val cos = cosOf
@@ -354,14 +505,15 @@ object Cluster {
   def semDedupPairsAuto(embs: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, targetBlock: Int = 512,
                         iters: Int = 1, blockProbes: Int = 2,
-                        kCap: Int = 4096): DataFrame = {
+                        kCap: Int = 4096,
+                        persistIntermediate: Boolean = true): DataFrame = {
     require(targetBlock >= 1, s"targetBlock must be >= 1, got $targetBlock")
     require(kCap >= 1, s"kCap must be >= 1, got $kCap")
     val n = embs.count()
     require(n > 0, "semDedupPairsAuto: corpus is empty")
     val k = math.min(math.ceil(n.toDouble / targetBlock), kCap.toDouble).toInt
     semDedupPairs(embs, vecCol, idCol, k, threshold, iters,
-      math.min(blockProbes, k))
+      math.min(blockProbes, k), persistIntermediate)
   }
 
   /** Per-cluster summary: size and 4dp mean cosine-to-centroid

@@ -598,7 +598,17 @@ object Curation {
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
                     salt: String, nShards: Int,
                     budgetTokens: Long): DataFrame =
-    shardAssignments(df, idCol, textCol, salt, nShards, budgetTokens)
+    manifestOfAssignments(
+      shardAssignments(df, idCol, textCol, salt, nShards, budgetTokens))
+
+  /** The [[shardManifest]] rollup applied to an ALREADY-COMPUTED
+    * [[shardAssignments]] result — split out so a writer that holds
+    * the assignment table (Sources.writeTrainingShards) derives the
+    * manifest from it in one pass instead of re-running the tokenize +
+    * window assignment over the corpus a second time.
+    */
+  def manifestOfAssignments(asg: DataFrame): DataFrame =
+    asg
       .withColumn("row_fold",
         conv(substring(md5(concat_ws(":", col("pos"), col("id"),
           col("n_tokens"), col("pack_id"))), 1, 15), 16, 10).cast("long"))

@@ -524,15 +524,43 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
-  /** Exact word-n-gram Jaccard within a blocking key. The blocking
-    * column bounds the pair count (pairs only form inside a block);
-    * callers pick a key that is skew-safe at their scale.
+  /** Exact word-n-gram Jaccard within a blocking key — result pairs
+    * only form inside a block, and EVERY within-block pair with
+    * rounded Jaccard >= threshold is returned (recall 1.0; this is an
+    * exact operator, not an LSH approximation).
+    *
+    * Candidate generation (the scale story) is the df-ordered PREFIX
+    * FILTER of the set-similarity-join literature (Chaudhuri et al.,
+    * ICDE 2006; Bayardo et al., WWW 2007; Xiao et al., WWW 2008 —
+    * all public), NOT a full within-block pair join: order each
+    * doc's gram set by ascending global document frequency (ties by
+    * gram hash — a total order), index only each doc's first
+    * |X| − ⌈t·|X|⌉ + 1 grams, and join on (block, gram). The prefix
+    * lemma guarantees two sets with J >= t share a prefix gram, so
+    * recall stays 1.0 BY CONSTRUCTION while the join touches only
+    * RARE grams — a hot boilerplate gram sorts to the back of every
+    * prefix and never explodes the join. The earlier within-block
+    * full pair join (`prefixFilter = false`, kept as the A/B twin —
+    * OperatorSpec asserts path equality) is quadratic in block size:
+    * the sf1 board priced it at ×21 wall for 10× rows, while the
+    * prefix path's candidate volume tracks the TRUE pair count.
+    * The prefix length uses t − 5e-5 (the 4dp rounding margin), so a
+    * pair whose exact Jaccard sits just under t but ROUNDS to t is
+    * still generated — the output is identical to the full join's
+    * for any doc under ~2M grams.
+    *
+    * Cost: two extra shuffles of the exploded gram table (the df
+    * count and the per-doc rank), both linear in corpus gram volume —
+    * the price that replaces the n²/blocks candidate join. The size
+    * prefilter (J <= min/max of gram counts) still rides the
+    * candidate join unchanged.
     */
   def ngramJaccardPairs(docs0: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.4,
                         persistIntermediate: Boolean = true,
-                        verifyBroadcast: Option[Boolean] = None): DataFrame = {
+                        verifyBroadcast: Option[Boolean] = None,
+                        prefixFilter: Boolean = true): DataFrame = {
     val docs = Par.widen(docs0)
     // Staged normalize → tokens → grams → hashes (per-element lambdas
     // must see attributes — see wordNgramsOfTokens scaladoc). Grams
@@ -559,17 +587,53 @@ object Dedup {
       if (persistIntermediate)
         prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else prepared
-    // Candidates form on a slim (id, block, gramcount) projection with
-    // the lossless size prefilter in the join condition — J(A,B) <=
-    // min(|A|,|B|)/max(|A|,|B|), so pairs whose gram counts differ by
-    // more than 1/threshold can never pass. The gram arrays only
-    // travel in the verify broadcast, never through the pair join.
-    val slim = grams.select(col("id"), col("block"), size(col("grams")).as("n"))
-    val candidates = slim.as("a").join(slim.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-          greatest(col("a.n"), col("b.n")).cast("double") * threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // Candidates carry the lossless size prefilter in the join
+    // condition — J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    // gram counts differ by more than 1/threshold can never pass. The
+    // gram arrays only travel in the verify join, never through the
+    // candidate join.
+    val sizeOk =
+      least(col("a.n"), col("b.n")).cast("double") >=
+        greatest(col("a.n"), col("b.n")).cast("double") * threshold
+    val candidates =
+      if (prefixFilter) {
+        // df-ordered prefix filter (see the method scaladoc): only
+        // each doc's |X| − ⌈t'·|X|⌉ + 1 globally-rarest grams enter
+        // the candidate equi-join on (block, gram). Within a doc the
+        // grams are distinct, so (df, gram) strictly orders them and
+        // the rank — hence the candidate set — is deterministic under
+        // any partitioning.
+        val occ = grams.select(col("id"), col("block"),
+          size(col("grams")).as("n"), explode(col("grams")).as("g"))
+        val gramDf = occ.groupBy("g").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("g"))
+        val prefixPlan = occ.join(gramDf, Seq("g"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <=
+            col("n") - ceil(col("n") * lit(threshold - 5e-5)) + 1)
+          .select(col("id"), col("block"), col("n"), col("g"))
+        // both self-join sides read the ranked prefix — persist it
+        // (session-lifetime pin, same contract as `grams` above)
+        val prefix =
+          if (persistIntermediate)
+            prefixPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else prefixPlan
+        prefix.as("a").join(prefix.as("b"),
+            col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+              col("a.id") < col("b.id") && sizeOk)
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .dropDuplicates("id1", "id2")
+      } else {
+        // A/B twin: the full within-block pair join on a slim
+        // projection — quadratic in block size (the measured sf1
+        // scale-killer); kept for the OperatorSpec path-equality gate.
+        val slim = grams.select(col("id"), col("block"), size(col("grams")).as("n"))
+        slim.as("a").join(slim.as("b"),
+            col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
+              sizeOk)
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      }
     // Verify-join strategy is size-gated (see verifyHinted): AQE
     // runtime stats by default, never an unconditional broadcast of an
     // O(corpus) table.
@@ -601,24 +665,37 @@ object Dedup {
     * plain d4-style symmetric similarity never flags.
     *
     * Same staged machinery as [[ngramJaccardPairs]] (normalize →
-    * tokens → hashed grams, candidates on a slim projection within
-    * `blockCol`, size-gated verify join, native two-pointer
-    * intersect) with TWO deliberate differences:
+    * tokens → hashed grams, size-gated verify join, native
+    * two-pointer intersect) with TWO deliberate differences:
     *  - NO size prefilter in the candidate join: containment of the
     *    smaller side is feasible at ANY size ratio (that asymmetry is
-    *    the point), so gram-count bounds prune nothing — the blocking
-    *    column is the sole candidate gate.
+    *    the point), so gram-count bounds prune nothing.
     *  - each unordered candidate pair is intersected ONCE, then
     *    emitted as up to two DIRECTED rows (a⊂b and/or b⊂a), so the
     *    expensive verify work is never doubled.
     * Both containments floor-round to 4dp before the threshold test
     * (integer-ratio values land on .xxxx5 boundaries — d4's recipe).
+    *
+    * Candidate generation is the ASYMMETRIC edition of d4's
+    * df-ordered prefix filter: a directed pair (sub=A, sup=B) with
+    * |A∩B|/|A| >= t has at most (1−t)·|A| of A's grams missing from
+    * B, so at least one of A's ⌊(1−t')·|A|⌋+1 globally-RAREST grams
+    * is in B — the SUB side indexes only that prefix while the SUP
+    * side indexes ALL its grams (a tiny doc can be contained anywhere
+    * in a huge one, so the sup side cannot prune; that cost is
+    * inherent to the predicate). Recall 1.0 by construction; hot
+    * grams sort out of every sub-prefix, so the per-gram join cost is
+    * df_prefix(g)·df(g) — near zero for exactly the grams that blow
+    * up a block join. The prior full within-block pair join
+    * (`prefixFilter = false`, the measured ×33-at-sf1 scale-killer)
+    * is kept as the A/B twin; OperatorSpec asserts path equality.
     */
   def containmentPairs(docs0: DataFrame, textCol: String, idCol: String,
                        blockCol: Column, n: Int = 3,
                        threshold: Double = 0.8,
                        persistIntermediate: Boolean = true,
-                       verifyBroadcast: Option[Boolean] = None): DataFrame = {
+                       verifyBroadcast: Option[Boolean] = None,
+                       prefixFilter: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val docs = Par.widen(docs0)
@@ -639,11 +716,39 @@ object Dedup {
       else prepared
     // gram-less docs (shorter than n tokens) have no containment
     // evidence either way — candidates need both sides non-empty
-    val slim = grams.select(col("id"), col("block"))
-      .where(size(col("grams")) > 0)
-    val candidates = slim.as("a").join(slim.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val candidates =
+      if (prefixFilter) {
+        // asymmetric df-ordered prefix filter (see scaladoc): sub
+        // side explodes its ⌊(1−t')·n⌋+1 rarest grams, sup side all
+        // grams; each unordered pair surfaces once via least/greatest
+        // canonicalization + dedup, then is verified ONCE.
+        val occ = grams.where(size(col("grams")) > 0)
+          .select(col("id"), col("block"),
+            size(col("grams")).as("n"), explode(col("grams")).as("g"))
+        val gramDf = occ.groupBy("g").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("g"))
+        val subPrefix = occ.join(gramDf, Seq("g"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <=
+            col("n") - ceil(col("n") * lit(threshold - 5e-5)) + 1)
+          .select(col("id"), col("block"), col("g"))
+        val supAll = occ.select(col("id"), col("block"), col("g"))
+        subPrefix.as("a").join(supAll.as("b"),
+            col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+              col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id1"),
+            greatest(col("a.id"), col("b.id")).as("id2"))
+          .dropDuplicates("id1", "id2")
+      } else {
+        // A/B twin: full within-block pair join (quadratic in block
+        // size) — kept for the OperatorSpec path-equality gate.
+        val slim = grams.select(col("id"), col("block"))
+          .where(size(col("grams")) > 0)
+        slim.as("a").join(slim.as("b"),
+            col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      }
     val verified = candidates
       .join(verifyHinted(grams.select(col("id"), col("grams")), verifyBroadcast).as("h1"),
         col("id1") === col("h1.id"))

@@ -950,10 +950,85 @@ object Similarity {
     val cents: Seq[(Long, Array[Double])] = rows
       .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1).toSeq
-    val q05 = rows.head.getDouble(2)
+    // train_cos_q05 is index-level state replicated onto every row by
+    // ivfIndexTables; a hand-built or corrupted table with DIFFERING
+    // values would otherwise pick whichever row an unordered collect
+    // surfaced first — a nondeterministic staleness threshold. Fail
+    // loudly instead.
+    val q05s = rows.map(_.getDouble(2)).distinct
+    require(q05s.size == 1,
+      s"ivfAppendDelta: centroid table carries ${q05s.size} distinct " +
+        s"train_cos_q05 values (${q05s.sorted.take(4).mkString(", ")}…) — " +
+        "index-level state must be uniform across centroid rows")
+    val q05 = q05s.head
     val points = widen(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
     Cluster.assign(points, "v", cents)
       .select(col("id"), col("cluster_id"), col("cos"),
         (graft.functions.num.fround(col("cos"), 4) < lit(q05)).as("stale"))
+  }
+
+  /** RE-FIT MIGRATION (s17) — the lifecycle step [[ivfAppendDelta]]'s
+    * `stale` alarm exists to trigger: when drift has pushed the stale
+    * fraction up, re-fit centroids OFFLINE over the ACCUMULATED corpus
+    * (history ∪ deltas), reassign everything in ONE linear map-only
+    * pass at the new frozen centroids, and swap the index. Returns
+    * (newCentroids, newAssignments, receipt):
+    *
+    *  - the new tables are [[ivfIndexTables]] over the full corpus —
+    *    so "reassignment == from-scratch at the new centroids" holds
+    *    BY CONSTRUCTION (reassignment IS the from-scratch assignment;
+    *    the oracle replays both fits and both assignments and checks
+    *    the receipt digit-for-digit, which pins exactly that equality)
+    *  - the RECEIPT is the migration's checkable artifact: the
+    *    (old_cluster_id, new_cluster_id) confusion rollup with
+    *    staleness before (old index q05 rule over old cosines) and
+    *    after (new q05 over new cosines) — bounded k_old·k_new rows,
+    *    the cross-fit census an operator reads to confirm the re-fit
+    *    actually absorbed the drift (n_stale_after collapses) before
+    *    hot-swapping the serving tables (st15 re-reads the centroid
+    *    parquet per batch, so the swap is one overwrite — the
+    *    StreamParitySpec hot-swap case).
+    *
+    * `k` may change across the re-fit (drift often means MORE modes) —
+    * nothing couples old and new cluster ids; the receipt's pairs are
+    * labels from two independent fits.
+    *
+    * Scale shape: one c1 fit over the corpus (map-only assigns + one
+    * bounded partial-agg shuffle per Lloyd round) + one id equi-join
+    * of two one-row-per-vector assignment tables + a bounded rollup.
+    * Old q05 is read with [[ivfAppendDelta]]'s uniformity guard — a
+    * corrupted centroid table fails loud, never a nondeterministic
+    * staleness rule.
+    */
+  def ivfRefitMigration(oldCentroids: DataFrame, oldAssignments: DataFrame,
+                        corpus: DataFrame, vecCol: String, idCol: String,
+                        numCentroids: Int, kmeansIters: Int = 1)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def uniformQ05(cents: DataFrame, which: String): Double = {
+      val qs = cents.select(col("train_cos_q05").cast("double"))
+        .distinct().collect().map(_.getDouble(0))
+      require(qs.length == 1,
+        s"ivfRefitMigration: $which centroid table carries ${qs.length} " +
+          "distinct train_cos_q05 values — index-level state must be uniform")
+      qs.head
+    }
+    val oldQ05 = uniformQ05(oldCentroids, "old")
+    val (newCents, newAsg) = ivfIndexTables(corpus, vecCol, idCol,
+      numCentroids, kmeansIters)
+    val newQ05 = uniformQ05(newCents, "new")
+    val receipt = oldAssignments
+      .select(col("id"), col("cluster_id").as("old_cluster_id"),
+        (graft.functions.num.fround(col("cos"), 4) < lit(oldQ05))
+          .cast("long").as("stale_before"))
+      .join(newAsg.select(col("id"),
+          col("cluster_id").as("new_cluster_id"),
+          (graft.functions.num.fround(col("cos"), 4) < lit(newQ05))
+            .cast("long").as("stale_after")),
+        Seq("id"))
+      .groupBy("old_cluster_id", "new_cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("stale_before")).as("n_stale_before"),
+        sum(col("stale_after")).as("n_stale_after"))
+    (newCents, newAsg, receipt)
   }
 }

@@ -162,21 +162,33 @@ object Sources {
                           budgetTokens: Long,
                           carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // One assignment pass serves BOTH the shard files and the
+    // manifest rollup — persist it, don't re-run the tokenize + window
+    // assignment over the corpus for the manifest.
     val asg = graft.ops.Curation.shardAssignments(df, idCol, textCol,
-      salt, nShards, budgetTokens)
-    val payload =
-      if (carryCols.isEmpty) asg
-      else asg.join(
-        df.select((col(idCol).as("id") +: carryCols.map(col)): _*), Seq("id"))
-    payload
-      .repartition(nShards, col("shard_id"))
-      .sortWithinPartitions("pos")
-      .write.mode("overwrite").partitionBy("shard_id")
-      .parquet(s"$path/shards")
-    graft.ops.Curation.shardManifest(df, idCol, textCol,
         salt, nShards, budgetTokens)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/manifest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val payload =
+        if (carryCols.isEmpty) asg
+        else asg.join(
+          df.select((col(idCol).as("id") +: carryCols.map(col)): _*), Seq("id"))
+      // Sort by (shard_id, pos): partitionBy(shard_id) REQUIRES an
+      // output ordering on shard_id — sorting by pos alone would make
+      // FileFormatWriter inject its own shard_id sort, leaving the pos
+      // order inside each file to that sort's stability over equal
+      // keys (an implementation detail, not a contract). With shard_id
+      // leading, the writer's requirement is already satisfied and the
+      // explicit pos order is what lands in the files.
+      payload
+        .repartition(nShards, col("shard_id"))
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite").partitionBy("shard_id")
+        .parquet(s"$path/shards")
+      graft.ops.Curation.manifestOfAssignments(asg)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/manifest")
+    } finally asg.unpersist()
     df.sparkSession.read.parquet(s"$path/manifest").orderBy("shard_id")
   }
 

@@ -499,4 +499,59 @@ class ClusterSpec extends AnyFunSuite {
     assert(!got(0).getBoolean(3), s"in-distribution point flagged stale: ${got(0)}")
     assert(got(1).getBoolean(3), s"45-degree point not flagged stale: ${got(1)}")
   }
+
+  test("s17 ivfRefitMigration: receipt partitions the corpus, re-fit absorbs planted drift, new tables == from-scratch") {
+    import graft.ops.Similarity
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    // index corpus: two tight modes on axes 0 and 1 (ids alternate so
+    // the 2-lowest-id init seeds both); delta: a THIRD mode on axis 2
+    // the old fit never saw — its points read stale under the old q05
+    val idx = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0, 0.01 * i, 0.0))
+      else (i.toLong, v(0.01 * i, 1.0, 0.0))
+    }
+    val delta = (100 until 120).map(i => (i.toLong, v(0.0, 0.01 * (i - 100), 1.0)))
+    val idxDf = idx.toDF("vec_id", "embedding")
+    val corpus = (idx ++ delta).toDF("vec_id", "embedding")
+    val (oldCents, oldIdxAsg) = Similarity.ivfIndexTables(
+      idxDf, "embedding", "vec_id", numCentroids = 2)
+    val deltaAsg = Similarity.ivfAppendDelta(
+      oldCents, delta.toDF("vec_id", "embedding"), "embedding", "vec_id")
+    val oldAsg = oldIdxAsg.unionByName(
+      deltaAsg.select(col("id"), col("cluster_id"), col("cos")))
+    val (newCents, newAsg, receipt) = Similarity.ivfRefitMigration(
+      oldCents, oldAsg, corpus, "embedding", "vec_id", numCentroids = 3)
+    val rows = receipt.collect()
+    // the receipt partitions the corpus exactly
+    assert(rows.map(_.getLong(2)).sum == 60L,
+      s"receipt rows must sum to the corpus: ${rows.toSeq}")
+    // planted drift: every delta point was stale before (axis-2 is
+    // ~90 degrees from both old centroids), none after (the k=3 refit
+    // gives the new mode its own centroid; its points sit at cos ~1)
+    val stBefore = rows.map(_.getLong(3)).sum
+    val stAfter = rows.map(_.getLong(4)).sum
+    assert(stBefore >= 20L,
+      s"planted drift must read stale under the old index (got $stBefore)")
+    assert(stAfter < stBefore,
+      s"re-fit must absorb the drift: before=$stBefore after=$stAfter")
+    // new tables ARE the from-scratch index over the corpus (swap
+    // equality, asserted not assumed)
+    val (fsCents, fsAsg) = Similarity.ivfIndexTables(
+      corpus, "embedding", "vec_id", numCentroids = 3)
+    def keyA(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(keyA(newAsg) == keyA(fsAsg), "reassignment != from-scratch")
+    def keyC(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cluster_id"), col("train_cos_q05")).as[(Long, Double)]
+        .collect().sorted.toSeq
+    assert(keyC(newCents) == keyC(fsCents), "centroid tables diverge")
+    // a corrupted old centroid table (two q05 values) fails loud
+    val bad = oldCents.withColumn("train_cos_q05",
+      when(col("cluster_id") === 0, lit(0.1)).otherwise(col("train_cos_q05")))
+    val e = intercept[Exception] {
+      Similarity.ivfRefitMigration(bad, oldAsg, corpus,
+        "embedding", "vec_id", numCentroids = 3)
+    }
+    assert(e.getMessage.contains("train_cos_q05"), s"wrong failure: ${e.getMessage}")
+  }
 }

@@ -400,6 +400,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(loose == Seq((1L, 2L, 1.0), (2L, 1L, 0.2)))
   }
 
+  test("prefix-filter candidates reproduce the full pair join exactly (d4 + d17 A/B)") {
+    // The r14 scale fix: candidate generation via the df-ordered
+    // prefix filter must be output-IDENTICAL to the quadratic
+    // within-block pair join it replaced — recall 1.0 by the prefix
+    // lemma, precision 1.0 because both paths share the exact verify.
+    // Run on the real sf0.001 corpus so boilerplate/hot grams and the
+    // rounding margin are exercised, not a toy.
+    val docs = Tables(spark, sfDir).documents
+    val j = (pf: Boolean) => Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        col("source"), prefixFilter = pf, persistIntermediate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (jPref, jFull) = (j(true), j(false))
+    assert(jPref == jFull,
+      s"d4 paths diverge: prefix-only ${(jPref -- jFull).take(3)}, " +
+        s"full-only ${(jFull -- jPref).take(3)}")
+    assert(jPref.nonEmpty, "corpus must produce at least one d4 pair")
+    val c = (pf: Boolean) => Dedup.containmentPairs(docs, "text", "doc_id",
+        col("source"), threshold = 0.5, prefixFilter = pf,
+        persistIntermediate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (cPref, cFull) = (c(true), c(false))
+    assert(cPref == cFull,
+      s"d17 paths diverge: prefix-only ${(cPref -- cFull).take(3)}, " +
+        s"full-only ${(cFull -- cPref).take(3)}")
+    assert(cPref.nonEmpty, "corpus must produce at least one d17 pair")
+  }
+
   test("rangeSearch returns every neighbor above the floor, map-only") {
     import spark.implicits._
     val corpus = Seq(

@@ -270,4 +270,72 @@ class NativeSpec extends AnyFunSuite {
     val diff = both.filter(col("native") =!= col("expr")).collect()
     assert(diff.isEmpty, s"diverged: ${diff.toSeq}")
   }
+
+  test("graft_cos_topc_routed is bit-identical to graft_cos_topc — dups, ties, zero centroid, zero query") {
+    val emb = tables.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val rows = emb.orderBy(col("vec_id")).limit(120)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val dim = rows(0).length
+    // 100 centroids: real vectors with a planted DUPLICATE pair
+    // (idx 3 == idx 97 — tie must keep 3 on both paths even though
+    // routing scans cells out of index order), a 1e-9-perturbed twin
+    // (stresses the skip bound's fp margin), and a ZERO centroid
+    // (forces its cell's radius to π — never skipped)
+    val cents: Array[Array[Double]] = Array.tabulate(100) { i =>
+      if (i == 97) rows(3).clone()
+      else if (i == 50) Array.fill(dim)(0.0)
+      else if (i == 60) rows(4).map(_ + 1e-9)
+      else rows(i % rows.length).clone()
+    }
+    val (metaI, metaD) = graft.ops.Cluster.routePlan(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toIndexedSeq)
+    val flatArr = cents.flatMap(_.toSeq)
+    val probes = emb.select(col("embedding"))
+      .union(emb.limit(1).select(
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding")))
+    for (n <- Seq(1, 2, 5, 100)) {
+      val both = probes.select(
+        call_function("graft_cos_topc", col("embedding"),
+          lit(flatArr), lit(dim), lit(n)).as("flat"),
+        call_function("graft_cos_topc_routed", col("embedding"),
+          typedLit(metaI), typedLit(metaD), lit(dim), lit(n)).as("routed"))
+      assert(both.filter(col("flat") =!= col("routed")).count() == 0,
+        s"routed diverges from flat at n=$n")
+    }
+  }
+
+  test("assign above RouteMinK: routed kernel == expression fallback end-to-end") {
+    import spark.implicits._
+    // CLUSTERED corpus (16 well-separated axis centers, small noise)
+    // so the routed plan's radius guard ADMITS routing — the isotropic
+    // test embeddings would fall back to the flat scan and this test
+    // would silently stop exercising the routed path. k = 96 >=
+    // RouteMinK; the disabled path takes the k-wide expression sort —
+    // identical assignment through a full Lloyd round (fit + final
+    // assign) proves the routed kernel is a pure perf substitution.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 800).map { i =>
+      val c = i % 16
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long)] =
+      graft.ops.Cluster.kmeansAssign(embs, "embedding", "vec_id",
+          k = 96, iters = 1)
+        .select(col("id"), col("cluster_id"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val native = run()
+    spark.conf.set("graft.native.disabled", "true")
+    try {
+      val fallback = run()
+      assert(native == fallback,
+        s"routed assign diverges from fallback: ${native.diff(fallback).take(3)}")
+    } finally spark.conf.unset("graft.native.disabled")
+    assert(native.map(_._2).distinct.size > 10,
+      "k=96 fit must actually spread assignments")
+  }
 }
