@@ -1310,16 +1310,24 @@ object TextAnalysis {
     * same single scan as BPE's); everything downstream runs at
     * DICTIONARY size (distinct words and piece tables ≤ alphabet +
     * `seedSize` rows for pieces — the e1/e2 dictionary contract).
-    * Per round: one piece-key join, one per-word map rollup, the
-    * map-only Viterbi pass, one bounded recount shuffle; totals ride
-    * 1-row broadcasts. The word-frequency table is dictionary-scale
-    * but NOT bounded — distinct normalized words grow with the corpus
-    * (Heaps' law) — so its per-round join is broadcast only behind
-    * `broadcastModel` (default true for the small-corpus fast path;
-    * false = plain equi-join AQE gates, the 100 TB path). Seed
-    * selection is a TakeOrdered top-k, never a global sort. No driver
-    * state at all — the vocabulary stays distributed (vs BPE's
-    * collected merge list).
+    * Per round: one broadcast piece-key join against the BOUNDED
+    * vocabulary, one per-word map rollup, the map-only Viterbi pass,
+    * one bounded recount shuffle, then ONE driver collect of the
+    * ≤ alphabet + `seedSize`-row piece table (the BPE merge-list /
+    * centroid class of bounded model state — r14: the former
+    * per-round localCheckpoint + window-prune + 1-row-broadcast
+    * chain cost 5+ Spark jobs per round of pure scheduling at any
+    * scale; prune + exact decimal normalization now run on the
+    * collected rows and the next round's model is a LocalRelation,
+    * which Catalyst folds and broadcasts with NO job). The
+    * word-frequency table is dictionary-scale but NOT bounded —
+    * distinct normalized words grow with the corpus (Heaps' law) — so
+    * it is never broadcast: its `freq` rides the (word, piece)
+    * candidate table, which is always the PROBE side of the
+    * vocabulary broadcast join (`broadcastModel` keeps its contract on
+    * the apply side — [[tokenizerCost]]'s word-stat join-back — where
+    * the unbounded table is the build side). Seed selection is a
+    * TakeOrdered top-k, never a global sort.
     *
     * Output: (piece, cnt, logp) after round `iters` — cnt the raw
     * final Viterbi count (0 for never-used alphabet chars), logp the
@@ -1374,33 +1382,59 @@ object TextAnalysis {
       .select(col("word"), col("freq"),
         col("word").substr(col("i"), col("l")).as("piece")))
     val sc = persist(subs.groupBy("piece").agg(sum("freq").as("cnt")))
-    val chars = sc.where(length(col("piece")) === 1).select("piece")
-    val multis = sc.where(length(col("piece")) > 1)
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+      LongType, DecimalType}
+    // The model tables here are BOUNDED — alphabet + ≤ seedSize rows —
+    // the same driver-state class as BPE's collected merge list and
+    // the k-means centroid tables (§5's bounded-collect contract).
+    // Holding the per-round vocabulary as driver rows / LocalRelations
+    // removes every per-round scheduling job the distributed form paid
+    // (broadcast builds, 1-row total exchanges, window prune,
+    // localCheckpoint writes): a LocalRelation model is folded by
+    // Catalyst at plan time and broadcast without running a job.
+    val pcSchema = StructType(Seq(StructField("piece", StringType),
+      StructField("cnt", LongType)))
+    def localPc(rows: Seq[(String, Long)]): DataFrame =
+      spark.createDataFrame(
+        rows.map { case (p, c) => Row(p, c): Row }.asJava, pcSchema)
+    val charRows: Seq[(String, Long)] = sc
+      .where(length(col("piece")) === 1).select("piece", "cnt")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val multiRows: Seq[(String, Long)] = sc
+      .where(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
-    val seed = sc.where(length(col("piece")) === 1).unionAll(multis)
-    val v0 = seed
-      .crossJoin(broadcast(seed.agg(sum("cnt").cast("double").as("tot"))))
+      .select("piece", "cnt")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val seedRows = charRows ++ multiRows
+    // Long sum then one double cast — exactly sum("cnt").cast("double")
+    val tot0 = seedRows.iterator.map(_._2).sum.toDouble
+    // logp stays a CATALYST expression over the LocalRelation (folded
+    // at plan time), so the log/floor-round bits are computed by the
+    // same expression evals as before — nothing numeric is re-derived
+    // in Scala except exact integer/decimal sums
+    val v0 = localPc(seedRows)
       .select(col("piece"),
-        fround(log(col("cnt").cast("double") / col("tot")), 6).as("logp"))
+        fround(log(col("cnt").cast("double") / lit(tot0)), 6).as("logp"))
+      .withColumn("cnt", lit(0L))
+    // alphabet floor rows for the per-round recount union
+    val charsZero = localPc(charRows.map { case (p, _) => (p, 0L) })
     // distinct (word, piece) feeds EVERY round's candidate join —
-    // persisted so the distinct shuffle runs once, not per round
-    val wp = persist(subs.select("word", "piece").distinct())
+    // persisted so the distinct shuffle runs once, not per round.
+    // `freq` rides along (functionally dependent on word — same row
+    // count, 8 bytes wider) so the round needs NO second join against
+    // the unbounded word-frequency table: the bounded vocabulary is
+    // always the BUILD side, the dictionary-scale candidate table
+    // always the probe side, at any corpus size.
+    val wp = persist(subs.select("word", "freq", "piece").distinct())
     // per-round exchanges are the price at many slots (the t34
-    // scheduling-floor class), so the round is built lean: ONE
-    // word-key rollup and two bounded piece aggs per round. The
-    // VOCABULARY is bounded (≤ alphabet + seedSize rows — a true
-    // unconditional broadcast); the word-FREQUENCY table is NOT:
-    // distinct normalized words grow with the corpus (Heaps' law — a
-    // web-scale crawl holds 10^8-10^9 distinct "words": typos, URLs,
-    // numbers), exactly the class t20's scaladoc and §4's size-gated
-    // rule forbid broadcasting unconditionally. `broadcastModel` is
-    // the t18/t21 knob: true = broadcast (the small-corpus fast
-    // path), false = a plain equi-join AQE plans (the 100 TB path —
-    // past the 8 GB exchange cap the plan degrades to a shuffle join
-    // instead of dying). Both legs are row-identical (RobustSpec).
+    // scheduling-floor class), so the round is built lean: one
+    // broadcast candidate join, ONE word-key rollup, one bounded
+    // piece agg, one driver collect.
     def emRound(v: DataFrame): DataFrame = {
       val pm = wp.join(broadcast(v.select("piece", "logp")), Seq("piece"))
-        .join(if (broadcastModel) broadcast(words) else words, Seq("word"))
         .groupBy("word")
         .agg(first(col("freq")).as("freq"),
           map_from_entries(collect_list(
@@ -1413,13 +1447,20 @@ object TextAnalysis {
       // segmentation merge with their counts; unused ones surface at
       // 0) — one partial agg where a full-outer join would shuffle
       // both sides
-      val sm = cnt.unionByName(chars.withColumn("cnt", lit(0L)))
+      val sm = cnt.unionByName(charsZero)
         .groupBy("piece").agg(sum("cnt").as("cnt"))
         .where(col("cnt") > 0 || length(col("piece")) === 1)
         .withColumn("cs", col("cnt").cast("decimal(18,1)") +
           when(length(col("piece")) === 1, lit(0.5)).otherwise(lit(0.0))
             .cast("decimal(18,1)"))
-      val kept = if (vocabSize <= 0) sm else {
+      // ONE action per round: the bounded piece table comes back to
+      // the driver; prune and the exact decimal total run on the
+      // collected rows (integer/decimal arithmetic — engine-exact by
+      // construction), and the next round's model is a LocalRelation.
+      val smRows: Seq[(String, Long, java.math.BigDecimal)] =
+        sm.select("piece", "cnt", "cs").collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      val keptRows = if (vocabSize <= 0) smRows else {
         // Kudo's vocabulary-shrink step in a deterministic form: keep
         // the TOP max(vocabSize, ceil(n_multis·shrinkFactor))
         // multi-char pieces by (cnt desc, piece asc) — count IS the
@@ -1428,33 +1469,41 @@ object TextAnalysis {
         // contribution order with an engine-exact integer tie-break,
         // replicable as row_number + a scalar-count filter in any
         // engine. The alphabet rides on top unconditionally
-        // (coverage). The rank's single-partition window is
-        // vocabulary-sized (the seed top-k class). sm would feed
-        // three consumers — localCheckpoint (bounded) so the round's
-        // Viterbi subtree runs once, not once per consumer.
-        val smc = sm.localCheckpoint(true)
-        val multis = smc.where(length(col("piece")) > 1)
-        multis
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("cnt").desc, col("piece"))))
-          .crossJoin(broadcast(multis.agg(count(lit(1)).as("nm"))))
-          .where(col("rn") <= greatest(lit(vocabSize.toLong),
-            ceil(col("nm") * lit(shrinkFactor))))
-          .select("piece", "cnt", "cs")
-          .unionByName(smc.where(length(col("piece")) === 1))
+        // (coverage). Piece-length and ordering semantics match the
+        // engine exactly: length() counts code points
+        // (codePointCount, not String.length) and the ascending piece
+        // tie-break is UTF8String binary order (= code-point order,
+        // which Java's UTF-16 compareTo is NOT beyond the BMP).
+        def nChars(s: String) = s.codePointCount(0, s.length)
+        val (chars1, multis) = smRows.partition(t => nChars(t._1) == 1)
+        val keep = math.max(vocabSize.toLong,
+          math.ceil(multis.size.toDouble * shrinkFactor).toLong)
+        val ord = new Ordering[(String, Long, java.math.BigDecimal)] {
+          def compare(a: (String, Long, java.math.BigDecimal),
+                      b: (String, Long, java.math.BigDecimal)): Int = {
+            val c = java.lang.Long.compare(b._2, a._2)
+            if (c != 0) c
+            else org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+              .compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(b._1))
+          }
+        }
+        multis.sorted(ord)
+          .take(math.min(keep, Int.MaxValue.toLong).toInt) ++ chars1
       }
-      kept.crossJoin(broadcast(kept.agg(sum("cs").cast("double").as("tot"))))
-        .select(col("piece"), col("cnt").cast("long").as("cnt"),
-          fround(log(col("cs").cast("double") / col("tot")), 6).as("logp"))
-        // the vocabulary is BOUNDED (≤ alphabet + seedSize rows) but
-        // its lineage holds the round's whole dp mega-expression —
-        // left in place, round r+1's plan embeds round r's tree and
-        // Catalyst re-optimizes the Viterbi expressions once per
-        // remaining round (measured 4.5-7 s at sf0.1 from planning
-        // alone). Truncate per round: each round plans only itself.
-        .localCheckpoint(true)
+      // exact decimal total (BigDecimal add ≡ Spark's Decimal sum),
+      // then the same single double cast the engine form applied
+      var tot = java.math.BigDecimal.ZERO
+      keptRows.foreach(t => tot = tot.add(t._3))
+      val totD = tot.doubleValue
+      val csSchema = StructType(Seq(StructField("piece", StringType),
+        StructField("cnt", LongType), StructField("cs", DecimalType(19, 1))))
+      spark.createDataFrame(
+        keptRows.map { case (p, c, s) => Row(p, c, s): Row }.asJava, csSchema)
+        .select(col("piece"), col("cnt"),
+          fround(log(col("cs").cast("double") / lit(totD)), 6).as("logp"))
     }
-    (1 to iters).foldLeft(v0.withColumn("cnt", lit(0L)))((v, _) => emRound(v))
+    (1 to iters).foldLeft(v0)((v, _) => emRound(v))
       .select("piece", "cnt", "logp")
   }
 
