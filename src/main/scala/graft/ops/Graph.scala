@@ -15,6 +15,57 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Edge-count bound under which [[connectedComponents]] solves the
+    * graph with a driver-side union-find instead of iterative
+    * distributed propagation — the broadcast-join decision applied to
+    * CC: Spark itself collects up to `autoBroadcastJoinThreshold`
+    * (10 MB) of runtime data to the driver whenever that makes the
+    * distributed plan collapse, and a ≤ 64 Ki-edge pair list (~1 MB of
+    * longs) is comfortably inside that class while the distributed
+    * alternative costs 6+ scheduled shuffle rounds REGARDLESS of
+    * cluster size (scheduling floor, not data). The gate is a runtime
+    * `count()` over the already-checkpointed pair table (one cheap
+    * job — the checkpoint scan the empty-input probe paid anyway), so
+    * at 100 TB, where edge sets are billions of rows, the distributed
+    * path runs exactly as before; the driver path exists for the
+    * contracted DELTA graphs of [[incrementalComponents]] (delta-sized
+    * by design) and the dictionary-scale entity/cluster graphs —
+    * the cases measured at 70-90 % pure scheduling overhead.
+    */
+  val DriverCcEdgeThreshold: Int = 1 << 16
+
+  /** Union-find with union-by-min over a collected pair list: returns
+    * (id, comp) with comp = min vertex id of the component — exactly
+    * [[connectedComponents]]'s labeling (min-label propagation's fixed
+    * point is unique, so the two paths are equal BY VALUE, asserted in
+    * GraphWinnowSpec). Attaching the larger root under the smaller
+    * keeps every root the component min; path halving bounds the scan.
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def add(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent.update(r, parent(parent(r))); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val rows: Seq[org.apache.spark.sql.Row] =
+      parent.keys.toArray.sorted.toSeq
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("comp", LongType))))
+  }
+
   /** Connected components by BLOCK-UNROLLED min-label propagation.
     *
     * Each propagation round takes, per vertex, the min component
@@ -66,10 +117,26 @@ object Graph {
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 64, blockRounds: Int = 6,
                           fallbackToAlternating: Boolean = true,
-                          firstBlockRounds: Int = -1): DataFrame = {
+                          firstBlockRounds: Int = -1,
+                          driverThreshold: Int = DriverCcEdgeThreshold): DataFrame = {
     val half = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)
+    // Size gate (see [[DriverCcEdgeThreshold]]): one count over the
+    // checkpointed pair table decides the path — it doubles as the
+    // empty-input probe, so the gate costs no extra job. NOTE the
+    // maxRounds/fallback contract is a property of the DISTRIBUTED
+    // algorithm: the driver path always converges (union-find has no
+    // round budget), so callers testing the non-convergence contract
+    // pass driverThreshold = 0.
+    if (driverThreshold > 0) {
+      val n = half.count()
+      if (n == 0)
+        return half.select(col("a").as("id"), col("a").as("comp"))
+      if (n <= driverThreshold)
+        return driverComponents(half.sparkSession,
+          half.collect().map(r => (r.getLong(0), r.getLong(1))))
+    }
     // empty graph: converged by definition. Short-circuit BEFORE any
     // observe-based block — an empty plan collapses under
     // PropagateEmptyRelation and takes its CollectMetrics nodes with
@@ -503,7 +570,8 @@ object Graph {
     */
   def incrementalComponents(labels: DataFrame, idCol: String, compCol: String,
                             newEdges: DataFrame, srcCol: String,
-                            dstCol: String, strict: Boolean = false): DataFrame = {
+                            dstCol: String, strict: Boolean = false,
+                            driverThreshold: Int = DriverCcEdgeThreshold): DataFrame = {
     // Precondition guard: correctness REQUIRES component-min labels
     // (the merge takes mins over labels∪ids, valid only when each
     // label IS the min member id). A labeling from another source with
@@ -560,7 +628,8 @@ object Graph {
         coalesce(col("cb"), col("b")).as("b"))
     // CC on the contracted graph: vertices are old labels + unseen new
     // ids; bounded by the delta, converges in O(delta diameter)
-    val merged = connectedComponents(mapped, "a", "b")
+    val merged = connectedComponents(mapped, "a", "b",
+        driverThreshold = driverThreshold)
       .select(col("id").as("comp0"), col("comp").as("newcomp"))
     // relabel rides a BROADCAST (delta-endpoint-sized by construction);
     // untouched components pass through on the left-join miss

@@ -73,11 +73,34 @@ class GraphWinnowSpec extends AnyFunSuite {
   test("connectedComponents is partitioning-invariant") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (3L, 5L))
       .toDF("id1", "id2")
-    val a = Graph.connectedComponents(pairs, "id1", "id2")
+    val a = Graph.connectedComponents(pairs, "id1", "id2", driverThreshold = 0)
       .orderBy("id").collect().toSeq
-    val b = Graph.connectedComponents(pairs.repartition(7), "id1", "id2")
+    val b = Graph.connectedComponents(pairs.repartition(7), "id1", "id2",
+        driverThreshold = 0)
       .orderBy("id").collect().toSeq
     assert(a == b)
+  }
+
+  test("driver union-find path equals distributed propagation labels " +
+    "(the size-gated small-graph path, r14)") {
+    // chains, a cycle, a self-pair-only vertex, disjoint singles —
+    // every structural case; the driver path (default threshold) must
+    // produce byte-equal labelings to the distributed path
+    // (driverThreshold = 0) because min-label CC has a unique fixed
+    // point. Also checked with the threshold exactly at / below the
+    // edge count (gate boundary).
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (100L, 101L), (77L, 77L), (50L, 60L), (60L, 55L), (55L, 50L)).toDF("id1", "id2")
+    val drv = Graph.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id").collect().toSeq
+    val dist = Graph.connectedComponents(pairs, "id1", "id2", driverThreshold = 0)
+      .orderBy("id").collect().toSeq
+    assert(drv == dist)
+    // below-threshold edge count must route distributed and still agree
+    val atGate = Graph.connectedComponents(pairs, "id1", "id2", driverThreshold = 3)
+      .orderBy("id").collect().toSeq
+    assert(atGate == dist)
   }
 
   test("connectedComponents on an empty pair set returns an empty frame") {
@@ -94,7 +117,7 @@ class GraphWinnowSpec extends AnyFunSuite {
     val chain = spark.range(99).select(col("id").as("id1"), (col("id") + 1).as("id2"))
       .union(Seq((777L, 777L)).toDF("id1", "id2"))
     val got = Graph.connectedComponents(chain, "id1", "id2",
-        maxRounds = 8, blockRounds = 4)
+        maxRounds = 8, blockRounds = 4, driverThreshold = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.size == 101 && got(777L) == 777L && got(99L) == 0L)
   }
@@ -136,12 +159,13 @@ class GraphWinnowSpec extends AnyFunSuite {
     // still return correct labels
     val chain = spark.range(99).select(col("id").as("id1"), (col("id") + 1).as("id2"))
     val got = Graph.connectedComponents(chain, "id1", "id2",
-      maxRounds = 8, blockRounds = 4)
+      maxRounds = 8, blockRounds = 4, driverThreshold = 0)
     assert(got.count() == 100L && got.filter(col("comp") =!= 0L).count() == 0L)
     // fail-fast contract preserved on request
     val e = intercept[IllegalArgumentException] {
       Graph.connectedComponents(chain, "id1", "id2",
-        maxRounds = 8, blockRounds = 4, fallbackToAlternating = false).count()
+        maxRounds = 8, blockRounds = 4, fallbackToAlternating = false,
+        driverThreshold = 0).count()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -154,7 +178,8 @@ class GraphWinnowSpec extends AnyFunSuite {
       (100L, 101L),
       (77L, 77L),
       (50L, 60L), (60L, 55L)).toDF("id1", "id2")
-    val prop = Graph.connectedComponents(pairs, "id1", "id2")
+    val prop = Graph.connectedComponents(pairs, "id1", "id2",
+        driverThreshold = 0)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val alt = Graph.connectedComponentsAlternating(pairs, "id1", "id2")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
