@@ -1576,15 +1576,17 @@ object TextAnalysis {
                                    maxPieceLen: Int, maxWordLen: Int,
                                    persistIntermediate: Boolean,
                                    broadcastModel: Boolean): DataFrame = {
-    def persist(df: DataFrame): DataFrame =
-      if (persistIntermediate)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+    // persistIntermediate kept for signature stability: since the r14
+    // left-join-miss rework every intermediate here has exactly one
+    // consumer, so there is nothing left to persist
+    val _ = persistIntermediate
     // deliberately NOT persisted: corpus-scale — see "Scale shape"
     val aw = docs.select(col(idCol).as("doc_id"),
       explode(text.tokens(
         graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
-    val wdist = persist(aw.select("word").distinct())
+    // single consumer since the r14 left-join-miss rework — a persist
+    // here would only add a cache write to the one pass that reads it
+    val wdist = aw.select("word").distinct()
     val wsub = wdist.where(length(col("word")) <= maxWordLen)
       .select(col("word"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
@@ -1593,18 +1595,24 @@ object TextAnalysis {
           least(lit(maxPieceLen), length(col("word")) - col("i") + 1))).as("l"))
       .select(col("word"), col("word").substr(col("i"), col("l")).as("piece"))
       .distinct()
-    val wpm = wsub.join(broadcast(vocab), Seq("piece"))
+    // Per-word stats for the words that HAVE candidate pieces only
+    // (r14): a word outside `wpm` — over-long (filtered from wsub) or
+    // containing no trained piece — had `pieces = []`, np = 0,
+    // unk = 1; that is exactly the LEFT-JOIN MISS of the final
+    // join-back, so the former dictionary-scale `wdist ⋈ wpm` join
+    // that materialized those zero rows is dropped and the misses are
+    // coalesced at the doc join instead (one less dictionary join,
+    // identical accounting — note a word whose dp fails has np = 0
+    // through the size() of the empty Viterbi array, same as a miss).
+    val wstat = wsub.join(broadcast(vocab), Seq("piece"))
       .groupBy("word").agg(map_from_entries(collect_list(
         struct(col("piece"), col("logp")))).as("m"))
-    val wstat = wdist.join(wpm, Seq("word"), "left")
       .select(col("word"),
-        when(length(col("word")) > maxWordLen || col("m").isNull,
-          array().cast("array<string>"))
-          .otherwise(viterbiPieces(col("word"), col("m"), maxPieceLen))
-          .as("pieces"))
-      .select(col("word"), size(col("pieces")).cast("long").as("np"),
-        when(size(col("pieces")) === 0, 1L).otherwise(0L).as("unk"))
-    aw.join(if (broadcastModel) broadcast(wstat) else wstat, Seq("word"))
+        size(viterbiPieces(col("word"), col("m"), maxPieceLen))
+          .cast("long").as("np"))
+    aw.join(if (broadcastModel) broadcast(wstat) else wstat, Seq("word"), "left")
+      .select(col("doc_id"), coalesce(col("np"), lit(0L)).as("np"),
+        when(coalesce(col("np"), lit(0L)) === 0, 1L).otherwise(0L).as("unk"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("np").as("np"),
         sum("unk").as("unk"))
