@@ -361,7 +361,8 @@ object Graph {
     * iteration count. Driver state is one Long (N).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
-               damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 5,
+               driverThreshold: Int = DriverCcEdgeThreshold): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
@@ -374,6 +375,32 @@ object Graph {
       .localCheckpoint(true)
     val n = ids.count()
     require(n > 0, "pageRank needs a non-empty node table")
+    // Size gate (the [[DriverCcEdgeThreshold]] broadcast-class rule,
+    // r14): a fixed-iteration 6dp-rounded PR over a bounded graph is a
+    // pure integer/micro-unit recurrence — every arithmetic step below
+    // is replicated EXACTLY (same double ops in the same order, decimal
+    // sums as long micros), so driver and distributed states are equal
+    // by value (parity spec in GraphWinnowSpec). Gated additionally on
+    // LONG ids, no nulls and distinct node ids — anything else falls
+    // through to the distributed path rather than risking divergent
+    // join semantics.
+    if (driverThreshold > 0 && n <= driverThreshold &&
+        ids.schema.head.dataType == org.apache.spark.sql.types.LongType &&
+        e.schema.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      val m = e.count()
+      if (m <= driverThreshold) {
+        val idRows = ids.collect()
+        val eRows = e.collect()
+        if (idRows.forall(!_.isNullAt(0)) &&
+            eRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
+            idRows.length == idRows.iterator.map(_.getLong(0)).toSet.size) {
+          return driverPageRank(nodes.sparkSession,
+            idRows.map(_.getLong(0)),
+            eRows.map(r => (r.getLong(0), r.getLong(1))),
+            n, iters, damping)
+        }
+      }
+    }
     val teleport = (1.0 - damping) / n
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     var state = ids.join(deg, Seq("id"), "left")
@@ -396,6 +423,68 @@ object Graph {
         else next
     }
     state
+  }
+
+  /** The driver replication of [[pageRank]]'s per-iteration arithmetic
+    * — bit-exact by construction:
+    *  - `fround(x, 6)` = `floor(x·1e6 + 0.5).toLong / 1e6` (Catalyst
+    *    Floor on double yields LONG; the divide promotes to double);
+    *  - the contribution cast double → decimal(18,6) is
+    *    `java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP)`
+    *    (Catalyst Cast goes through scala BigDecimal(d) =
+    *    valueOf(d), then changePrecision HALF_UP) — held as long
+    *    MICRO-units;
+    *  - the per-dst decimal sum is a long micro sum (exact, order-free
+    *    — the reason the distributed form is replicable at all);
+    *  - `s.cast(double)` = BigDecimal.valueOf(micros, 6).doubleValue;
+    *  - pr' = fround(teleport + damping·s, 6) with the same
+    *    association.
+    * Join semantics replicated: deg counts EVERY edge row (duplicates
+    * vote twice, as in the DF form); contributions only flow from
+    * srcs that are nodes; dsts outside the node table are dropped at
+    * the state join.
+    */
+  private def driverPageRank(spark: org.apache.spark.sql.SparkSession,
+                             ids: Array[Long], edges: Array[(Long, Long)],
+                             n: Long, iters: Int,
+                             damping: Double): DataFrame = {
+    val teleport = (1.0 - damping) / n
+    def fround6(x: Double): Double = math.floor(x * 1e6 + 0.5).toLong.toDouble / 1e6
+    def toMicros(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    val idSet = new java.util.HashSet[Long](ids.length * 2)
+    ids.foreach(idSet.add)
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+    val pr = scala.collection.mutable.LongMap.empty[Double]
+    val pr0 = fround6(1.0 / n)
+    ids.foreach(id => pr.update(id, pr0))
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        // inner-join semantics: only srcs present in the state emit
+        if (idSet.contains(s))
+          sums.update(d, sums.getOrElse(d, 0L) +
+            toMicros(fround6(pr(s) / deg(s))))
+      }
+      ids.foreach { id =>
+        val s = sums.get(id) match {
+          case Some(micros) =>
+            java.math.BigDecimal.valueOf(micros, 6).doubleValue
+          case None => 0.0
+        }
+        pr.update(id, fround6(teleport + damping * s))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val rows: Seq[org.apache.spark.sql.Row] = ids.toSeq.map(id =>
+      org.apache.spark.sql.Row(id, deg.getOrElse(id, 0L), pr(id)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("deg", LongType),
+      StructField("pr", DoubleType))))
   }
 
   /** Per-vertex triangle count + local clustering coefficient over an
@@ -506,7 +595,8 @@ object Graph {
     * community label and its community size.
     */
   def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3, checkpointEvery: Int = 2): DataFrame = {
+                       iters: Int = 3, checkpointEvery: Int = 2,
+                       driverThreshold: Int = DriverCcEdgeThreshold): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -520,6 +610,22 @@ object Graph {
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    // Size gate (the [[DriverCcEdgeThreshold]] broadcast-class rule,
+    // r14): synchronous LPA with the fixed (max count, min label)
+    // tie-break is pure integer arithmetic — a bounded edge set is
+    // solved on the driver with the identical vote/argmax recurrence
+    // (parity spec in GraphWinnowSpec). LONG ids only; anything else
+    // (or any null endpoint) falls through to the distributed path.
+    if (driverThreshold > 0 &&
+        e.schema.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      val m = e.count()
+      if (m <= driverThreshold) {
+        val eRows = e.collect()
+        if (eRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+          return driverLabelProp(pairs.sparkSession,
+            eRows.map(r => (r.getLong(0), r.getLong(1))), iters)
+      }
+    }
     var state = e.select(col("src").as("id"))
       .distinct().withColumn("label", col("id"))
     for (i <- 1 to iters) {
@@ -541,6 +647,51 @@ object Graph {
     }
     val sizes = state.groupBy("label").agg(count(lit(1)).as("n_members"))
     state.join(sizes, Seq("label")).select("id", "label", "n_members")
+  }
+
+  /** The driver replication of [[labelPropagation]]'s synchronous
+    * vote/argmax recurrence — pure integer arithmetic, so equality
+    * with the distributed form is by value: edges arrive already
+    * canonicalized + deduped + expanded to both directions (the
+    * collected checkpoint), every endpoint starts labeled with itself,
+    * each round counts in-neighbor label votes per vertex and keeps
+    * (max count, min label). Community sizes are counted over the
+    * final labels exactly like the closing groupBy.
+    */
+  private def driverLabelProp(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[(Long, Long)],
+                              iters: Int): DataFrame = {
+    var label = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (s, _) => label.update(s, s) }
+    for (_ <- 1 to iters) {
+      // votes per (dst, label); then argmax by (count desc, label asc)
+      val votes = new java.util.HashMap[(Long, Long), Long]()
+      edges.foreach { case (s, d) =>
+        val k = (d, label(s))
+        votes.merge(k, 1L, (a, b) => a + b)
+      }
+      val next = scala.collection.mutable.LongMap.empty[(Long, Long)]
+      votes.forEach { (k, c) =>
+        val (d, l) = k
+        next.get(d) match {
+          case Some((bc, bl)) if bc > c || (bc == c && bl <= l) => ()
+          case _ => next.update(d, (c, l))
+        }
+      }
+      val out = scala.collection.mutable.LongMap.empty[Long]
+      next.foreach { case (d, (_, l)) => out.update(d, l) }
+      label = out
+    }
+    val sizes = scala.collection.mutable.LongMap.empty[Long]
+    label.foreach { case (_, l) => sizes.update(l, sizes.getOrElse(l, 0L) + 1L) }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val rows: Seq[org.apache.spark.sql.Row] =
+      label.toSeq.sortBy(_._1).map { case (id, l) =>
+        org.apache.spark.sql.Row(id, l, sizes(l)) }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("label", LongType),
+      StructField("n_members", LongType))))
   }
 
   /** INCREMENTAL connected components: merge a batch of NEW edges into

@@ -103,6 +103,33 @@ class GraphWinnowSpec extends AnyFunSuite {
     assert(atGate == dist)
   }
 
+  test("pageRank and labelPropagation driver paths equal the distributed " +
+    "iterations (size-gated small-graph paths, r14)") {
+    // pageRank: duplicate edges (vote twice), a sink (no out-edges), a
+    // source (no in-edges), a self-loop — every join-semantics case;
+    // the driver recurrence must reproduce the distributed doubles
+    // BIT-FOR-BIT (6dp rounds + exact decimal sums make the recurrence
+    // engine-exact, which is what makes this replication legal)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (4L, 4L),
+      (1L, 5L), (9L, 1L)).toDF("src", "dst")
+    val drv = Graph.pageRank(nodes, edges, iters = 3)
+      .orderBy("id").collect().toSeq
+    val dist = Graph.pageRank(nodes, edges, iters = 3, driverThreshold = 0)
+      .orderBy("id").collect().toSeq
+    assert(drv == dist)
+    // labelPropagation: two communities joined by one bridge + a
+    // repeated pair (must vote once per direction after the dedup)
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("id1", "id2")
+    val drvL = Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+      .orderBy("id").collect().toSeq
+    val distL = Graph.labelPropagation(pairs, "id1", "id2", iters = 3,
+        driverThreshold = 0)
+      .orderBy("id").collect().toSeq
+    assert(drvL == distL)
+  }
+
   test("connectedComponents on an empty pair set returns an empty frame") {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Graph.connectedComponents(pairs, "id1", "id2").count() == 0L)
