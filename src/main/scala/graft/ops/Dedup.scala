@@ -232,6 +232,19 @@ object Dedup {
           least(col("a.n"), col("b.n")).cast("double") >=
           greatest(col("a.n"), col("b.n")).cast("double") * jaccardThreshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      // Pin the dedup shuffle at the session's configured parallelism
+      // (r14): the candidate table is BYTE-slim but each surviving row
+      // pays a 128-slot signature intersect downstream, and AQE sizes
+      // post-shuffle partitions by bytes — measured at sf0.1 it
+      // coalesced the verify stage to 3 tasks of ~0.6 s each on a
+      // 32-slot session (the whole op's dominant wall). An explicit
+      // REPARTITION_BY_NUM on the dedup keys is exempt from AQE
+      // coalescing, satisfies the dedup aggregate's clustering (so it
+      // ADDS no exchange — it replaces the ENSURE_REQUIREMENTS one),
+      // and at cluster scale reproduces exactly what static planning
+      // did before AQE: numShufflePartitions verify tasks.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
     (hashed, candidates)
   }
