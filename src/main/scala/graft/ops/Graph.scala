@@ -133,9 +133,16 @@ object Graph {
       val n = half.count()
       if (n == 0)
         return half.select(col("a").as("id"), col("a").as("comp"))
-      if (n <= driverThreshold)
-        return driverComponents(half.sparkSession,
-          half.collect().map(r => (r.getLong(0), r.getLong(1))))
+      if (n <= driverThreshold) {
+        val rows = half.collect()
+        // null endpoints (null inputs, or non-numeric ids the long cast
+        // nulled) fall through to the distributed path — the PR/LPA
+        // gates' rule, so a small dirty graph keeps the distributed
+        // semantics instead of throwing on the driver.
+        if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+          return driverComponents(half.sparkSession,
+            rows.map(r => (r.getLong(0), r.getLong(1))))
+      }
     }
     // empty graph: converged by definition. Short-circuit BEFORE any
     // observe-based block — an empty plan collapses under

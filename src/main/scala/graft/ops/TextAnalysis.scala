@@ -1340,7 +1340,13 @@ object TextAnalysis {
                      broadcastModel: Boolean = true,
                      vocabSize: Int = 0,
                      shrinkFactor: Double = 0.75): DataFrame = {
-    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    // upper bound = the broadcast-relation class the driver-side model
+    // state is justified by (the DriverCcEdgeThreshold rule): every EM
+    // round collects alphabet + seedSize rows, so an unbounded seedSize
+    // would turn the bounded-model contract into an arbitrary driver
+    // collect.
+    require(seedSize >= 1 && seedSize <= 65536,
+      s"seedSize must be in [1, 65536], got $seedSize")
     require(maxPieceLen >= 2 && maxPieceLen <= 8,
       s"maxPieceLen must be in [2, 8], got $maxPieceLen")
     require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
@@ -1349,6 +1355,11 @@ object TextAnalysis {
     require(vocabSize >= 0, s"vocabSize must be >= 0, got $vocabSize")
     require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
       s"shrinkFactor must be in (0, 1), got $shrinkFactor")
+    // broadcastModel kept for signature stability: since the r14
+    // driver-collapse the training rounds hold the vocabulary as a
+    // LocalRelation (always the folded build side), so the knob only
+    // has meaning on the APPLY side (segmentCostWithVocab)
+    val _ = broadcastModel
     def persist(df: DataFrame): DataFrame =
       if (persistIntermediate)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -29,8 +29,13 @@ object PlanDump {
       val df = fn(spark, sfDir)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      // run it so the AQE-final plan is available
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS df's own QueryExecution (a noop write would wrap
+      // the logical plan in a fresh QE, leaving df.queryExecution's
+      // adaptive plan unexecuted — the r14 dumps all read
+      // isFinalPlan=false). toRdd executes the AdaptiveSparkPlanExec,
+      // so executedPlan afterwards is the final re-optimized plan;
+      // iterators are drained so the last stage really computes.
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
       val finalPlan = df.queryExecution.executedPlan.toString
       val text = s"== $name @ $sfDir ==\n\n--- explain(formatted), initial ---\n" +
         formatted + "\n--- executedPlan after AQE run ---\n" + finalPlan + "\n"

@@ -27,20 +27,25 @@ object ProfileJobs {
     case class J(id: Int, start: Long, var end: Long = 0L,
                  var desc: String = "", var stages: Int = 0, var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap[Int, J]()
+    val stageToJob = mutable.HashMap[Int, Int]()
     @volatile var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (recording) {
         val d = Option(e.properties).map(_.getProperty("spark.job.description"))
           .flatMap(Option(_)).getOrElse("")
-        jobs.synchronized { jobs(e.jobId) = J(e.jobId, e.time, desc = d) }
+        jobs.synchronized {
+          jobs(e.jobId) = J(e.jobId, e.time, desc = d)
+          // stage→job map from the job's own stageInfos: AQE broadcast
+          // jobs overlap even in local mode, so "most recent job" can
+          // credit a stage to the wrong job
+          e.stageInfos.foreach(si => stageToJob(si.stageId) = e.jobId)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          // attribute the stage to the most recent open job (local mode,
-          // single query at a time — good enough for a profile)
-          jobs.values.lastOption.foreach { j =>
+          stageToJob.get(e.stageInfo.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1; j.tasks += e.stageInfo.numTasks
           }
         }
