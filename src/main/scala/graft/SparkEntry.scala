@@ -967,7 +967,7 @@ object SparkEntry {
       // boilerplate-heavy domains from dominating the selection
       val docs = Tables(s, dir).documents
       val scored = docs.select(col("source"), col("doc_id"),
-        text.qualityScore(col("text")).as("quality"))
+        TextAnalysis.qualityScoreOf(docs)(col("text")).as("quality"))
       Curation.sourceCap(scored, "doc_id", "source", "quality", 10)
         .orderBy("grp", "rank")
     }),
@@ -1152,8 +1152,9 @@ object SparkEntry {
       // per-language robust (median/IQR) normalization of the t2
       // quality signal — makes scores comparable across languages
       // before one global threshold/ranking consumes them
-      val scored = Tables(s, dir).documents.select(col("doc_id"),
-        col("lang"), text.qualityScore(col("text")).as("quality"))
+      val docs = Tables(s, dir).documents
+      val scored = docs.select(col("doc_id"),
+        col("lang"), TextAnalysis.qualityScoreOf(docs)(col("text")).as("quality"))
       TextAnalysis.normalizeScores(scored, "doc_id", "lang", "quality")
         .select(col("id").as("doc_id"), col("grp").as("lang"),
           col("score").as("quality"), col("norm_score"))
@@ -1633,6 +1634,40 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "g5_cc_distributed" -> ((s, dir) => {
+      // g4's computation with the driver size gate OFF
+      // (driverThreshold = 0): the oracle twin that keeps the
+      // DISTRIBUTED CC recurrence (block-unrolled min-label
+      // propagation + contracted delta merge) oracle-checked at SFs
+      // where the ≤64Ki-edge gate otherwise always routes to the
+      // driver union-find. Same rows as g4 by construction (min-label
+      // CC has a unique fixed point); shares g4's oracle SQL.
+      val pairs = Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings,
+          "embedding", "vec_id", "label", 0.35)
+        .localCheckpoint(true)
+      val isOld = pmod(col("id1") * 31 + col("id2"), lit(10)) < 7
+      val base = Graph.connectedComponents(pairs.where(isOld), "id1", "id2",
+        driverThreshold = 0)
+      Graph.incrementalComponents(base, "id", "comp",
+          pairs.where(!isOld), "id1", "id2", driverThreshold = 0)
+        .select(col("id"), col("comp").as("component"))
+        .orderBy("id")
+    }),
+
+    "g6_pagerank_distributed" -> ((s, dir) => {
+      // g1's computation with the driver size gate OFF — the oracle
+      // twin for the DISTRIBUTED PageRank recurrence (per-round
+      // contribution join + decimal-exact partial-agg sum). Same rows
+      // as g1 by construction (the driver recurrence replicates the
+      // engine arithmetic step-for-step); shares g1's oracle SQL.
+      val docs = Tables(s, dir).documents
+      Graph.pageRank(docs.select("doc_id"),
+          Dedup.chunkShareEdges(docs, "text", "doc_id", chunkTokens = 20),
+          iters = 3, driverThreshold = 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "s9_range_search" -> ((s, dir) => {
       // radius query: ALL neighbors above a cosine floor — a pure map
       // over the corpus scan, no ranking state at all
@@ -1668,8 +1703,9 @@ object SparkEntry {
     "t31_weighted_sample" -> ((s, dir) => {
       // quality-weighted per-language top-k sample: deterministic A-ES
       // order under a hash-derived u — inclusion ∝ weight, no RNG
-      val scored = Tables(s, dir).documents.select(col("doc_id"),
-        col("lang"), text.qualityScore(col("text")).as("quality"))
+      val docs = Tables(s, dir).documents
+      val scored = docs.select(col("doc_id"),
+        col("lang"), TextAnalysis.qualityScoreOf(docs)(col("text")).as("quality"))
       Curation.weightedSample(scored, "doc_id", "lang", "quality", "ws", 20)
         .orderBy("grp", "rank")
     }),
@@ -2043,7 +2079,19 @@ object SparkEntry {
             round(cos, 4) AS cosine
           FROM r WHERE rank <= 5 ORDER BY id, rank"""
 
-  def oracleSql: Map[String, String] = Map(
+  /** The g5/g6 twins run the same computations as g4/g1 with the
+    * driver size gate OFF (`driverThreshold = 0`), so the DISTRIBUTED
+    * CC/PageRank recurrences are oracle-checked at the SFs where the
+    * gate otherwise always fires (VERDICT r14 item: the distributed
+    * graph path was oracle-dark, covered only by ScalaTest parity).
+    * Driver and distributed labelings are equal by construction, so
+    * the twins share g4/g1's oracle SQL verbatim.
+    */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "g5_cc_distributed" -> oracleSqlBase("g4_cc_incremental"),
+    "g6_pagerank_distributed" -> oracleSqlBase("g1_pagerank"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,

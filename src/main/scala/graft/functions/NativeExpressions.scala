@@ -560,6 +560,140 @@ object NativeKernels {
     UTF8String.fromBytes(out, 0, outLen)
   }
 
+  /** Marker word lists shared with [[graft.functions.text]] — the
+    * token-vs-marker compares below must see exactly the words the
+    * expression fallbacks use.
+    */
+  private val MarkerSets: Array[Array[Array[Byte]]] = Array(
+    Array("the", "a", "and", "of", "to", "in", "is"),
+    Array("el", "la", "de", "que", "y", "los"),
+    Array("le", "la", "de", "et", "les", "des"),
+    Array("der", "die", "und", "das", "ein", "zu")
+  ).map(_.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+  private val MarkerU8: Array[Array[UTF8String]] = MarkerSets
+    .map(_.map(b => UTF8String.fromBytes(b)))
+
+  /** One-pass text statistics feeding the quality/language heuristics
+    * (`text.qualityScore`, `Curation.qualityFilter`, `text.langId`):
+    * (n_tokens, sum_tok_len, max_tok_len, hits_en, hits_es, hits_fr,
+    * hits_de, n_punct, n_digit, n_chars). The expression forms
+    * re-tokenize the text once per statistic (4 regex splits + 2
+    * regexp_replace passes per qualityScore evaluation — the measured
+    * map-stage wall of t2/t31/t43/c3); this kernel computes all ten in
+    * ONE byte scan.
+    *
+    * Exact-replication contract (each field equals its expression twin
+    * for EVERY input):
+    *  - tokens = `split(trim(s), "\\s+", -1)` semantics over the
+    *    SPACE-trimmed string (trim removes 0x20 only): a leading
+    *    whitespace run yields one empty token, a trailing run yields a
+    *    trailing empty token (Java split keeps trailing empties at
+    *    limit -1), interior runs yield none; the all-space / empty /
+    *    null cases yield ZERO tokens (the `text.tokens` guard).
+    *    Whitespace = Java regex `\s` = {0x09,0x0A,0x0B,0x0C,0x0D,0x20}
+    *    (ASCII-only, so the byte scan is UTF-8-safe).
+    *  - token lengths count CODE POINTS (Spark `length`).
+    *  - marker hits compare each token LOWERCASED against the marker
+    *    lists (`tokens(lower(s))` — lowercasing never creates or
+    *    removes whitespace, so token boundaries are unchanged); an
+    *    all-ASCII token lowercases bytewise, any non-ASCII token takes
+    *    the exact slow path (UTF8String.toLowerCase — Spark's own
+    *    `lower`), so exotic case foldings (U+212A KELVIN SIGN → 'k')
+    *    agree with the expression form.
+    *  - n_punct / n_digit count `[.,;:!?]` / `[0-9]` code points over
+    *    the RAW (untrimmed) string — the `matchCount` length-difference
+    *    arithmetic; n_chars = `length(s)` of the raw string.
+    */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nChars = 0
+    var nPunct = 0L
+    var nDigit = 0L
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      if ((c & 0xc0) != 0x80) nChars += 1
+      if (c >= '0' && c <= '9') nDigit += 1
+      else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+        nPunct += 1
+      i += 1
+    }
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi && b(lo) == ' ') lo += 1
+    while (hi >= lo && b(hi) == ' ') hi -= 1
+    var nTok = 0L
+    var sumLen = 0L
+    var maxLen = 0
+    val hits = new Array[Long](4)
+    @inline def ws(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+    def emit(start: Int, end: Int): Unit = {
+      nTok += 1
+      var len = 0
+      var ascii = true
+      var j = start
+      while (j < end) {
+        val c = b(j) & 0xff
+        if ((c & 0xc0) != 0x80) len += 1
+        if (c >= 0x80) ascii = false
+        j += 1
+      }
+      sumLen += len
+      if (len > maxLen) maxLen = len
+      val byteLen = end - start
+      if (ascii && byteLen >= 1 && byteLen <= 3) {
+        // lowercase bytewise and compare against the (≤3-byte) markers
+        val t0 = { val c = b(start); if (c >= 'A' && c <= 'Z') (c + 32).toByte else c }
+        val t1 = if (byteLen > 1) { val c = b(start + 1); if (c >= 'A' && c <= 'Z') (c + 32).toByte else c } else 0
+        val t2 = if (byteLen > 2) { val c = b(start + 2); if (c >= 'A' && c <= 'Z') (c + 32).toByte else c } else 0
+        var set = 0
+        while (set < 4) {
+          val ms = MarkerSets(set)
+          var m = 0
+          var found = false
+          while (!found && m < ms.length) {
+            val mk = ms(m)
+            found = mk.length == byteLen && mk(0) == t0 &&
+              (byteLen < 2 || mk(1) == t1) && (byteLen < 3 || mk(2) == t2)
+            m += 1
+          }
+          if (found) hits(set) += 1
+          set += 1
+        }
+      } else if (!ascii) {
+        // exact slow path: Spark's own lower(), equality on UTF8String
+        val low = UTF8String.fromBytes(b, start, byteLen).toLowerCase
+        var set = 0
+        while (set < 4) {
+          val ms = MarkerU8(set)
+          var m = 0
+          var found = false
+          while (!found && m < ms.length) { found = ms(m).equals(low); m += 1 }
+          if (found) hits(set) += 1
+          set += 1
+        }
+      }
+    }
+    if (lo <= hi) {
+      var p = lo
+      var tokStart = lo
+      while (p <= hi) {
+        if (ws(b(p))) {
+          emit(tokStart, p)
+          p += 1
+          while (p <= hi && ws(b(p))) p += 1
+          tokStart = p
+        } else p += 1
+      }
+      emit(tokStart, hi + 1)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, sumLen, maxLen,
+        hits(0), hits(1), hits(2), hits(3), nPunct, nDigit, nChars))
+  }
+
   /** Winnowing fingerprint selection (the MOSS scheme) in ONE compiled
     * O(len) pass: base-31 mod-1e9+7 rolling k-gram hashes, then a
     * monotonic-deque sliding-window minimum with rightmost tie-break.
@@ -779,6 +913,40 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression with Exp
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
     copy(child = newChild)
+}
+
+/** `graft_text_stats(string) -> struct<n_tokens,sum_tok_len,
+  * max_tok_len,hits_en,hits_es,hits_fr,hits_de,n_punct,n_digit,
+  * n_chars>` — see [[NativeKernels.textStats]].
+  */
+case class TextStatsExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = TextStatsExpr.Schema
+  override def prettyName: String = "graft_text_stats"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.textStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.NativeKernels.textStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
+object TextStatsExpr {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_tok_len", LongType, nullable = false),
+    StructField("max_tok_len", IntegerType, nullable = false),
+    StructField("hits_en", LongType, nullable = false),
+    StructField("hits_es", LongType, nullable = false),
+    StructField("hits_fr", LongType, nullable = false),
+    StructField("hits_de", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
 }
 
 /** `graft_simhash64(array<bigint>) -> bigint` */

@@ -74,6 +74,48 @@ object text {
     num.fround(raw, 4)
   }
 
+  /** [[qualityScore]] computed from ONE `graft_text_stats` struct —
+    * the same when/least tree over the same integer inputs, so the
+    * doubles are bit-identical to the expression form for every input
+    * (a null text yields a null struct; the coalesces replicate
+    * `tokens(null) = []` → zero counts, while the punct/digit branches
+    * keep `length(null)`'s null propagation — the exact null surface
+    * of the regex chain).
+    */
+  def qualityScoreFromStats(c: Column, stats: Column): Column = {
+    val nL = coalesce(stats.getField("n_tokens"), lit(0L))
+    val n = nL.cast("double")
+    val lenTerm = least(n / lit(100.0), lit(1.0))
+    val hits = coalesce(stats.getField("hits_en"), lit(0L))
+    val stopRatio = when(nL === 0, lit(0.0)).otherwise(hits.cast("double") / nL)
+    val stop = least(stopRatio * lit(5.0), lit(1.0))
+    val punct = when(length(c) === 0, lit(0.0))
+      .otherwise(stats.getField("n_punct").cast("double") / length(c))
+    val digits = when(length(c) === 0, lit(0.0))
+      .otherwise(stats.getField("n_digit").cast("double") / length(c))
+    val raw = lit(0.4) * lenTerm + lit(0.4) * stop +
+      lit(0.2) * (lit(1.0) - least((punct + digits) * lit(5.0), lit(1.0)))
+    num.fround(raw, 4)
+  }
+
+  /** [[langId]] computed from ONE `graft_text_stats` struct — same
+    * greatest/priority tree over the same integer hit counts (null
+    * text coalesces to zero hits → 'und', matching markerHits over
+    * `tokens(null) = []`).
+    */
+  def langIdFromStats(stats: Column): Column = {
+    val en = coalesce(stats.getField("hits_en"), lit(0L))
+    val es = coalesce(stats.getField("hits_es"), lit(0L))
+    val fr = coalesce(stats.getField("hits_fr"), lit(0L))
+    val de = coalesce(stats.getField("hits_de"), lit(0L))
+    val m = greatest(en, es, fr, de)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(es === m, lit("es"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
   /** Stopword-marker voting language ID → 'en'/'es'/'fr'/'de'/'und'.
     * N-gram-free heuristic (the reference corpus is synthetic); ties
     * and zero-evidence both resolve deterministically.

@@ -221,17 +221,33 @@ object Curation {
     // same way (IEEE nearest-even) in every engine, the division is
     // an exact power-of-two scale
     val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
-    val scored = df
-      .filter(col(weightCol) > 0.0)
-      .select(col(groupCol).as("grp"), col(idCol).as("id"),
-        (fround(log(u), 6) / col(weightCol)).as("skey"))
+    // Par.widen: the weight expression callers pass is typically the
+    // operator's dominant cost (t31's qualityScore — 4 regex splits +
+    // 2 regexp_replace per row), and a single-row-group input
+    // otherwise evaluates it on one scan split (measured r15 at sf1:
+    // one 5.5 s two-task job on a 32-slot session).
+    val wide = Par.widen(df)
     if (Native.enabled(df, "graft_topk")) {
+      // The weight>0 cut is folded into skey as a NULL (graft_topk
+      // skips null scores — row-identical to the filter) instead of a
+      // separate Filter: a deterministic filter on the derived weight
+      // column is pushed below the widening exchange and re-evaluates
+      // the full weight expression on the narrow scan split (§4.4's
+      // duplicate-evaluation, measured as the t31 wall).
+      val scored = wide
+        .select(col(groupCol).as("grp"), col(idCol).as("id"),
+          when(col(weightCol) > 0.0, fround(log(u), 6) / col(weightCol))
+            .as("skey"))
       scored.groupBy("grp")
         .agg(call_function("graft_topk", col("skey"), col("id"), lit(k)).as("topk"))
         .select(col("grp"), posexplode(col("topk")))
         .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("id"), fround(col("col.score"), 6).as("skey"))
     } else {
+      val scored = wide
+        .filter(col(weightCol) > 0.0)
+        .select(col(groupCol).as("grp"), col(idCol).as("id"),
+          (fround(log(u), 6) / col(weightCol)).as("skey"))
       val w = Window.partitionBy("grp").orderBy(col("skey").desc, col("id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -477,22 +493,43 @@ object Curation {
                     minStopwords: Long = 1, maxDigitRatio: Double = 0.3,
                     maxWordLen: Long = 30,
                     passthrough: Seq[String] = Nil): DataFrame = {
-    val toksed = df.select(Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
-      text.tokens(col(textCol)).as("toks")) ++ passthrough.map(col): _*)
-    val n = size(col("toks")).cast("long")
+    // Native path: every rule bit feeds off ONE graft_text_stats pass
+    // (the regex/HOF forms re-tokenize per rule — the measured c3 scan
+    // wall once the keep filter is pushed to the source). Values are
+    // bit-identical: coalesces replicate `tokens(null) = []` → zero
+    // counts, digitRatio keeps length(null)'s null propagation.
+    val native = Native.enabled(df, "graft_text_stats")
+    val toksed =
+      if (native)
+        df.withColumn("graft_stats", call_function("graft_text_stats", col(textCol)))
+          .select(Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
+            col("graft_stats")) ++ passthrough.map(col): _*)
+      else df.select(Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        text.tokens(col(textCol)).as("toks")) ++ passthrough.map(col): _*)
+    val n =
+      if (native) coalesce(col("graft_stats.n_tokens"), lit(0L))
+      else size(col("toks")).cast("long")
     val meanWordLen = when(n === 0, 0.0)
-      .otherwise(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+      .otherwise((if (native) col("graft_stats.sum_tok_len")
+                  else aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
         .cast("double") / n)
-    val maxWord = coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+    val maxWord =
+      if (native) coalesce(col("graft_stats.max_tok_len"), lit(0))
+      else coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+    val stopHits =
+      if (native) coalesce(col("graft_stats.hits_en"), lit(0L))
+      else text.markerHits(col("txt"), text.EnMarkers)
+    val digitCnt =
+      if (native) col("graft_stats.n_digit") else text.digitCount(col("txt"))
     val digitRatio = when(length(col("txt")) === 0, 0.0)
-      .otherwise(text.digitCount(col("txt")).cast("double") / length(col("txt")))
+      .otherwise(digitCnt.cast("double") / length(col("txt")))
     val bit = (c: Column) => when(c, 1).otherwise(0)
     toksed.select(Seq(
         col("doc_id"),
         n.as("n_tokens"),
         bit(n >= minTokens && n <= maxTokens).as("r_len"),
         bit(meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen).as("r_word_len"),
-        bit(text.markerHits(col("txt"), text.EnMarkers) >= minStopwords).as("r_stop"),
+        bit(stopHits >= minStopwords).as("r_stop"),
         bit(digitRatio < maxDigitRatio).as("r_digit"),
         bit(maxWord <= maxWordLen).as("r_max_word"))
         ++ passthrough.map(col): _*)
@@ -776,7 +813,9 @@ object Curation {
     // scrub → split CHAIN map-only with the needed columns carried
     // through (`passthrough`). Output identical row-for-row — the
     // same verdicts on the same texts — under the same oracle.
-    val fpd = docs.select(col(idCol), col(langCol), col(textCol),
+    // Par.widen: fingerprint + the downstream quality/scrub chain are
+    // map-heavy — keep them off a single scan split (see Par.widen)
+    val fpd = Par.widen(docs).select(col(idCol), col(langCol), col(textCol),
       md5(Native.normOf(docs)(col(textCol))).as("graft_fp"))
     val canon = fpd.groupBy("graft_fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
@@ -822,7 +861,9 @@ object Curation {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val norm = Native.normOf(docs)
     val fold = Native.md5FoldOf(docs)
-    val toks = docs.withColumn("graft_norm", norm(col(textCol)))
+    // Par.widen: the tokenize + per-feature hash pass is the dominant
+    // map stage — keep it off a single scan split (see Par.widen)
+    val toks = Par.widen(docs).withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
         text.tokens(col("graft_norm")).as("toks"))
     val bigrams = when(size(col("toks")) >= 2,
@@ -914,7 +955,8 @@ object Curation {
                       extras: Seq[(String, Column)]): DataFrame = {
     val norm = Native.normOf(df)
     val fold = Native.md5FoldOf(df)
-    val toks = df.withColumn("graft_norm", norm(col(textCol)))
+    // Par.widen: tokenize + per-feature md5 is the dominant map stage
+    val toks = Par.widen(df).withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id") +: extras.map { case (n, c) => c.as(n) } :+
         text.tokens(col("graft_norm")).as("toks"): _*)
     val bigrams = when(size(col("toks")) >= 2,
@@ -1195,7 +1237,9 @@ object Curation {
         col(idCol).cast("long")
       case _ => col(idCol)
     }
-    val scored = df.select(col(groupCol).as("grp"),
+    // Par.widen: callers pass computed score expressions (t43's
+    // qualityScore) whose evaluation must not run on one scan split
+    val scored = Par.widen(df).select(col(groupCol).as("grp"),
       idExpr.as("id"),
       col(scoreCol).cast("double").as("score"))
     if (Native.enabled(df, "graft_topk")) {
@@ -1255,7 +1299,9 @@ object Curation {
         p => trim(p)),
       p => p =!= "")
     val pass = passthrough.map(col)
-    df.select(col(idCol).as("doc_id") +: paras.as("paras") +: pass: _*)
+    // Par.widen: the per-doc paragraph sort/dedup transforms are the
+    // map-heavy stage — keep them off a single scan split
+    Par.widen(df).select(col(idCol).as("doc_id") +: paras.as("paras") +: pass: _*)
       // (paragraph, 1-based position) structs sorted by (p, i):
       // duplicates become ADJACENT and each group's head carries the
       // group's smallest position — first occurrence without the
@@ -1376,7 +1422,7 @@ object Curation {
       passthrough = Seq(langCol, sourceCol, "n_dup_paras"))
     // score what ships: quality over the scrubbed text
     val scored = scrubbed.withColumn("quality",
-      text.qualityScore(col("clean_text")))
+      graft.ops.Native.qualityOf(scrubbed)(col("clean_text")))
     val capped = sourceCap(scored, idCol, sourceCol, "quality", quotaN)
       .select(col("id").as(idCol), col("rank"))
     deterministicSplit(scored.join(capped, Seq(idCol)), idCol,

@@ -39,15 +39,39 @@ object Par {
     def narrowChain(p: LogicalPlan): Boolean = p match {
       case _: LeafNode => true
       case u: Union => u.children.forall(narrowChain)
+      // Generate (explode) also inherits its child's partitioning with
+      // no exchange — an explode over a small scan arrives exactly as
+      // under-parallel as the scan itself (the m5 payload-variant
+      // explode was the measured case: its widen call silently
+      // no-op'd here and the CDC pass ran on the scan's splits)
       case _: Project | _: Filter | _: LocalLimit | _: GlobalLimit |
-           _: SubqueryAlias | _: Deduplicate =>
+           _: SubqueryAlias | _: Deduplicate | _: Generate =>
         narrowChain(p.children.head)
       case _ => false
     }
     val want = df.sparkSession.sparkContext.defaultParallelism
+    // The repartition is inserted BELOW deterministic row-wise
+    // operators (Project/Filter/SubqueryAlias/Generate), not stacked
+    // on top of the DataFrame: callers routinely pass inputs whose
+    // projection IS the expensive map work (t31's qualityScore,
+    // t43's score expression), and a top-level repartition leaves
+    // that projection evaluating on the under-parallel scan splits —
+    // measured r15 at sf1 as the residual t31 wall after a top-level
+    // widen. Pushing below a Project/Filter/Generate is value-safe
+    // (same multiset in, row-wise ops out); Deduplicate / limits /
+    // unions keep the repartition ABOVE them (a subset-picking or
+    // row-limiting operator must not see a reshuffled input).
+    def insert(p: LogicalPlan): LogicalPlan = p match {
+      case pj: Project => pj.copy(child = insert(pj.child))
+      case f: Filter => f.copy(child = insert(f.child))
+      case s: SubqueryAlias => s.copy(child = insert(s.child))
+      case g: Generate => g.copy(child = insert(g.child))
+      case other => Repartition(want, shuffle = true, other)
+    }
     if (!narrowChain(df.queryExecution.analyzed)) df
     else if (df.queryExecution.toRdd.getNumPartitions < want)
-      df.repartition(want)
+      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+        df.sparkSession, insert(df.queryExecution.analyzed))
     else df
   }
 }

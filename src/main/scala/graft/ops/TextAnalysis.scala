@@ -27,13 +27,33 @@ object TextAnalysis {
         fround(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
         fround(sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
 
-  /** Per-document quality features + score. */
+  /** Per-document quality features + score. Native path: every output
+    * feeds off ONE `graft_text_stats` pass (the alias is referenced
+    * multiple times, so CollapseProject keeps the kernel call in its
+    * own projection — one evaluation per row); values are
+    * bit-identical to the expression chain (coalesces replicate
+    * `tokens(null) = []`, n_punct keeps the length(null) null).
+    */
   def qualityScores(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    if (Native.enabled(docs, "graft_text_stats"))
+      Par.widen(docs)
+        .withColumn("graft_stats", call_function("graft_text_stats", col(textCol)))
+        .select(col(idCol).as("doc_id"),
+          coalesce(col("graft_stats.n_tokens"), lit(0L)).as("n_tokens"),
+          col("graft_stats.n_punct").as("n_punct"),
+          coalesce(col("graft_stats.hits_en"), lit(0L)).as("n_stopwords"),
+          text.qualityScoreFromStats(col(textCol), col("graft_stats")).as("quality"))
+    else Par.widen(docs).select(col(idCol).as("doc_id"),
       text.tokenCount(col(textCol)).as("n_tokens"),
       text.punctCount(col(textCol)).as("n_punct"),
       text.markerHits(col(textCol), text.EnMarkers).as("n_stopwords"),
       text.qualityScore(col(textCol)).as("quality"))
+
+  /** [[graft.functions.text.qualityScore]] behind the
+    * `graft_text_stats` kernel gate — the public builder SparkEntry's
+    * score-column declarations ride (see [[graft.ops.Native.qualityOf]]).
+    */
+  def qualityScoreOf(df: DataFrame): Column => Column = Native.qualityOf(df)
 
   /** Global token frequency top-k (explode → count → top-k). The
     * groupBy is partial-agg friendly; the final top-k sorts only the
@@ -77,7 +97,10 @@ object TextAnalysis {
     require(capacity >= phiDenom,
       s"capacity ($capacity) must be >= phiDenom ($phiDenom) for the superset guarantee")
     val spark = docs.sparkSession
-    val toks = docs.select(
+    // Par.widen: the token stream feeds three consumers (sketch, total,
+    // recount), each a map-heavy tokenize pass that must not run on a
+    // single scan split (the s7 artifact; see Par.widen)
+    val toks = Par.widen(docs).select(
       explode(text.tokens(Native.normOf(docs)(col(textCol)))).as("term"))
     import org.apache.spark.sql.{Encoders, Row}
     val candidates = toks.mapPartitions { it =>
@@ -122,7 +145,8 @@ object TextAnalysis {
 
   /** Heuristic language ID per document. */
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), text.langId(col(textCol)).as("lang_pred"))
+    docs.select(col(idCol).as("doc_id"),
+      Native.langIdOf(docs)(col(textCol)).as("lang_pred"))
 
   /** Per-group vocabulary stats: exact distinct-token count beside the
     * raw token count — the count-distinct aggregation family. Exact
@@ -664,12 +688,19 @@ object TextAnalysis {
   def lmScore(train: DataFrame, docs: DataFrame, textCol: String, idCol: String,
               alpha: Double = 0.5, broadcastModel: Boolean = true): DataFrame = {
     val norm = Native.normOf(docs)
-    def postings(df: DataFrame) = df
+    // Par.widen per tokenize leg: see lmScoreBigram — the map-heavy
+    // normalize/split/explode stage must not run on one scan split
+    def tokenStream(df: DataFrame) = Par.widen(df)
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"), explode(text.tokens(col("graft_norm"))).as("term"))
+    def postings(df: DataFrame) = tokenStream(df)
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
 
-    val model = postings(train).groupBy("term").agg(sum("tf").as("cnt"))
+    // counts straight off the token stream — Σ_doc count(doc, term) ==
+    // count(term), so the per-doc pre-aggregation (a corpus-scale
+    // (doc, term) exchange) is dropped from the train leg (§2.4)
+    val model = tokenStream(train).groupBy("term")
+      .agg(count(lit(1)).cast("double").as("cnt"))
     val stats = model.agg(sum("cnt").as("total"),
       count(lit(1)).cast("double").as("vocab"))
 
@@ -731,24 +762,36 @@ object TextAnalysis {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val norm = Native.normOf(docs)
-    def toks(df: DataFrame) = df
+    // Par.widen on each tokenize leg: the normalize + split + explode
+    // pass is the operator's map-heavy stage, and a single-row-group
+    // input otherwise runs it on one scan split (measured r15 at sf1:
+    // the two train legs were 6.7 s + 6.2 s TWO-task jobs on a
+    // 32-slot session — the s7 artifact, §2.6/Par.widen scaladoc)
+    def toks(df: DataFrame) = Par.widen(df)
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"), text.tokens(col("graft_norm")).as("toks"))
-    def bigrams(df: DataFrame) = toks(df)
+    def bigramStream(df: DataFrame) = toks(df)
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    def bigrams(df: DataFrame) = bigramStream(df)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).cast("double").as("tf"))
 
     // both model tables feed TWO consumers each (the scoring joins +
     // their own rollups ctx/stats); unpersisted, the train-side
     // tokenize + explode subtree re-executes per consumer. Both are
     // vocabulary-bounded (they get broadcast below), so the persist
-    // is model-sized, never corpus-sized
+    // is model-sized, never corpus-sized.
+    // The model counts straight off the bigram STREAM (one partial-agg
+    // shuffle on (w1, w2)): the per-doc pre-aggregation the scoring
+    // side needs is pure overhead here — Σ_doc count(doc, w1, w2) ==
+    // count(w1, w2), and dropping it removes a corpus-scale
+    // (doc, w1, w2) exchange from the train leg (§2.4).
     val bigramModel = staged(
-      bigrams(train).groupBy("w1", "w2").agg(sum("tf").as("cnt")))
+      bigramStream(train).groupBy("w1", "w2")
+        .agg(count(lit(1)).cast("double").as("cnt")))
     val ctx = bigramModel.groupBy("w1").agg(sum("cnt").as("ctx"))
     val uni = staged(toks(train)
       .select(explode(col("toks")).as("w2"))
@@ -807,7 +850,9 @@ object TextAnalysis {
                  queries: Seq[(Long, String)], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val norm = Native.normOf(docs)
-    val lens = docs
+    // Par.widen: the tokenize pass is the corpus-side map stage — keep
+    // it off a single scan split (the s7 artifact; see Par.widen)
+    val lens = Par.widen(docs)
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"),
         text.tokens(col("graft_norm")).as("toks"))
@@ -855,7 +900,7 @@ object TextAnalysis {
     */
   def bm25Index(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val norm = Native.normOf(docs)
-    val lens = docs
+    val lens = Par.widen(docs)
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"),
         text.tokens(col("graft_norm")).as("toks"))
@@ -939,12 +984,25 @@ object TextAnalysis {
     * ROUNDED score with term-ASC tie-break — engine-portable.
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3,
+                    persistIntermediate: Boolean = true): DataFrame = {
     val norm = Native.normOf(docs)
-    val postings = docs
+    // postings feeds TWO consumers (the df rollup + the scoring join):
+    // unpersisted, the tokenize + explode + per-doc agg pass — the
+    // operator's dominant cost — runs once per consumer (measured r15
+    // at sf1: two ~2 s jobs for one logical pass). Par.widen keeps the
+    // map-heavy stage off a single scan split (the s7 artifact). The
+    // persisted table is the SLIM (doc, term, tf) postings — the
+    // d2-style staging persist; callers that must not pin storage pass
+    // persistIntermediate = false.
+    val postingsPlan = Par.widen(docs)
       .select(col(idCol).as("doc_id"),
         explode(text.tokens(norm(col(textCol)))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val postings =
+      if (persistIntermediate)
+        postingsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else postingsPlan
     val dfs = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -1006,7 +1064,7 @@ object TextAnalysis {
     */
   private def bpeWordTable(docs: DataFrame, textCol: String,
                            persistIntermediate: Boolean): DataFrame = {
-    val plan = docs
+    val plan = Par.widen(docs)
       .select(explode(text.tokens(graft.ops.Native.normOf(docs)(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
@@ -1364,8 +1422,9 @@ object TextAnalysis {
       if (persistIntermediate)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    // the ONE corpus scan; dictionary-sized from here on
-    val words = persist(docs
+    // the ONE corpus scan (Par.widen: its tokenize must not run on a
+    // single scan split); dictionary-sized from here on
+    val words = persist(Par.widen(docs)
       .select(explode(text.tokens(
         graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
       .where(length(col("word")).between(1, maxWordLen))
@@ -1591,8 +1650,10 @@ object TextAnalysis {
     // left-join-miss rework every intermediate here has exactly one
     // consumer, so there is nothing left to persist
     val _ = persistIntermediate
-    // deliberately NOT persisted: corpus-scale — see "Scale shape"
-    val aw = docs.select(col(idCol).as("doc_id"),
+    // deliberately NOT persisted: corpus-scale — see "Scale shape".
+    // Par.widen: this tokenize + explode is the apply side's one
+    // corpus-scale map stage (see Par.widen)
+    val aw = Par.widen(docs).select(col(idCol).as("doc_id"),
       explode(text.tokens(
         graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
     // single consumer since the r14 left-join-miss rework — a persist

@@ -125,6 +125,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(d.rdd.getNumPartitions >= want,
       s"dedup-over-scan not widened: ${d.rdd.getNumPartitions} < $want")
     assert(u.count() == 6 && d.count() == 3)
+    // explode over a scan — widened through the Generate node (the m5
+    // payload-variant shape: its widen call used to no-op here)
+    val g = Par.widen(small.select(explode(array(col("id"), col("id") + 10L)).as("v")))
+    assert(g.rdd.getNumPartitions >= want,
+      s"explode-over-scan not widened: ${g.rdd.getNumPartitions} < $want")
+    assert(g.count() == 6)
   }
 
   test("round-7 operators tolerate degenerate inputs") {

@@ -338,4 +338,51 @@ class NativeSpec extends AnyFunSuite {
     assert(native.map(_._2).distinct.size > 10,
       "k=96 fit must actually spread assignments")
   }
+
+  test("graft_text_stats equals the expression quality/language forms on " +
+      "whitespace edges, unicode, markers and nulls") {
+    val rows = Seq(
+      "The quick brown fox. And the dog, of course!",
+      "the a and of to in is",                  // every EN marker
+      "THE AND In IS Of",                       // case-insensitive marker hits
+      "el la de que y los le et les des der die und das ein zu",
+      "  leading and trailing spaces  ",
+      "\ttab-led start",                        // leading tab -> empty token
+      "trailing tab\t",                         // trailing tab -> empty token
+      "\t",                                     // two empty tokens
+      "one",
+      "12345 67890 ...,,,;;;:::!!!???",
+      "\u00fcml\u00e4ut stra\u00dfe \u212AELVIN \u0130stanbul the",
+      "multi  \n  line\r\nand\u000bvertical\ffeeds",
+      "",
+      " ",
+      null
+    ).toDF("text")
+    val stats = call_function("graft_text_stats", col("text"))
+    // quality + language: kernel arithmetic twins vs the regex chains
+    val q = rows.select(
+      text.qualityScoreFromStats(col("text"), stats).as("nq"),
+      text.qualityScore(col("text")).as("eq"),
+      text.langIdFromStats(stats).as("nl"),
+      text.langId(col("text")).as("el"))
+    assert(q.filter(!(col("nq") <=> col("eq"))).count() == 0, "quality diverges")
+    assert(q.filter(!(col("nl") <=> col("el"))).count() == 0, "langId diverges")
+    // every raw statistic vs its expression twin
+    val toks = text.tokens(col("text"))
+    val cmp = rows.withColumn("s", stats).select(
+      (coalesce(col("s.n_tokens"), lit(0L)) <=> size(toks).cast("long")).as("c1"),
+      (coalesce(col("s.sum_tok_len"), lit(0L)) <=>
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t))).as("c2"),
+      (coalesce(col("s.max_tok_len"), lit(0)) <=>
+        coalesce(array_max(transform(toks, t => length(t))), lit(0))).as("c3"),
+      (col("s.n_punct") <=> text.punctCount(col("text"))).as("c4"),
+      (col("s.n_digit") <=> text.digitCount(col("text"))).as("c5"),
+      (coalesce(col("s.hits_en"), lit(0L)) <=>
+        text.markerHits(col("text"), text.EnMarkers)).as("c6"),
+      (coalesce(col("s.hits_de"), lit(0L)) <=>
+        text.markerHits(col("text"), text.DeMarkers)).as("c7"))
+    val bad = cmp.filter(!col("c1") || !col("c2") || !col("c3") || !col("c4") ||
+      !col("c5") || !col("c6") || !col("c7"))
+    assert(bad.count() == 0, "field mismatch vs expression twins")
+  }
 }

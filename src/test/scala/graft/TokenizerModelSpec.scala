@@ -164,4 +164,21 @@ class TokenizerModelSpec extends AnyFunSuite {
     }
     assert(noMarker.getMessage.contains("unigramFitModel"), noMarker.getMessage)
   }
+
+  test("unigramLmTrain caps seedSize (bounds the per-round driver collect)") {
+    val docs = Seq("a b c").toDF("text")
+    val over = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLmTrain(docs, "text", seedSize = 65537)
+    }
+    assert(over.getMessage.contains("65536"), over.getMessage)
+  }
+
+  test("g5/g6 distributed oracle twins are declared and share g4/g1 SQL") {
+    assert(SparkEntry.queries.contains("g5_cc_distributed"))
+    assert(SparkEntry.queries.contains("g6_pagerank_distributed"))
+    assert(SparkEntry.oracleSql("g5_cc_distributed") ==
+      SparkEntry.oracleSql("g4_cc_incremental"))
+    assert(SparkEntry.oracleSql("g6_pagerank_distributed") ==
+      SparkEntry.oracleSql("g1_pagerank"))
+  }
 }
