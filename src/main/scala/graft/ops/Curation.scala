@@ -861,9 +861,12 @@ object Curation {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val norm = Native.normOf(docs)
     val fold = Native.md5FoldOf(docs)
-    // Par.widen: the tokenize + per-feature hash pass is the dominant
-    // map stage — keep it off a single scan split (see Par.widen)
-    val toks = Par.widen(docs).withColumn("graft_norm", norm(col(textCol)))
+    // no widen: the feature pass runs ONCE (posts is persisted below),
+    // so the raw-text exchange a widen inserts costs more than the
+    // narrow-split fraction it parallelizes (measured r15 at sf1:
+    // 1.55 -> 1.76 s with it; contrast heavyHitters, whose token
+    // stream feeds three passes and keeps its widen)
+    val toks = docs.withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
         text.tokens(col("graft_norm")).as("toks"))
     val bigrams = when(size(col("toks")) >= 2,
@@ -955,8 +958,8 @@ object Curation {
                       extras: Seq[(String, Column)]): DataFrame = {
     val norm = Native.normOf(df)
     val fold = Native.md5FoldOf(df)
-    // Par.widen: tokenize + per-feature md5 is the dominant map stage
-    val toks = Par.widen(df).withColumn("graft_norm", norm(col(textCol)))
+    // no widen: single persisted feature pass — see dsirWeights
+    val toks = df.withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id") +: extras.map { case (n, c) => c.as(n) } :+
         text.tokens(col("graft_norm")).as("toks"): _*)
     val bigrams = when(size(col("toks")) >= 2,

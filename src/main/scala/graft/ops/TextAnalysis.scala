@@ -36,7 +36,10 @@ object TextAnalysis {
     */
   def qualityScores(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     if (Native.enabled(docs, "graft_text_stats"))
-      Par.widen(docs)
+      // no widen here: the kernel pass is cheap enough that the widen
+      // exchange (raw text) costs more than it parallelizes (measured
+      // r15: t27's persisted scoring pass 0.5 -> 1.6 s with it)
+      docs
         .withColumn("graft_stats", call_function("graft_text_stats", col(textCol)))
         .select(col(idCol).as("doc_id"),
           coalesce(col("graft_stats.n_tokens"), lit(0L)).as("n_tokens"),
@@ -850,15 +853,26 @@ object TextAnalysis {
                  queries: Seq[(Long, String)], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val norm = Native.normOf(docs)
-    // Par.widen: the tokenize pass is the corpus-side map stage — keep
-    // it off a single scan split (the s7 artifact; see Par.widen)
-    val lens = Par.widen(docs)
+    val lens = docs
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"),
         text.tokens(col("graft_norm")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // corpus stats via ONE graft_text_stats pass when available: the
+    // full tokenize re-ran just for avg(dl) otherwise (the n_tokens
+    // field equals size(tokens) for every input; null text coalesces
+    // to 0 exactly as size(tokens(null)) = 0). A widen here measured
+    // NET-NEGATIVE (the raw-text exchange costs ~1 s at sf1, more
+    // than the narrow tokenize it parallelizes) — reverted r15.
+    val stats =
+      if (Native.enabled(docs, "graft_text_stats"))
+        docs.select(coalesce(call_function("graft_text_stats",
+            norm(col(textCol))).getField("n_tokens"), lit(0L))
+            .cast("double").as("dl"))
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            avg(col("dl")).as("avgdl"))
+      else lens.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
 
     val (qterms, qvocab) = queryTerms(docs, queries)
     // postings of query terms only: broadcast-filter the exploded
@@ -900,7 +914,7 @@ object TextAnalysis {
     */
   def bm25Index(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val norm = Native.normOf(docs)
-    val lens = Par.widen(docs)
+    val lens = docs
       .withColumn("graft_norm", norm(col(textCol)))
       .select(col(idCol).as("doc_id"),
         text.tokens(col("graft_norm")).as("toks"))
