@@ -1665,9 +1665,10 @@ object TextAnalysis {
     // consumer, so there is nothing left to persist
     val _ = persistIntermediate
     // deliberately NOT persisted: corpus-scale — see "Scale shape".
-    // Par.widen: this tokenize + explode is the apply side's one
-    // corpus-scale map stage (see Par.widen)
-    val aw = Par.widen(docs).select(col(idCol).as("doc_id"),
+    // No widen either: A/B'd r15 — the raw-text exchange cost +0.4 s
+    // per query at sf0.1 against ~0.1 s at sf1 (the two consumers'
+    // tokenize passes are cheap relative to the exchange)
+    val aw = docs.select(col(idCol).as("doc_id"),
       explode(text.tokens(
         graft.ops.Native.normOf(docs)(col(textCol)))).as("word"))
     // single consumer since the r14 left-join-miss rework — a persist
